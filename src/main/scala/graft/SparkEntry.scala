@@ -1,13 +1,376 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Relational, Scalars, Windows}
+import graft.streaming.StreamTwins
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.vector.VectorOps
+
+/** Driver contract — see /root/repo/SURVEY.md §2.3 for the operator
+  * inventory each entry implements.
+  *
+  * Determinism rules shared by every (query, oracle) pair:
+  *  - every query ends in a total-order ORDER BY;
+  *  - double aggregates go through exact decimal arithmetic and a final
+  *    cast to double (bit-identical cross-engine — see ops/Exact.scala);
+  *  - timestamps are emitted as canonical strings;
+  *  - engineered integer outputs are BIGINT on both sides (DuckDB's
+  *    len/length/rank/sum-of-int natural types are BIGINT/HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- core relational (SURVEY §2.3 Q-*) --
+    "q1_pricing" -> (Relational.q1Pricing _),
+    "q_scan_project" -> (Relational.qScanProject _),
+    "q_cast" -> (Relational.qCast _),
+    "q_filter" -> (Relational.qFilter _),
+    "q_join_lookup" -> (Relational.qJoinLookup _),
+    "q_join_inner" -> (Relational.qJoinInner _),
+    "q_join_semi" -> (Relational.qJoinSemi _),
+    "q_join_anti" -> (Relational.qJoinAnti _),
+    "q_agg" -> (Relational.qAgg _),
+    "q_agg_distinct" -> (Relational.qAggDistinct _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_sort_limit" -> (Relational.qSortLimit _),
+    "q_topk_group" -> (Relational.qTopkGroup _),
+    "q_setops" -> (Relational.qSetops _),
+    "q_distinct" -> (Relational.qDistinct _),
+    // -- windows --
+    "q_window_rank" -> (Windows.qWindowRank _),
+    "q_window_running" -> (Windows.qWindowRunning _),
+    "q_window_lag" -> (Windows.qWindowLag _),
+    "q_window_range" -> (Windows.qWindowRange _),
+    // -- scalar surface + reference cache semantics --
+    "q_str" -> (Scalars.qStr _),
+    "q_json" -> (Scalars.qJson _),
+    "q_date" -> (Scalars.qDate _),
+    "q_math" -> (Scalars.qMath _),
+    "q_array" -> (Scalars.qArray _),
+    "q_cache_key" -> (Scalars.qCacheKey _),
+    "q_ttl" -> (Scalars.qTtl _),
+    // -- streaming batch twins --
+    "q_tumble" -> (StreamTwins.qTumble _),
+    "q_slide" -> (StreamTwins.qSlide _),
+    "q_session" -> (StreamTwins.qSession _),
+    "q_state_ttl" -> (StreamTwins.qStateTtl _),
+    "q_late" -> (StreamTwins.qLate _),
+    // -- text analysis --
+    "q_text_quality" -> (TextOps.qTextQuality _),
+    "q_text_stats" -> (TextOps.qTextStats _),
+    "q_langid" -> (TextOps.qLangid _),
+    "q_term_freq" -> (TextOps.qTermFreq _),
+    "q_fingerprint" -> (TextOps.qFingerprint _),
+    // -- dedup --
+    "q_minhash_pairs" -> ((s: SparkSession, d: String) => Dedup.qMinhashPairs(s, d)),
+    "q_ngram_pairs" -> ((s: SparkSession, d: String) => Dedup.qNgramJaccardPairs(s, d)),
+    // -- similarity search --
+    "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
+  )
+
+  // Shared SQL fragments for the oracle side.
+  private val sumQty = "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+  private val revenueExpr =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+  private val shCte =
+    """d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+      |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $sumQty AS sum_qty,
+         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(sum($revenueExpr * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+         |  $sumQty / count(*) AS avg_qty,
+         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+         |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q_cast" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS okey_str,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS okey_back,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price2
+        |FROM orders ORDER BY okey_back LIMIT 500""".stripMargin,
+    "q_filter" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+        |WHERE p_size BETWEEN 10 AND 30 AND regexp_matches(p_type, '(?i)econ|promo')
+        |  AND p_name IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin,
+    "q_join_lookup" ->
+      s"""SELECT n_name, CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |LEFT JOIN supplier ON l_suppkey = s_suppkey
+         |LEFT JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_inner" ->
+      s"""SELECT c_mktsegment, CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_agg" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS min_price,
+        |  CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS max_price,
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_date
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         |  coalesce(l_linestatus, '(all)') AS linestatus,
+         |  $sumQty AS sum_qty, count(*) AS n_items
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+        |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_topk_group" ->
+      """WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price2 FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY price2 DESC, l_orderkey, l_linenumber) AS rn FROM t)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, price2, rn
+        |FROM r WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    "q_setops" ->
+      """WITH y94 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |     y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT 'union_all' AS op, count(*) AS n FROM (SELECT * FROM y94 UNION ALL SELECT * FROM y95)
+        |UNION ALL SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM y94 INTERSECT SELECT * FROM y95)
+        |UNION ALL SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM y94 EXCEPT SELECT * FROM y95)
+        |ORDER BY op""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_window_rank" ->
+      """WITH t AS (SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+        |r AS (SELECT c_nationkey, c_custkey, CAST(bal AS DOUBLE) AS acctbal,
+        |  rank() OVER (PARTITION BY c_nationkey ORDER BY bal DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY c_nationkey ORDER BY bal DESC) AS drnk,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY bal DESC, c_custkey) AS rn
+        |  FROM t)
+        |SELECT c_nationkey, c_custkey, acctbal, rnk, drnk, rn
+        |FROM r WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_spend,
+        |  count(*) OVER w AS running_orders
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, CAST(p AS DOUBLE) AS price,
+        |  CAST(lag(p, 1) OVER w AS DOUBLE) AS prev_price,
+        |  CAST(p - coalesce(lag(p, 1) OVER w, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS delta,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders WHERE o_custkey <= 50)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_str" ->
+      """SELECT p_partkey, lower(p_name) AS name_lo, upper(p_brand) AS brand_up,
+        |  substring(p_type, 1, 5) AS type5, concat_ws('|', p_brand, p_type) AS brand_type,
+        |  length(p_name) AS name_len, regexp_extract(p_type, '(\w+)$', 1) AS type_last,
+        |  substring(sha256(p_name), 1, 16) AS name_sha16,
+        |  len(string_split(p_name, ' ')) AS name_words
+        |FROM part ORDER BY p_partkey LIMIT 300""".stripMargin,
+    "q_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_date" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |  CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY month""".stripMargin,
+    "q_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  l_orderkey % 7 AS mod7,
+        |  CASE WHEN l_quantity >= 40 THEN 'bulk' WHEN l_quantity >= 10 THEN 'mid'
+        |    ELSE 'small' END AS tier,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS net,
+        |  CAST(greatest(CAST(l_discount AS DECIMAL(6,4)), CAST(l_tax AS DECIMAL(6,4))) AS DOUBLE) AS max_rate,
+        |  CAST(least(CAST(l_discount AS DECIMAL(6,4)), CAST(l_tax AS DECIMAL(6,4))) AS DOUBLE) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q_array" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |  list_sort(toks)[1] AS first_token,
+        |  CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS BIGINT) AS has_the,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_chars
+        |FROM t ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q_cache_key" ->
+      """SELECT event_id,
+        |  'https://api.example.com/v1/items?a=' || CAST(event_id AS VARCHAR) || '&b=' || CAST(user_id AS VARCHAR) AS url_norm,
+        |  'opensea:v1:' || sha256('{"url":"https://api.example.com/v1/items?a=' || CAST(event_id AS VARCHAR) || '&b=' || CAST(user_id AS VARCHAR) || '","accept":"application/json"}') AS cache_key
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
+    "q_ttl" ->
+      """WITH t AS (SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0 THEN 'public, max-age=' || CAST(event_id % 200000 AS VARCHAR)
+        |       WHEN event_id % 4 = 1 THEN 'max-age=600, stale-while-revalidate=' || CAST(event_id % 1000 AS VARCHAR)
+        |       WHEN event_id % 4 = 2 THEN 'no-store'
+        |       ELSE 'no-cache, must-revalidate' END AS cache_control
+        |  FROM events),
+        |m AS (SELECT event_id, cache_control,
+        |  CASE WHEN regexp_matches(cache_control, 'max-age=\d+')
+        |    THEN CAST(regexp_extract(cache_control, 'max-age=(\d+)', 1) AS INT) ELSE 0 END AS ma,
+        |  CASE WHEN regexp_matches(cache_control, 'stale-while-revalidate=\d+')
+        |    THEN CAST(regexp_extract(cache_control, 'stale-while-revalidate=(\d+)', 1) AS INT) ELSE 0 END AS swr
+        |  FROM t)
+        |SELECT event_id, cache_control, CAST(ma AS BIGINT) AS max_age,
+        |  CAST(CASE WHEN regexp_matches(cache_control, '(?i)no-store') THEN 0
+        |    ELSE least(greatest(ma + swr, 0), 86400) END AS BIGINT) AS ttl,
+        |  CAST(CASE WHEN regexp_matches(cache_control, '(?i)no-store') THEN 1 ELSE 0 END AS BIGINT) AS is_no_store,
+        |  CAST(CASE WHEN regexp_matches(cache_control, '(?i)no-cache|must-revalidate') THEN 1 ELSE 0 END AS BIGINT) AS must_revalidate
+        |FROM m ORDER BY event_id LIMIT 400""".stripMargin,
+    "q_tumble" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "q_slide" ->
+      """WITH w AS (SELECT make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) - ks.k)*300*1000000) AS ws, value
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k) ks)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY wstart""".stripMargin,
+    "q_session" ->
+      """WITH m AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 10 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_state_ttl" ->
+      """WITH hw AS (SELECT max(ts) AS hw FROM events),
+        |f AS (SELECT e.* FROM events e, hw WHERE e.ts >= hw.hw - INTERVAL 6 HOUR),
+        |r AS (SELECT user_id, event_id, event_type, ts,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_late" ->
+      """WITH hw AS (SELECT max(ts) AS hw FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events, hw WHERE ts >= hw.hw - INTERVAL 1 HOUR
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, lang, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS BIGINT) AS n_stop,
+        |  CAST(list_sum(list_transform(toks, t -> floor((length(t) + 5) / 6))) AS BIGINT) AS n_bpeish,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |    * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_langid" ->
+      """WITH t AS (SELECT lang, text, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT lang, text,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','to','and','in','is'))) AS en,
+        |  len(list_filter(toks, t -> t IN ('el','la','de','que','y','los'))) AS es,
+        |  len(list_filter(toks, t -> t IN ('der','die','und','das','ist','ein'))) AS de,
+        |  len(list_filter(toks, t -> t IN ('le','la','et','les','des','un'))) AS fr
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |    WHEN de >= fr AND de > 0 THEN 'de'
+        |    WHEN fr > 0 THEN 'fr' ELSE 'und' END AS guess,
+        |  count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+    "q_term_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q_fingerprint" ->
+      """WITH f AS (SELECT source, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+        |  count(*) - count(DISTINCT fp) AS n_exact_dups
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q_minhash_pairs" ->
+      s"""WITH $shCte,
+         |sig AS (SELECT doc_id, s, list_transform(range(0, 16),
+         |  k -> list_min(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS sig FROM sh),
+         |bands AS (SELECT doc_id, bs.b AS band_idx,
+         |  md5(sig[bs.b*4+1] || '|' || sig[bs.b*4+2] || '|' || sig[bs.b*4+3] || '|' || sig[bs.b*4+4]) AS band_hash
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bands a
+         |  JOIN bands b2 ON a.band_idx = b2.band_idx AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+         |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ngram_pairs" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+         |  WHERE doc_id % 100 = 0 AND len(string_split(text,' ')) >= 3),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+         |j AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+         |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |p AS (SELECT q_id, vec_id,
+        |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+        |  (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x)))) AS sim
+        |  FROM e, q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+        |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+  )
 }

@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exact._
+
+/** Core relational operators (SURVEY.md §2.3 Q-scan … Q-setops),
+  * expressed as declarative DataFrame plans so Catalyst owns pushdown,
+  * pruning, join selection, partial aggregation, and AQE re-planning.
+  *
+  * Every query ends in a total-order `orderBy` (part of the declared
+  * query contract — the oracle hash-compares rows) and aliases every
+  * computed column identically to its oracle SQL.
+  *
+  * 100 TB notes: no `collect` anywhere; joins are plain equi-joins that
+  * Catalyst plans as broadcast (dims under threshold) or sort-merge with
+  * AQE skew splitting; aggregations are hash-based with map-side partial
+  * aggregation; top-k is `Window`+filter (per-group) or
+  * `TakeOrderedAndProject` (global orderBy+limit), never a global sort
+  * materialized on the driver.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary (Q-scan, Q-filter, Q-cast, Q-agg,
+    * Q-sort). Filter + column pruning reach the parquet scan; aggregate
+    * is partial+final hash agg on (returnflag, linestatus) — 6 groups,
+    * so the shuffle is tiny regardless of input scale.
+    * Ref semantics source: aggregation counters `pipeline/utils/api.py:22`
+    * generalized to group-by (SURVEY §2.1 R17). */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+        decToDouble(sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))) * (one + rate(col("l_tax")))))
+          .as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q-project + Q-sort + limit: narrow projection whose ReadSchema must
+    * contain only the 3 selected columns (verified in PlanSpec). */
+  def qScanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Q-cast: ANSI casts both directions (string keys round-trip,
+    * double → decimal → double money normalization). */
+  def qCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("string").as("okey_str"),
+        col("o_orderkey").cast("string").cast("long").as("okey_back"),
+        money(col("o_totalprice")).cast("double").as("price2"))
+      .orderBy(col("okey_back"))
+      .limit(500)
+
+  /** Q-filter: combined null-guard, range, regex (`rlike` ⇒ parquet
+    * row-group pruning for the range part, codegen'd regex for the rest).
+    * Ref: predicate guards `pipeline/collectors/nft.py:18`, cache-control
+    * regexes `pipeline/utils/api.py:166,191-193` (SURVEY R29). */
+  def qFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 30)
+        && col("p_type").rlike("(?i)econ|promo")
+        && col("p_name").isNotNull)
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  /** Q-join-lookup (SURVEY R3 generalized): enrichment left-join of the
+    * fact table with two small dims. `broadcast()` hints keep this a
+    * BroadcastHashJoin at any fact-side scale — the dims (supplier,
+    * nation) are bounded, the fact is not; no shuffle of lineitem. */
+  def qJoinLookup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(
+        decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Q-join-inner: 3-way star join customer⋈orders⋈lineitem rolled up to
+    * market segment. customer/orders shuffle on the join keys; AQE picks
+    * broadcast when a side fits. Group count is bounded (5 segments). */
+  def qJoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q-join-semi: EXISTS as a left-semi join (never materializes the
+    * probe side's payload — at scale this beats `IN (subquery)`). */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q-join-anti: NOT EXISTS as a left-anti join (customers with no
+    * big-ticket order). */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q-agg: group-by with the full basic aggregate set; timestamps
+    * surfaced as canonical strings (cross-engine-stable). */
+  def qAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        money(min(col("o_totalprice"))).cast("double").as("min_price"),
+        money(max(col("o_totalprice"))).cast("double").as("max_price"),
+        tstr(min(col("o_orderdate"))).as("first_date"),
+        tstr(max(col("o_orderdate"))).as("last_date"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  /** Q-agg-distinct: exact count(distinct) — expands to a two-phase
+    * aggregate; at 100 TB prefer `approx_count_distinct` (HLL, kept in
+    * [[approxDistinct]] for the bench path, no oracle — DuckDB's HLL
+    * differs). */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL variant of [[qAggDistinct]] — the 100 TB path (single pass, no
+    * distinct expansion). Not oracle-checked (sketch values are
+    * engine-specific); exercised by ScalaTest against exact counts. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_suppkey"), 0.01).as("n_supp_approx"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q-rollup: hierarchical subtotals. Group keys are coalesced to a
+    * sentinel so the oracle compare never depends on engine NULL-ordering
+    * defaults (Spark: NULLS FIRST asc; DuckDB: NULLS LAST). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_qty"), col("n_items"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Q-sort/limit: global top-10 — Catalyst plans orderBy+limit as
+    * TakeOrderedAndProject (per-partition top-k, tiny driver merge),
+    * never a full global sort. Tiebreak on the unique key makes the
+    * limit deterministic. */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), money(col("o_totalprice")).cast("double").as("totalprice"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q-topk (per group): row_number window + filter — the scalable
+    * grouped top-k (single shuffle on the partition key; no global
+    * sort). Total ordering via the unique (orderkey, linenumber). */
+  def qTopkGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price2").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        money(col("l_extendedprice")).cast("double").as("price2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  /** Q-setops: UNION ALL / INTERSECT / EXCEPT over customer key sets
+    * from two order-date years (set ops are distinct-semantics in both
+    * engines). Output: one tagged count per op, total-ordered. */
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val y94 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    val y95 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val u = y94.union(y95).agg(count(lit(1)).as("n")).select(lit("union_all").as("op"), col("n"))
+    val i = y94.intersect(y95).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+    val e = y94.except(y95).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+    u.union(i).union(e).orderBy(col("op"))
+  }
+
+  /** Q-dedup-exact: deterministic distinct projection (`SELECT DISTINCT`
+    * — hash aggregate on all columns; for keyed "first row per key" see
+    * [[qTopkGroup]]'s row_number pattern). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+}

