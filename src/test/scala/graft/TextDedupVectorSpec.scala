@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.vector.VectorOps
+
+class TextDedupVectorSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sf}
+  import spark.implicits._
+
+  test("langGuess: CJK wins, stopword argmax otherwise, und fallback") {
+    val got = Seq(
+      "the cat and the dog in a house",
+      "el perro y la casa de que los",
+      "der hund und das haus ist ein",
+      "完全是中文文本",
+      "zzz qqq xxx")
+      .toDF("text").select(TextOps.langGuess(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "zh", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val fps = Seq("Hello  World", "hello world", " hello world ", "hello worlds")
+      .toDF("t").select(TextOps.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) == fps(2) && fps(2) != fps(3))
+  }
+
+  test("bpeish token count: short words 1, long words ceil(len/6)") {
+    val n = Seq("a bb cccccc ddddddd twelveletters")
+      .toDF("t").select(TextOps.bpeishTokenCount(col("t"))).head.getLong(0)
+    // 1 + 1 + 1 + 2 + ceil(13/6)=3 -> 8
+    assert(n == 8)
+  }
+
+  test("minhash LSH candidates contain every very-high-jaccard pair") {
+    // ground truth: brute-force 3-shingle jaccard >= 0.8 over the full corpus
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.shingles(split(col("text"), " ")).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.qMinhashPairs(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "corpus should contain near-dups")
+    val missed = truth -- lsh
+    assert(missed.isEmpty, s"LSH (b=4,r=4, t≈0.71) missed ${missed.size} of ${truth.size} pairs ≥0.8")
+  }
+
+  test("jaccard bounds and symmetry") {
+    // partial case shares exactly one 3-shingle ("a b c") of 5 distinct
+    val df = Seq(("a b c d", "a b c d"), ("a b c", "x y z"), ("a b c d e", "a b c x y"))
+      .toDF("x", "y")
+      .select(Dedup.jaccard(Dedup.shingles(split(col("x"), " ")),
+        Dedup.shingles(split(col("y"), " "))).as("j"))
+    val js = df.as[Double].collect()
+    assert(js(0) == 1.0 && js(1) == 0.0 && js(2) > 0.0 && js(2) < 1.0)
+  }
+
+  test("cosine: self-similarity 1, bounded, topk excludes self") {
+    val self = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+    val topk = VectorOps.qSimTopk(spark, sf, nQueries = 3, k = 4).collect()
+    assert(topk.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    assert(topk.forall(r => math.abs(r.getAs[Double]("sim")) <= 1.0 + 1e-12))
+    assert(topk.groupBy(_.getAs[Long]("q_id")).values.forall(_.length == 4))
+  }
+
+  test("exact text stats: tokens * docs sane on corpus") {
+    val st = TextOps.qTextStats(spark, sf).agg(sum("n_docs"), sum("sum_tokens")).head()
+    assert(st.getLong(0) == 500)
+    assert(st.getLong(1) > 500 * 9) // every doc has >= 10 tokens
+  }
+}
