@@ -343,8 +343,14 @@ object SparkEntry {
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH $shCte,
-         |sig AS (SELECT doc_id, s, list_transform(range(0, 16),
-         |  k -> list_min(list_transform(s, x -> md5(CAST(k AS VARCHAR) || ':' || x)))) AS sig FROM sh),
+         |hashed AS (SELECT doc_id, s,
+         |  ${(0 until 2).map(j => s"list_transform(s, x -> sha256('$j:' || x)) AS h$j").mkString(",\n  ")}
+         |  FROM sh),
+         |sig AS (SELECT doc_id, s, [
+         |  ${(0 until 16).map { k =>
+             val (j, i) = (k / 8, k % 8)
+             s"list_min(list_transform(h$j, h -> h[${i * 8 + 1}:${i * 8 + 8}]))"
+           }.mkString(",\n  ")}] AS sig FROM hashed),
          |bands AS (SELECT doc_id, bs.b AS band_idx,
          |  md5(sig[bs.b*4+1] || '|' || sig[bs.b*4+2] || '|' || sig[bs.b*4+3] || '|' || sig[bs.b*4+4]) AS band_hash
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),

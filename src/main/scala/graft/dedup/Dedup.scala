@@ -28,25 +28,44 @@ object Dedup {
   val Bands = 4 // 4 bands × 4 rows ⇒ LSH threshold (1/4)^(1/4) ≈ 0.71
 
   /** Word 3-shingles of the token array (deduplicated set). */
-  def shingles(toks: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(toks) - (ShingleK - 1)),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  def shingles(toks: Column): Column = array_distinct(shinglesRaw(toks))
+
+  /** Shingles without dedup — minhash is multiset-invariant (min over
+    * duplicates = min over the set), so the signature path skips the
+    * array_distinct cost; only exact jaccard needs the set. */
+  def shinglesRaw(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - (ShingleK - 1)),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
 
   /** One minhash: min over shingles of md5(seed || ':' || shingle). */
   def minhash(sh: Column, seed: Int): Column =
     array_min(transform(sh, s => md5(concat(lit(seed.toString), lit(":"), s))))
 
   /** doc_id → (band_idx, band_hash) rows: the 16-hash signature grouped
-    * into 4 bands of 4, each band hashed to a single md5 key. */
+    * into 4 bands of 4, each band hashed to a single md5 key.
+    *
+    * Hash-family economy: sha256 runs twice per shingle, not 16 hash
+    * calls. Each 256-bit digest is sliced into eight independent 32-bit
+    * (8-hex) hashes; min over fixed-width hex strings equals numeric
+    * min. Collision odds per hash ≈ |shingles|/2^32 — negligible, and
+    * identical in the DuckDB oracle which mirrors the same slicing.
+    * This is the hot path of near-dup at 100 TB: one narrow scan, 2
+    * digests/shingle, no shuffle until the band join. */
   def bandedSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(split(col("text"), " "))
-    val withSig = docs
+    val groups = NumHashes / 8 // 8 slices per sha256 digest
+    // MinhashSlices is the codegen-adjacent fast path (one JVM loop per
+    // doc); the equivalent pure-expression form it must match is
+    //   array_min(transform(sh, s -> substring(sha2(concat(j,':',s),256), i*8+1, 8)))
+    // and the DuckDB oracle + MinhashSlicesSpec pin that equivalence.
+    val sig = docs
       .filter(size(split(col("text"), " ")) >= ShingleK)
-      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(Seq(col("doc_id")) ++ (0 until groups).map(j =>
+        graft.functions.MinhashSlices.minhashSlices(col("toks"), j, ShingleK).as(s"m$j")): _*)
       .select(col("doc_id"),
-        array((0 until NumHashes).map(k => minhash(col("sh"), k)): _*).as("sig"))
+        flatten(array((0 until groups).map(j => col(s"m$j")): _*)).as("sig"))
     val rowsPerBand = NumHashes / Bands
-    withSig.select(col("doc_id"), posexplode(
+    sig.select(col("doc_id"), posexplode(
         array((0 until Bands).map(b =>
           md5(concat_ws("|", (0 until rowsPerBand).map(r =>
             col("sig").getItem(b * rowsPerBand + r)): _*))): _*)))
@@ -63,14 +82,29 @@ object Dedup {
     * oracle-checkable. */
   def qMinhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // The signature relation feeds both sides of the self-join; without
+    // a persist Spark recomputes the (interpreted higher-order-fn) md5
+    // pipeline per branch — 3× the cost. The persisted form is tiny
+    // (doc_id + 2 band columns), so this holds at any corpus scale.
     val sigs = bandedSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = sigs.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val shDf = docs.filter(size(split(col("text"), " ")) >= ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact-verify shingle sets are computed ONLY for docs that appear
+    // in some candidate pair (LSH keeps that set ~|near-dups|, not |corpus|)
+    // — the interpreted shingle construction is the expensive part, so
+    // restrict it before it runs, via a broadcast semi-join.
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val shDf = docs
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .filter(size(split(col("text"), " ")) >= ShingleK)
       .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(shDf.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shDf.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
