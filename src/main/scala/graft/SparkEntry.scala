@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Relational, Scalars, Windows}
+import graft.ops.{Advanced, Relational, Scalars, Windows}
 import graft.streaming.StreamTwins
 import graft.text.TextOps
 import graft.dedup.Dedup
@@ -70,8 +70,19 @@ object SparkEntry {
     // -- dedup --
     "q_minhash_pairs" -> ((s: SparkSession, d: String) => Dedup.qMinhashPairs(s, d)),
     "q_ngram_pairs" -> ((s: SparkSession, d: String) => Dedup.qNgramJaccardPairs(s, d)),
+    "q_simhash" -> (Dedup.qSimhash _),
+    "q_simhash_pairs" -> (Dedup.qSimhashPairs _),
     // -- similarity search --
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
+    "q_sim_lsh" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLsh(s, d)),
+    // -- advanced relational / analytics --
+    "q_cube" -> (Advanced.qCube _),
+    "q_window_analytics" -> (Advanced.qWindowAnalytics _),
+    "q_stats" -> (Advanced.qStats _),
+    "q_percentile" -> (Advanced.qPercentile _),
+    "q_fuzzy" -> (Advanced.qFuzzy _),
+    "q_map" -> (Advanced.qMap _),
+    "q_ingest_json" -> (Advanced.qIngestJson _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -82,6 +93,25 @@ object SparkEntry {
     """d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents WHERE len(string_split(text,' ')) >= 3),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d)""".stripMargin
+
+  /** 16-bit SimHash as a DuckDB expression over a per-token md5 list
+    * column — mirrors dedup.Dedup.simhash16 bit for bit. */
+  private def simhashSql(hs: String): String =
+    (0 until 16).map { b =>
+      s"CASE WHEN 2*list_sum(list_transform($hs, h -> (strpos('0123456789abcdef', h[${b + 1}:${b + 1}]) - 1) % 2)) > len($hs) THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Sign-LSH bucket id over a DOUBLE[] column — same ±1 hyperplane
+    * literals the Spark plan embeds (vector.VectorOps.hyperplanes). */
+  private def lshBucketSql(v: String): String =
+    graft.vector.VectorOps.hyperplanes(4, 64).zipWithIndex.map { case (r, p) =>
+      val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, 65), i -> $v[i] * (CAST($arr AS DOUBLE[]))[i])) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val cosineSql =
+    """list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+      |  (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -369,6 +399,84 @@ object SparkEntry {
          |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
          |  FROM sh x, sh y WHERE x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.7 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_cube" ->
+      s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         |  coalesce(l_linestatus, '(all)') AS linestatus,
+         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_stat,
+         |  $sumQty AS sum_qty, count(*) AS n_items
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus, g_flag, g_stat""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(first_value(p) OVER wf AS DOUBLE) AS first_price,
+        |  CAST(last_value(p) OVER wf AS DOUBLE) AS last_price,
+        |  CAST(nth_value(p, 2) OVER wf AS DOUBLE) AS second_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders WHERE o_custkey <= 60)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_stats" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS s2,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS t1,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS t2,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, s1/n AS mean_price,
+        |  sqrt((s2 - s1*s1/n)/(n-1)) AS sd_price,
+        |  (n*sxy - s1*t1)/(sqrt(n*s2 - s1*s1)*sqrt(n*t2 - t1*t1)) AS corr_pq
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_fuzzy" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey % 10 = 0)
+        |SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY a.p_brand, key_a, key_b""".stripMargin,
+    "q_map" ->
+      """SELECT event_id, event_type AS m_type, CAST(2 AS BIGINT) AS m_size,
+        |  'TYPE,K' AS keys_upper,
+        |  json_extract_string(props, '$.k') AS k_vals
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
+    "q_ingest_json" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 10 = 0 THEN NULL
+        |    ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+        |  CAST(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_corrupt
+        |FROM events ORDER BY event_id LIMIT 400""".stripMargin,
+    "q_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), tk -> md5(tk)) AS hs
+         |  FROM documents WHERE doc_id % 10 = 0)
+         |SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
+         |FROM t ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), tk -> md5(tk)) AS hs
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |s AS (SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS sh FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_sim_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 5),
+         |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
+         |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

@@ -113,6 +113,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** 16-bit SimHash of the token multiset: bit b carries the majority
+    * vote of bit b across per-token md5 hashes (hex digit parity —
+    * identical in DuckDB). Near-dup docs land within small hamming
+    * distance. */
+  def simhash16(toks: Column): Column = {
+    val hs = transform(toks, t => md5(t))
+    val hex = lit("0123456789abcdef")
+    (0 until 16).map { b =>
+      val ones = aggregate(hs, lit(0L),
+        (acc, h) => acc + (instr(hex, substring(h, b + 1, 1)) - 1) % 2)
+      when(ones * 2 > size(hs), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Per-doc SimHash values on a 1-in-10 sample (the per-doc signature
+    * itself is the oracle-checked artifact). */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), simhash16(split(col("text"), " ")).as("simhash"))
+      .orderBy(col("doc_id"))
+      .limit(300)
+
+  /** SimHash near-dup pairs: hamming distance (bit_count of xor) ≤ 3
+    * on a 1-in-50 sample — at scale the join key is the simhash bucket
+    * (or banded bit-groups), not a cross join. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), simhash16(split(col("text"), " ")).as("sh"))
+    val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Brute-force n-gram (3-shingle) jaccard pairs above a high
     * threshold — the exact (non-LSH) reference answer; O(n²), kept for
     * small-corpus verification and as the oracle-checkable twin of the

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exact._
+
+/** Second-wave operator breadth: cube/grouping-id, analytic window
+  * functions, exact moment statistics, percentile, fuzzy matching,
+  * map functions, and schema-on-read JSON ingest. Same determinism
+  * contract as Relational (exact decimals, BIGINT engineered ints,
+  * total-order output).
+  */
+object Advanced {
+
+  /** Q-cube: full cube over (returnflag, linestatus) with grouping
+    * indicators (BIGINT both sides). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_stat"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("g_flag"), col("g_stat"), col("sum_qty"), col("n_items"))
+      .orderBy(col("returnflag"), col("linestatus"), col("g_flag"), col("g_stat"))
+
+  /** Q-window-analytics: first/last/nth value, ntile, percent_rank,
+    * cume_dist per customer ordered by order history. percent_rank and
+    * cume_dist are int-ratio doubles — deterministic cross-engine. */
+  def qWindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 60)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), money(col("o_totalprice")).as("p"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("p")).over(wFull).cast("double").as("first_price"),
+        last(col("p")).over(wFull).cast("double").as("last_price"),
+        nth_value(col("p"), 2).over(wFull).cast("double").as("second_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q-stats: sample stddev/variance and Pearson correlation computed
+    * from EXACT decimal power sums, combined in a fixed double-
+    * arithmetic formula — engine-native stddev/corr aggregate doubles
+    * in nondeterministic order; this formulation is bit-stable. */
+  def qStats(spark: SparkSession, dir: String): DataFrame = {
+    val p = money(col("l_extendedprice"))
+    val q = dec(col("l_quantity"), 2)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        decToDouble(sum(p)).as("s1"),
+        decToDouble(sum(p * p)).as("s2"),
+        decToDouble(sum(q)).as("t1"),
+        decToDouble(sum(q * q)).as("t2"),
+        decToDouble(sum(p * q)).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("s1") / col("n")).as("mean_price"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("sd_price"),
+        ((col("n") * col("sxy") - col("s1") * col("t1"))
+          / (sqrt(col("n") * col("s2") - col("s1") * col("s1"))
+            * sqrt(col("n") * col("t2") - col("t1") * col("t1")))).as("corr_pq"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q-percentile: exact interpolated percentiles (Spark `percentile`
+    * == DuckDB `quantile_cont`: both use pos=(n-1)·q linear
+    * interpolation — verified numerically). */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q-fuzzy: edit-distance near-match pairs of part names within a
+    * brand (levenshtein is identical in both engines). Brand acts as
+    * the blocking key — the cross join is per-block, never corpus-wide
+    * (the standard fuzzy-dedup blocking pattern at scale). */
+  def qFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("p_brand"), col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"))
+      .filter(col("lev") <= 4)
+      .orderBy(col("p_brand"), col("key_a"), col("key_b"))
+  }
+
+  /** Q-map: map construction and higher-order map functions
+    * (str_to_map, element_at, transform_keys, map_filter, map_keys/
+    * values). The oracle mirrors the VALUES, not the map machinery —
+    * DuckDB's map dialect differs, the semantics don't. */
+  def qMap(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    val m = expr("str_to_map(concat('type=', event_type, '&k=', get_json_object(props, '$.k')), '&', '=')")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), k.as("kv"), m.as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "type").as("m_type"),
+        size(col("m")).cast("long").as("m_size"),
+        concat_ws(",", map_keys(transform_keys(col("m"), (kk, _) => upper(kk)))).as("keys_upper"),
+        concat_ws(",", map_values(map_filter(col("m"), (kk, _) => kk === "k"))).as("k_vals"))
+      .orderBy(col("event_id"))
+      .limit(300)
+  }
+
+  /** Q-ingest-json: schema-on-read with corrupt-row tolerance — the
+    * reference's per-row error-skip (`pipeline/collectors/nft.py:76-77`)
+    * as PERMISSIVE from_json: bad payloads yield null, flagged not
+    * dropped. */
+  def qIngestJson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = when(col("event_id") % 10 === 0, lit("{bad json")).otherwise(col("props"))
+    // PERMISSIVE + corrupt-record column: bad payloads keep their raw
+    // text in _corrupt_record instead of failing or silently dropping
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    val parsed = from_json(raw, schema,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), parsed.as("p"))
+      .select(col("event_id"), col("p.k").as("k"),
+        col("p._corrupt_record").isNotNull.cast("long").as("is_corrupt"))
+      .orderBy(col("event_id"))
+      .limit(400)
+  }
+}

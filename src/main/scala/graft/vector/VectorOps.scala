@@ -45,6 +45,42 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Deterministic ±1 hyperplanes for sign-LSH (seeded; identical
+    * literals are embedded in the DuckDB oracle SQL). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-LSH bucket id: bit p = sign(v · r_p). 4 planes ⇒ 16 buckets. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (r, p) =>
+      val rCol = array(r.map(lit): _*)
+      when(dot(v, rCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN — the 100 TB path: corpus and queries hash to
+    * sign-LSH buckets; scoring touches only same-bucket candidates
+    * (an equi-join on bucket id, no cross join). Approximate by
+    * construction — recall vs [[qSimTopk]] depends on bucket count —
+    * but fully deterministic, so the oracle reproduces it exactly. */
+  def qSimTopkLsh(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val planes = hyperplanes(4, 64)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Centroid distance per label — exercises grouped vector aggregation
     * (element-wise mean via exact long-scaled sums would be ideal;
     * here: mean of the first component per label, deterministic via
