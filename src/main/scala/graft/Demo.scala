@@ -59,6 +59,18 @@ object Demo {
     val frames = MultimodalOps.sampleFrames(media, everyMs = 1000).count()
     println(s"[demo] multimodal stats: $stats frames=$frames")
 
+    // --- partitioned sink + partition-pruned read-back
+    val sinkOut = s"$outDir/orders_by_status"
+    graft.ops.Sink.writeOrdersByStatus(spark, "/root/testdata/sf0.001", sinkOut)
+    val pruned = spark.read.parquet(sinkOut)
+      .filter(org.apache.spark.sql.functions.col("status") === "F").count()
+    println(s"[demo] partitioned sink: rows(status=F)=$pruned")
+
+    // --- embedding near-dup (LSH-bucketed cosine)
+    val dups = graft.vector.VectorOps.embeddingDupPairs(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), threshold = 0.45).count()
+    println(s"[demo] embedding pairs cos>=0.45: $dups")
+
     println(s"[demo] OK out=$outDir")
     spark.stop()
   }

@@ -81,6 +81,42 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — multi-table sign-LSH:
+    * candidates are pairs colliding in AT LEAST ONE of `nTables` bucket
+    * tables (each table = `nPlanes` hyperplanes ⇒ 2^nPlanes buckets).
+    * One table's recall at cosine c is (1-θ/π)^nPlanes (θ=arccos c),
+    * e.g. ~65 % at c=0.95 with 4 planes; 4 tables lift that to ~98.5 %
+    * while the scored candidate set stays ~nTables·n²/2^nPlanes — the
+    * standard recall/cost dial. Execution shape: one narrow pass to
+    * hash, a posexplode to (table, bucket) keys, an equi-join on the
+    * key pair, distinct, then exact cosine only on candidates — no
+    * cross join at any scale. The synthetic corpus has no near-dup
+    * embeddings (max pairwise cosine ≈ 0.48), so this op is exercised
+    * by SinkVectorDupSpec with planted duplicates rather than an
+    * oracle query. */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.95,
+      nPlanes: Int = 4, nTables: Int = 4): DataFrame = {
+    val allPlanes = hyperplanes(nPlanes * nTables, 64)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val keyed = v.select(col("vec_id"), col("v"), posexplode(
+        array((0 until nTables).map(t =>
+          lshBucket(col("v"), allPlanes.slice(t * nPlanes, (t + 1) * nPlanes))): _*)))
+      .withColumnRenamed("pos", "table_idx").withColumnRenamed("col", "bucket")
+    // candidate id-pairs dedupe WITHOUT dragging vectors through the
+    // shuffle; vectors re-attach only for the scored candidates
+    val l = keyed.select(col("table_idx"), col("bucket"), col("vec_id").as("id_a"))
+    val r = keyed.select(col("table_idx"), col("bucket"), col("vec_id").as("id_b"))
+    val cand = l.join(r, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(v.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Centroid distance per label — exercises grouped vector aggregation
     * (element-wise mean via exact long-scaled sums would be ideal;
     * here: mean of the first component per label, deterministic via
