@@ -71,6 +71,17 @@ object Demo {
       Tables.embeddings(spark, "/root/testdata/sf0.001"), threshold = 0.45).count()
     println(s"[demo] embedding pairs cos>=0.45: $dups")
 
+    // --- skew salting + as-of join through the public API
+    val big = spark.range(10000).select(
+      org.apache.spark.sql.functions.lit(7L).as("k"),
+      org.apache.spark.sql.functions.col("id").as("payload"))
+    val small = spark.range(10).select(
+      org.apache.spark.sql.functions.col("id").as("k"),
+      org.apache.spark.sql.functions.col("id").as("dim"))
+    val saltedN = graft.ops.Skew.saltedJoin(big, small, "k", "payload", 8).count()
+    val asofN = graft.ops.AsofJoin.qAsof(spark, "/root/testdata/sf0.001").count()
+    println(s"[demo] salted-join rows=$saltedN asof rows=$asofN")
+
     println(s"[demo] OK out=$outDir")
     spark.stop()
   }

@@ -83,6 +83,9 @@ object SparkEntry {
     "q_fuzzy" -> (Advanced.qFuzzy _),
     "q_map" -> (Advanced.qMap _),
     "q_ingest_json" -> (Advanced.qIngestJson _),
+    "q_pivot" -> (Advanced.qPivot _),
+    "q_unpivot" -> (Advanced.qUnpivot _),
+    "q_asof" -> (graft.ops.AsofJoin.qAsof _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -456,6 +459,29 @@ object SparkEntry {
         |    ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k,
         |  CAST(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_corrupt
         |FROM events ORDER BY event_id LIMIT 400""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |SELECT l_returnflag, measure,
+        |  CAST(CAST(sum(CAST(val AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_val,
+        |  count(*) AS n
+        |FROM m GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure""".stripMargin,
+    "q_asof" ->
+      """WITH p AS (SELECT user_id, ts AS pts, max(event_id) AS last_purchase_id,
+        |  CAST(CAST(max(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS last_purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ets,
+        |  p.last_purchase_id, p.last_purchase_value
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY e.event_id LIMIT 500""".stripMargin,
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), tk -> md5(tk)) AS hs
          |  FROM documents WHERE doc_id % 10 = 0)

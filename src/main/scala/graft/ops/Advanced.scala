@@ -124,6 +124,33 @@ object Advanced {
       .limit(300)
   }
 
+  /** Q-pivot: wide-format aggregation (order counts by status per
+    * priority). Explicit pivot values keep the output schema static —
+    * mandatory at scale (a value-discovery pass over 100 TB is a full
+    * extra scan). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q-unpivot: melt the three lineitem measures to long format and
+    * aggregate per (flag, measure) — exact decimal sums. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(dsum(col("val"), 4).as("sum_val"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
   /** Q-ingest-json: schema-on-read with corrupt-row tolerance — the
     * reference's per-row error-skip (`pipeline/collectors/nft.py:76-77`)
     * as PERMISSIVE from_json: bad payloads yield null, flagged not

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bucketing, Skew}
+
+class SkewSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sf}
+  import spark.implicits._
+
+  test("salted join == plain join on skewed data") {
+    // 90% of rows share one hot key
+    val big = spark.range(20000)
+      .select(when(col("id") % 10 === 0, col("id") % 100).otherwise(lit(7L)).as("k"),
+        col("id").as("payload"))
+    val small = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("dim"))
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum("payload"), sum("dim")).head
+    val salted = Skew.saltedJoin(big, small, "k", "payload", 8)
+      .agg(count(lit(1)), sum("payload"), sum("dim")).head
+    assert(plain == salted)
+  }
+
+  test("salted join spreads the hot key across nSalts partitions") {
+    val big = spark.range(1000).select(lit(7L).as("k"), col("id").as("payload"))
+    val salts = big.withColumn("__salt", pmod(hash(col("payload")), lit(8)))
+      .select(countDistinct("__salt")).head.getLong(0)
+    assert(salts == 8)
+  }
+
+  test("bucketed join plans with zero Exchange") {
+    // in-memory catalog forgets tables between JVMs but the warehouse
+    // dirs persist — clear both
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 4)
+    // at test scale the dim side fits broadcast, which would bypass
+    // bucketing entirely — disable it to expose the large-large path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      joined.count() // finalize AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
