@@ -86,6 +86,10 @@ object SparkEntry {
     "q_pivot" -> (Advanced.qPivot _),
     "q_unpivot" -> (Advanced.qUnpivot _),
     "q_asof" -> (graft.ops.AsofJoin.qAsof _),
+    // -- event-telemetry analytics --
+    "q_resample" -> (graft.ops.EventAnalytics.qResample _),
+    "q_funnel" -> (graft.ops.EventAnalytics.qFunnel _),
+    "q_retention" -> (graft.ops.EventAnalytics.qRetention _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -503,6 +507,36 @@ object SparkEntry {
          |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
          |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id < 10),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM e),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM u, b),
+        |a AS (SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sv
+        |  FROM e GROUP BY 1, 2)
+        |SELECT g.user_id, strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS h,
+        |  coalesce(a.n, 0) AS n, coalesce(a.sv, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN a ON g.user_id = a.user_id AND g.hour = a.hour
+        |ORDER BY g.user_id, h LIMIT 5000""".stripMargin,
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, s.s_ts, min(e.ts) AS p_ts FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts GROUP BY 1, 2),
+        |j AS (SELECT s.user_id,
+        |  CAST(floor(epoch(c.p_ts)) AS BIGINT) - CAST(floor(epoch(c.s_ts)) AS BIGINT) AS secs
+        |  FROM s LEFT JOIN c ON s.user_id = c.user_id),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+        |SELECT nu.n_users, count(*) AS n_signup, count(secs) AS n_converted,
+        |  CAST(coalesce(sum(secs), 0) AS BIGINT) AS sum_convert_secs
+        |FROM j, nu GROUP BY nu.n_users""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS c0 FROM e GROUP BY 1),
+        |o AS (SELECT DISTINCT e.user_id, date_diff('day', c.c0, e.d) AS day_offset
+        |  FROM e JOIN c ON e.user_id = c.user_id WHERE date_diff('day', c.c0, e.d) <= 14)
+        |SELECT CAST(day_offset AS BIGINT) AS day_offset, count(DISTINCT user_id) AS n_users
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

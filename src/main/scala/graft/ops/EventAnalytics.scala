@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exact._
+
+/** Event-telemetry analytics over the `events` stream table: time-grid
+  * resampling with zero-fill, conversion funnels, and retention cohorts
+  * — the queries a training-data pipeline runs over its own ingestion
+  * telemetry. All deterministic + oracle-checked.
+  */
+object EventAnalytics {
+
+  /** Q-resample: hourly grid per user with zero-filled gaps. The grid
+    * is generated (sequence+explode), not scanned — the left join
+    * against hourly aggregates is grid-sized, independent of event
+    * volume. */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id") < 10)
+    val bounds = e.agg(
+      date_trunc("hour", min(col("ts"))).as("t0"),
+      date_trunc("hour", max(col("ts"))).as("t1"))
+    val users = e.select(col("user_id")).distinct()
+    val grid = users.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val agg = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    grid.join(agg, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), tstr(col("hour")).as("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("user_id"), col("h"))
+      .limit(5000)
+  }
+
+  /** Q-funnel: signup → first-purchase-after-signup conversion, with
+    * floor-second conversion latency (cross-engine-stable epoch math). */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id"), col("s_ts")).agg(min(col("ts")).as("p_ts"))
+    // total-user count rides a broadcast single-row join, not a
+    // driver-side action
+    val nUsers = e.agg(countDistinct(col("user_id")).as("n_users"))
+    signup.join(conv.select(col("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("secs")),
+        Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_signup"),
+        count(col("secs")).as("n_converted"),
+        coalesce(sum(col("secs")), lit(0L)).as("sum_convert_secs"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("n_users"), col("n_signup"), col("n_converted"), col("sum_convert_secs"))
+  }
+
+  /** Q-retention: day-offset retention from each user's first-seen
+    * cohort day (distinct active users per offset, first 15 days). */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+    e.join(cohort, Seq("user_id"))
+      .select(col("user_id"), datediff(col("d"), col("c0")).cast("long").as("day_offset"))
+      .filter(col("day_offset") <= 14)
+      .distinct()
+      .groupBy(col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day_offset"))
+  }
+}
