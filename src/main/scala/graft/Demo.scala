@@ -82,6 +82,13 @@ object Demo {
     val asofN = graft.ops.AsofJoin.qAsof(spark, "/root/testdata/sf0.001").count()
     println(s"[demo] salted-join rows=$saltedN asof rows=$asofN")
 
+    // --- DSv2 paged-API source with transient-failure retry
+    val api = spark.read.format("graft.sources.PagedSource")
+      .option("rows", 2000).option("pageSize", 100).option("failEvery", "5").load()
+    val (apiN, rep) = graft.obs.Metrics.measure(spark)(api.count())
+    println(s"[demo] paged-source rows=$apiN partitions=${api.rdd.getNumPartitions} " +
+      s"tasks=${rep.tasks} failed=${rep.failedTasks}")
+
     println(s"[demo] OK out=$outDir")
     spark.stop()
   }
