@@ -75,6 +75,10 @@ object SparkEntry {
     // -- similarity search --
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
     "q_sim_lsh" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLsh(s, d)),
+    "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
+    "q_tpch3" -> (Relational.qTpch3 _),
+    "q_tpch5" -> (Relational.qTpch5 _),
+    "q_interval_join" -> (Relational.qIntervalJoin _),
     // -- advanced relational / analytics --
     "q_cube" -> (Advanced.qCube _),
     "q_window_analytics" -> (Advanced.qWindowAnalytics _),
@@ -116,9 +120,11 @@ object SparkEntry {
       s"CASE WHEN list_sum(list_transform(range(1, 65), i -> $v[i] * (CAST($arr AS DOUBLE[]))[i])) >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  private val cosineSql =
-    """list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
-      |  (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x))))""".stripMargin
+  private def cosineSqlFor(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) /
+       |  (sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))""".stripMargin
+
+  private val cosineSql = cosineSqlFor("qv", "v")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -507,6 +513,53 @@ object SparkEntry {
          |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
          |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_sim_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
+         |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+         |cm AS (SELECT label, pos,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  FROM ex GROUP BY 1, 2),
+         |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |qc0 AS (SELECT q_id, qv, c_label, ${cosineSqlFor("qv", "cv")} AS csim FROM q, cent),
+         |qc AS (SELECT q_id, qv, c_label FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY csim DESC, c_label) AS crn FROM qc0) WHERE crn <= 2),
+         |p AS (SELECT q_id, e.vec_id, ${cosineSqlFor("qv", "v")} AS sim
+         |  FROM e JOIN qc ON e.label = qc.c_label WHERE e.vec_id <> qc.q_id),
+         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_tpch3" ->
+      s"""SELECT l_orderkey, o_orderpriority,
+         |  CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue,
+         |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS odate
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch5" ->
+      s"""SELECT n_name, CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE year(o_orderdate) = 1996 AND r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_interval_join" ->
+      """WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, signup_id, purchase_id,
+        |  CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(s_ts)) AS BIGINT) AS lag_secs
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |WHERE p_ts >= s_ts AND p_ts < s_ts + INTERVAL 1 HOUR
+        |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin,
     "q_resample" ->
       """WITH e AS (SELECT * FROM events WHERE user_id < 10),
         |b AS (SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM e),

@@ -233,4 +233,61 @@ object Relational {
       .select(col("o_orderstatus"), col("o_orderpriority"))
       .distinct()
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** TPC-H Q3-shaped shipping-priority query: segment-filtered customer
+    * ⋈ date-filtered orders ⋈ lineitem, revenue per order, top 10.
+    * Composite pipeline: both filters reach their scans before the
+    * joins; final top-k is bounded (TakeOrderedAndProject over grouped
+    * output). */
+  def qTpch3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+        tstr(min(col("o_orderdate"))).as("odate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: 6-way snowflake join where
+    * lineitem supplier and order customer must share a nation, rolled
+    * up per nation within one region/year. All dims broadcast; the
+    * fact shuffles once for the orders join. */
+  def qTpch5(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(year(col("o_orderdate")) === 1996)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decToDouble(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q-interval-join (range join): purchases within one hour AFTER the
+    * same user's signup — an inequality band join. Spark plans the
+    * equi-part (user_id) as the join key with the time band as a
+    * post-join filter, so it stays a hash/sort-merge join, not a
+    * nested loop. */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    s.join(p, Seq("user_id"))
+      .filter(col("p_ts") >= col("s_ts") && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("lag_secs"))
+      .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
 }

@@ -45,6 +45,23 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: purchases within one hour after the
+    * same user's signup. Watermarks on BOTH sides + the time-band
+    * condition bound the join state (Spark evicts buffered rows once
+    * the watermark passes the band) — without them a stream-stream join
+    * buffers forever. Batch twin: Relational.qIntervalJoin (oracle). */
+  def signupPurchaseJoin(signups: DataFrame, purchases: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    val s = signups.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    s.join(p, col("user_id") === col("p_user")
+      && col("p_ts") >= col("s_ts")
+      && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"), col("s_ts"), col("p_ts"))
+  }
+
   /** Keyed last-event state with TTL (Q-state-ttl): the streaming
     * equivalent of the reference's Redis `SET key EX ttl` + staleness
     * check (`cache.py:135-182`). State for a user expires `ttlMs` after

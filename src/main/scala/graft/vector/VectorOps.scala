@@ -117,6 +117,42 @@ object VectorOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** IVF-style ANN — inverted lists keyed by `label` (standing in for
+    * k-means cell ids; the clustering step is a one-off batch job at
+    * scale): exact element-wise centroids per list, queries probe their
+    * `nProbe` nearest centroids, and scoring touches only vectors in
+    * probed lists — candidate volume ≈ nProbe/nLists of the corpus.
+    * Centroid means use exact decimal element sums so the whole
+    * pipeline is deterministic and oracle-checkable. */
+  def qSimIvf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+      nProbe: Int = 2): DataFrame = {
+    import graft.ops.Exact._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val centroids = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((decToDouble(sum(dec(col("col"), 9))) / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("c_label"), transform(col("pm"), p => p.getField("m")).as("cv"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_label"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("c_label"), cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("c_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(probed), col("label") === col("c_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Centroid distance per label — exercises grouped vector aggregation
     * (element-wise mean via exact long-scaled sums would be ideal;
     * here: mean of the first component per label, deterministic via

@@ -90,6 +90,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(latest == Map(1L -> 6L, 2L -> 5L))
   }
 
+  test("stream-stream interval join matches the batch twin's pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val sMem = MemoryStream[StreamOps.Event]
+    val pMem = MemoryStream[StreamOps.Event]
+    sMem.addData(
+      StreamOps.Event(1, ts(0), 1, "signup", 0),
+      StreamOps.Event(2, ts(5), 2, "signup", 0))
+    pMem.addData(
+      StreamOps.Event(10, ts(20), 1, "purchase", 5.0),  // within 1h of signup 1
+      StreamOps.Event(11, ts(2), 2, "purchase", 6.0),   // BEFORE user 2's signup -> excluded
+      StreamOps.Event(12, ts(30), 2, "purchase", 7.0))  // within 1h of signup 2
+    val q = StreamOps.signupPurchaseJoin(sMem.toDF(), pMem.toDF()).writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_out").select("signup_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 12L)))
+  }
+
   test("streaming tumble agrees with batch twin on the events table (counts)") {
     // batch twin over real corpus vs streaming run over the same rows
     val batch = StreamTwins.qTumble(spark, SparkFixture.sf)
