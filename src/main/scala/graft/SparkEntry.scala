@@ -40,6 +40,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.qRollup _),
     "q_sort_limit" -> (Relational.qSortLimit _),
     "q_topk_group" -> (Relational.qTopkGroup _),
+    "q_topk_agg" -> (Relational.qTopkAgg _),
     "q_setops" -> (Relational.qSetops _),
     "q_distinct" -> (Relational.qDistinct _),
     // -- windows --
@@ -196,6 +197,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
         |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_topk_group" ->
+      """WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price2 FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY price2 DESC, l_orderkey, l_linenumber) AS rn FROM t)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, price2, rn
+        |FROM r WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    // same oracle as q_topk_group — the bounded-heap aggregate variant
+    // must produce byte-identical rows
+    "q_topk_agg" ->
       """WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price2 FROM lineitem),
         |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag

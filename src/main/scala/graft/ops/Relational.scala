@@ -212,6 +212,28 @@ object Relational {
       .orderBy(col("l_returnflag"), col("rn"))
   }
 
+  /** Partial-aggregation variant of [[qTopkGroup]] — same rows, same
+    * oracle, different physical shape: the bounded-heap Aggregator
+    * (graft.functions.TopKAgg) truncates to k rows per partition BEFORE
+    * the shuffle, so the exchange carries ≤ k·partitions rows per group
+    * instead of the whole fact table. */
+  def qTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val top3 = graft.functions.TopKAgg.topK(3)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        money(col("l_extendedprice")).cast("double").as("price2"),
+        col("l_orderkey"), col("l_linenumber"))
+      .groupBy(col("l_returnflag"))
+      .agg(top3(col("price2"), col("l_orderkey"), col("l_linenumber")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")))
+      .select(col("l_returnflag"),
+        col("col.id1").as("l_orderkey"),
+        col("col.id2").as("l_linenumber"),
+        col("col.sortKey").as("price2"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
   /** Q-setops: UNION ALL / INTERSECT / EXCEPT over customer key sets
     * from two order-date years (set ops are distinct-semantics in both
     * engines). Output: one tagged count per op, total-ordered. */

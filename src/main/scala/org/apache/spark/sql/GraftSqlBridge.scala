@@ -8,4 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply an extension set's injected functions to a LIVE session's
+    * registry (what `SparkSession.applyExtensions` does at build time —
+    * needed in tests where getOrCreate reuses an existing session). */
+  def registerInjectedFunctions(exts: SparkSessionExtensions, session: SparkSession): Unit =
+    exts.registerFunctions(session.sessionState.functionRegistry)
 }
