@@ -73,6 +73,7 @@ object SparkEntry {
     "q_ngram_pairs" -> ((s: SparkSession, d: String) => Dedup.qNgramJaccardPairs(s, d)),
     "q_simhash" -> (Dedup.qSimhash _),
     "q_simhash_pairs" -> (Dedup.qSimhashPairs _),
+    "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.qDupClusters(s, d)),
     // -- similarity search --
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
     "q_sim_lsh" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLsh(s, d)),
@@ -120,6 +121,27 @@ object SparkEntry {
       val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
       s"CASE WHEN list_sum(list_transform(range(1, 65), i -> $v[i] * (CAST($arr AS DOUBLE[]))[i])) >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  /** Full MinHash-LSH CTE chain ending in `j(doc_a, doc_b, jac)` —
+    * shared by q_minhash_pairs and the recursive q_dup_clusters. */
+  private lazy val minhashCtes: String =
+    s"""$shCte,
+       |hashed AS (SELECT doc_id, s,
+       |  ${(0 until 2).map(j => s"list_transform(s, x -> sha256('$j:' || x)) AS h$j").mkString(",\n  ")}
+       |  FROM sh),
+       |sig AS (SELECT doc_id, s, [
+       |  ${(0 until 16).map { k =>
+           val (j, i) = (k / 8, k % 8)
+           s"list_min(list_transform(h$j, h -> h[${i * 8 + 1}:${i * 8 + 8}]))"
+         }.mkString(",\n  ")}] AS sig FROM hashed),
+       |bands AS (SELECT doc_id, bs.b AS band_idx,
+       |  md5(sig[bs.b*4+1] || '|' || sig[bs.b*4+2] || '|' || sig[bs.b*4+3] || '|' || sig[bs.b*4+4]) AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bands a
+       |  JOIN bands b2 ON a.band_idx = b2.band_idx AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
+       |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)""".stripMargin
 
   private def cosineSqlFor(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) /
@@ -395,24 +417,18 @@ object SparkEntry {
         |  count(*) - count(DISTINCT fp) AS n_exact_dups
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "q_minhash_pairs" ->
-      s"""WITH $shCte,
-         |hashed AS (SELECT doc_id, s,
-         |  ${(0 until 2).map(j => s"list_transform(s, x -> sha256('$j:' || x)) AS h$j").mkString(",\n  ")}
-         |  FROM sh),
-         |sig AS (SELECT doc_id, s, [
-         |  ${(0 until 16).map { k =>
-             val (j, i) = (k / 8, k % 8)
-             s"list_min(list_transform(h$j, h -> h[${i * 8 + 1}:${i * 8 + 8}]))"
-           }.mkString(",\n  ")}] AS sig FROM hashed),
-         |bands AS (SELECT doc_id, bs.b AS band_idx,
-         |  md5(sig[bs.b*4+1] || '|' || sig[bs.b*4+2] || '|' || sig[bs.b*4+3] || '|' || sig[bs.b*4+4]) AS band_hash
-         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bands a
-         |  JOIN bands b2 ON a.band_idx = b2.band_idx AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
-         |j AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jac
-         |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+      s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "q_ngram_pairs" ->
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
          |  WHERE doc_id % 100 = 0 AND len(string_split(text,' ')) >= 3),

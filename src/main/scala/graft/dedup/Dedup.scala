@@ -152,6 +152,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every doc's cluster id converges to the
+    * smallest doc_id reachable from it. Driver-coordinated loop (the
+    * standard shuffle-join CC — GraphX-free), O(diameter) ≤ maxIter
+    * iterations; dup clusters are shallow so this is 2-4 rounds in
+    * practice. This is the step that turns pair detection into the
+    * dedup deliverable: one canonical doc per duplicate cluster. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u")).distinct().withColumn("label", col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("u", "v2"), col("v") === col("v2"))
+        .groupBy(col("u")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "u")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Declared query: near-dup clusters of the corpus (docs in ≥1
+    * MinHash-verified pair, labeled by their cluster's min doc_id). */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(qMinhashPairs(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** Brute-force n-gram (3-shingle) jaccard pairs above a high
     * threshold — the exact (non-LSH) reference answer; O(n²), kept for
     * small-corpus verification and as the oracle-checkable twin of the

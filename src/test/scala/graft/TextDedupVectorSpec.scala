@@ -52,6 +52,15 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH (b=4,r=4, t≈0.71) missed ${missed.size} of ${truth.size} pairs ≥0.8")
   }
 
+  test("dup clusters: transitive chains collapse to min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.dedup.Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("jaccard bounds and symmetry") {
     // partial case shares exactly one 3-shingle ("a b c") of 5 distinct
     val df = Seq(("a b c d", "a b c d"), ("a b c", "x y z"), ("a b c d e", "a b c x y"))
