@@ -160,11 +160,16 @@ object Dedup {
     * practice. This is the step that turns pair detection into the
     * dedup deliverable: one canonical doc per duplicate cluster. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint: (a) materializes the (expensive) upstream pair
+    // pipeline exactly once, (b) truncates lineage so each iteration
+    // plans against materialized blocks instead of a growing DAG. The
+    // label table holds only docs that appear in some pair — tiny
+    // relative to the corpus at any scale.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("u")).distinct().withColumn("label", col("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -172,10 +177,9 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("label")).as("nbr"))
       val next = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "u")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
