@@ -68,6 +68,7 @@ object SparkEntry {
     "q_langid" -> (TextOps.qLangid _),
     "q_term_freq" -> (TextOps.qTermFreq _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
+    "q_sample" -> (TextOps.qSample _),
     // -- dedup --
     "q_minhash_pairs" -> ((s: SparkSession, d: String) => Dedup.qMinhashPairs(s, d)),
     "q_ngram_pairs" -> ((s: SparkSession, d: String) => Dedup.qNgramJaccardPairs(s, d)),
@@ -416,6 +417,12 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
         |  count(*) - count(DISTINCT fp) AS n_exact_dups
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+         |FROM documents
+         |WHERE md5('s0:' || CAST(doc_id AS VARCHAR))[1:8] < '${graft.text.TextOps.sampleThreshold(0.2)}'
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,

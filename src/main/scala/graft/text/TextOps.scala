@@ -106,6 +106,33 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** Deterministic sampling predicate: keep a row iff the md5 of its
+    * salted key falls below the fraction's 8-hex threshold (fixed-width
+    * hex compare == unsigned numeric compare). Unlike rand()-based
+    * sampling this is reproducible across engines, runs, partitionings
+    * and retries — the property a training-data pipeline needs for
+    * auditable corpus subsets. */
+  def sampleHash(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 8)
+
+  def sampleThreshold(fraction: Double): String =
+    f"${math.min((fraction * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
+
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+      salt: String = "s0"): DataFrame =
+    df.filter(sampleHash(key, salt) < lit(sampleThreshold(fraction)))
+
+  /** Declared query: 20 % reproducible sample of documents, audited
+    * per language (counts + sampled token volume). */
+  def qSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    deterministicSample(docs, col("doc_id"), 0.2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(size(tokens(col("text")))).as("sum_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Document fingerprints per source: exact-dup detection via md5
     * canonical hash (ref cache-key dedup, `cache.py:57-74`). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -81,6 +81,19 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(topk.groupBy(_.getAs[Long]("q_id")).values.forall(_.length == 4))
   }
 
+  test("deterministic sample: reproducible, partition-invariant, ~fraction sized") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = graft.text.TextOps.deterministicSample(docs, col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = graft.text.TextOps.deterministicSample(docs.repartition(7), col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must be partitioning-invariant")
+    assert(s1.size > 50 && s1.size < 150, s"20% of 500 docs, got ${s1.size}") // binomial bounds
+    val s3 = graft.text.TextOps.deterministicSample(docs, col("doc_id"), 0.2, salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 != s3, "different salt must give a different sample")
+  }
+
   test("exact text stats: tokens * docs sane on corpus") {
     val st = TextOps.qTextStats(spark, sf).agg(sum("n_docs"), sum("sum_tokens")).head()
     assert(st.getLong(0) == 500)
