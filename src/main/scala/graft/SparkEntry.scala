@@ -337,7 +337,9 @@ object SparkEntry {
         |  CAST(CASE WHEN regexp_matches(cache_control, '(?i)no-store') THEN 0
         |    ELSE least(greatest(ma + swr, 0), 86400) END AS BIGINT) AS ttl,
         |  CAST(CASE WHEN regexp_matches(cache_control, '(?i)no-store') THEN 1 ELSE 0 END AS BIGINT) AS is_no_store,
-        |  CAST(CASE WHEN regexp_matches(cache_control, '(?i)no-cache|must-revalidate') THEN 1 ELSE 0 END AS BIGINT) AS must_revalidate
+        |  CAST(CASE WHEN regexp_matches(cache_control, '(?i)no-cache|must-revalidate') THEN 1 ELSE 0 END AS BIGINT) AS must_revalidate,
+        |  CAST(CASE WHEN ma = 0 THEN 0
+        |    WHEN (event_id % 120000) >= ma THEN 1 ELSE 0 END AS BIGINT) AS is_stale
         |FROM m ORDER BY event_id LIMIT 400""".stripMargin,
     "q_tumble" ->
       """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000), '%Y-%m-%d %H:%M:%S') AS wstart,

@@ -125,6 +125,10 @@ object Scalars {
         CacheSemantics.calculateTtl(col("cache_control")).cast("long").as("ttl"),
         CacheSemantics.noStore(col("cache_control")).cast("long").as("is_no_store"),
         CacheSemantics.mustRevalidate(col("cache_control")).cast("long").as("must_revalidate"))
+      // staleness (ref cache.py:164-182): entry age modeled from the id
+      .withColumn("is_stale", CacheSemantics.isStale(
+        (col("event_id") % 120000).cast("int"),
+        col("ttl").cast("int"), col("max_age").cast("int")).cast("long"))
       .orderBy(col("event_id"))
       .limit(400)
   }
