@@ -55,17 +55,22 @@ object StreamTwins {
     * surviving state per user = its latest event, but only if it arrived
     * within TTL of the global high-watermark. The global max(ts) rides a
     * broadcast single-row cross join — a scalar subquery, not a driver
-    * collect. */
+    * collect.
+    *
+    * "Latest row per key" is a `max(struct(orderKeys…, payload))` hash
+    * aggregate, NOT a window row_number: structs compare field-by-field
+    * so the max is the (ts, event_id)-greatest row, and the aggregate
+    * gets map-side partial combining — at scale that shuffles one row
+    * per (key, partition) instead of sorting every event. */
   def qStateTtl(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val hw = e.agg(max(col("ts")).as("hw"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
     e.crossJoin(broadcast(hw))
       .filter(col("ts") >= col("hw") - expr("INTERVAL 6 HOURS"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"), tstr(col("ts")).as("last_ts"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), tstr(col("m.ts")).as("last_ts"))
       .orderBy(col("user_id"))
   }
 
