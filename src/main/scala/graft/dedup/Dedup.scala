@@ -1,22 +1,27 @@
 package graft.dedup
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
+import graft.functions.TextHashes
 
 /** Near-duplicate detection for LLM-data pipelines over `documents`.
   *
-  * MinHash + LSH banding, built entirely from codegen'd built-in
-  * expressions so the DuckDB oracle can reproduce it bit-for-bit:
-  * the hash family is md5 over a seeded string (identical in both
-  * engines), and a minhash is the lexicographic `array_min` of the
-  * shingle hashes — fixed-width hex, so string-min == numeric-min.
+  * MinHash + LSH banding. The hash family (seeded sha256/md5 over
+  * shingle strings) is deterministic and mirrored expression-for-
+  * expression in the DuckDB oracle, so every step is hash-checkable.
   *
   * Scale shape (the whole point of LSH): signatures are computed in a
-  * single narrow scan (no shuffle); candidate generation is a shuffle
+  * single narrow scan (no shuffle) by the custom Catalyst expression
+  * [[graft.functions.MinhashSlices]]; candidate generation is a shuffle
   * join on (band_idx, band_hash) — expected O(n·dups), never the O(n²)
-  * cross join; the exact-jaccard verify runs only on candidates.
+  * cross join; the exact-jaccard verify runs only on candidate pairs,
+  * one JVM pass per pair via [[graft.functions.ShingleJaccard]] (no
+  * interpreted higher-order functions anywhere on the path).
   *
   * Ref lineage: the reference dedups requests via deterministic content
   * hashing (`pipeline/utils/cache.py:57-74`) — same idea promoted to
@@ -27,7 +32,9 @@ object Dedup {
   val NumHashes = 16
   val Bands = 4 // 4 bands × 4 rows ⇒ LSH threshold (1/4)^(1/4) ≈ 0.71
 
-  /** Word 3-shingles of the token array (deduplicated set). */
+  /** Word 3-shingles of the token array (deduplicated set) — the
+    * interpreted-HOF reference form; production paths use the custom
+    * expressions, and specs pin the equivalence. */
   def shingles(toks: Column): Column = array_distinct(shinglesRaw(toks))
 
   /** Shingles without dedup — minhash is multiset-invariant (min over
@@ -40,6 +47,12 @@ object Dedup {
   /** One minhash: min over shingles of md5(seed || ':' || shingle). */
   def minhash(sh: Column, seed: Int): Column =
     array_min(transform(sh, s => md5(concat(lit(seed.toString), lit(":"), s))))
+
+  /** Exact shingle-set jaccard between two shingle-array columns (the
+    * interpreted reference form of [[graft.functions.ShingleJaccard]]). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b)))
 
   /** doc_id → (band_idx, band_hash) rows: the 16-hash signature grouped
     * into 4 bands of 4, each band hashed to a single md5 key.
@@ -72,51 +85,72 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
   }
 
-  /** Exact shingle-set jaccard between two shingle-array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      (size(a) + size(b) - size(array_intersect(a, b)))
+  /** MinHash-verified near-dup pairs, memoized per (session, dir,
+    * threshold) as a localCheckpointed result so q_minhash_pairs and
+    * q_dup_clusters share ONE signature/LSH computation per run, and so
+    * every intermediate persist is released before returning (no cache
+    * leaks across a long-lived session). */
+  private val pairsMemo = TrieMap[(String, String, Double), DataFrame]()
 
-  /** MinHash-LSH near-dup pairs, verified: band-collision candidates →
-    * exact jaccard ≥ threshold. Deterministic (md5 family) and therefore
-    * oracle-checkable. */
-  def qMinhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    pairsMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir, threshold),
+      computeMinhashPairs(spark, dir, threshold))
+
+  private def computeMinhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val (pairs, handles) = minhashPairsPipeline(spark, dir, threshold)
+    val out = pairs.localCheckpoint() // eager: materialize once, then drop upstream caches
+    handles.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The full (lazy, un-checkpointed) pair pipeline plus its persisted
+    * handles — separated out so PlanSpec can audit the physical plan
+    * (no interpreted-lambda stage may appear on the verify side). */
+  private[graft] def minhashPairsPipeline(spark: SparkSession, dir: String,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val docs = Tables.documents(spark, dir)
-    // The signature relation feeds both sides of the self-join; without
-    // a persist Spark recomputes the (interpreted higher-order-fn) md5
-    // pipeline per branch — 3× the cost. The persisted form is tiny
-    // (doc_id + 2 band columns), so this holds at any corpus scale.
-    val sigs = bandedSignatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sigs.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = sigs.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    // The band relation feeds both sides of the self-join; without a
+    // persist Spark recomputes the signature scan per branch. The
+    // persisted form is tiny (doc_id + 2 band columns) at any scale.
+    val bands = bandedSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Exact-verify shingle sets are computed ONLY for docs that appear
-    // in some candidate pair (LSH keeps that set ~|near-dups|, not |corpus|)
-    // — the interpreted shingle construction is the expensive part, so
-    // restrict it before it runs, via a broadcast semi-join.
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Exact verify: token arrays are re-read ONLY for docs that appear
+    // in some candidate pair (LSH keeps that set ~|near-dups|, not
+    // |corpus|) — the corpus streams through a broadcast semi-join on
+    // the tiny candidate-id list, no corpus shuffle. ShingleJaccard
+    // then computes the exact distinct-shingle-set jaccard in one JVM
+    // pass per pair — no interpreted lambda anywhere on the path.
     val candDocs = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val shDf = docs
+    val candToks = docs
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .filter(size(split(col("text"), " ")) >= ShingleK)
-      .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
-      .join(shDf.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shDf.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidates
+      .join(candToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(candToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextHashes.shingleJaccard(col("toks_a"), col("toks_b"), ShingleK).as("jac"))
       .filter(col("jac") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    (pairs, Seq(bands, candidates, candToks))
   }
+
+  /** Declared query: MinHash-LSH near-dup pairs, verified by exact
+    * jaccard ≥ threshold. Deterministic (md5/sha2 family) and therefore
+    * oracle-checkable. */
+  def qMinhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    minhashPairs(spark, dir, threshold).orderBy(col("doc_a"), col("doc_b"))
 
   /** 16-bit SimHash of the token multiset: bit b carries the majority
     * vote of bit b across per-token md5 hashes (hex digit parity —
     * identical in DuckDB). Near-dup docs land within small hamming
-    * distance. */
+    * distance. Interpreted reference form; production paths use
+    * [[graft.functions.Simhash16]] (equivalence pinned by spec). */
   def simhash16(toks: Column): Column = {
     val hs = transform(toks, t => md5(t))
     val hex = lit("0123456789abcdef")
@@ -132,23 +166,33 @@ object Dedup {
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), simhash16(split(col("text"), " ")).as("simhash"))
+      .select(col("doc_id"), TextHashes.simhash16(split(col("text"), " ")).as("simhash"))
       .orderBy(col("doc_id"))
       .limit(300)
 
-  /** SimHash near-dup pairs: hamming distance (bit_count of xor) ≤ 3
-    * on a 1-in-50 sample — at scale the join key is the simhash bucket
-    * (or banded bit-groups), not a cross join. */
+  /** SimHash near-dup pairs: hamming distance (bit_count of xor) ≤ 3 on
+    * a 1-in-50 sample. Scale-safe shape: the 16-bit hash splits into 4
+    * bands of 4 bits; by pigeonhole any pair within hamming 3 agrees on
+    * at least one whole band, so candidates come from an equi-join on
+    * (band_idx, band_bits) — no cross join at any scale. A pair may
+    * collide in several bands, hence the distinct before output. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.documents(spark, dir)
       .filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id"), simhash16(split(col("text"), " ")).as("sh"))
-    val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), TextHashes.simhash16(split(col("text"), " ")).as("sh"))
+    val banded = s.select(col("doc_id"), col("sh"), posexplode(
+        array((0 until 4).map(b => shiftright(col("sh"), b * 4).bitwiseAND(lit(15L))): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_bits")
+    val a = banded.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -160,11 +204,11 @@ object Dedup {
     * practice. This is the step that turns pair detection into the
     * dedup deliverable: one canonical doc per duplicate cluster. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint: (a) materializes the (expensive) upstream pair
-    // pipeline exactly once, (b) truncates lineage so each iteration
-    // plans against materialized blocks instead of a growing DAG. The
-    // label table holds only docs that appear in some pair — tiny
-    // relative to the corpus at any scale.
+    // localCheckpoint: (a) materializes the upstream pair pipeline
+    // exactly once, (b) truncates lineage so each iteration plans
+    // against materialized blocks instead of a growing DAG. The label
+    // table holds only docs that appear in some pair — tiny relative to
+    // the corpus at any scale.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint()
@@ -188,9 +232,11 @@ object Dedup {
   }
 
   /** Declared query: near-dup clusters of the corpus (docs in ≥1
-    * MinHash-verified pair, labeled by their cluster's min doc_id). */
+    * MinHash-verified pair, labeled by their cluster's min doc_id).
+    * Shares the memoized pair computation with [[qMinhashPairs]] — one
+    * LSH pipeline per run regardless of which query runs first. */
   def qDupClusters(spark: SparkSession, dir: String): DataFrame =
-    dupClusters(qMinhashPairs(spark, dir))
+    dupClusters(minhashPairs(spark, dir))
       .orderBy(col("doc_id"))
 
   /** Brute-force n-gram (3-shingle) jaccard pairs above a high
@@ -203,11 +249,12 @@ object Dedup {
     // it stays runnable at every scale factor.
     val docs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 100 === 0 && size(split(col("text"), " ")) >= ShingleK)
-      .select(col("doc_id"), shingles(split(col("text"), " ")).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .select(col("doc_a"), col("doc_b"),
+        TextHashes.shingleJaccard(col("toks_a"), col("toks_b"), ShingleK).as("jac"))
       .filter(col("jac") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

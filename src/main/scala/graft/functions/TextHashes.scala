@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Exact k-shingle-set jaccard of two TOKEN arrays, evaluated as one
+  * JVM pass per row (two hash sets, no per-element expression-tree
+  * interpretation, no intermediate shingle arrays).
+  *
+  * Semantically identical to the interpreted higher-order-function form
+  * the DuckDB oracle uses (and the minhash verify path used in round 1):
+  *   sh(t) = list_distinct(list_transform(range(1, len(t)-k+2),
+  *             i -> t[i] || ' ' || ... || t[i+k-1]))
+  *   jac   = len(intersect) / (len(a) + len(b) - len(intersect))
+  * Rows where either side has fewer than k tokens yield null (mirrors
+  * array_intersect over an empty transform → 0/0 → null upstream; the
+  * candidate generator never produces such rows — every candidate has a
+  * minhash signature, which requires ≥ k tokens).
+  */
+case class ShingleJaccard(left: Expression, right: Expression, shingleK: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "shingle_jaccard"
+
+  private def shingleSet(arr: ArrayData): java.util.HashSet[String] = {
+    val n = arr.numElements()
+    val out = new java.util.HashSet[String](Math.max(4, n * 2))
+    if (n < shingleK) return out
+    val toks = new Array[String](n)
+    var t = 0
+    while (t < n) {
+      toks(t) = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = n - shingleK
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleK) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = shingleSet(a.asInstanceOf[ArrayData])
+    val sb = shingleSet(b.asInstanceOf[ArrayData])
+    // mirror the interpreted form: 0/0 → null, 0/|b| → 0.0
+    if (sa.isEmpty && sb.isEmpty) return null
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    // iterate the smaller set against the larger one
+    val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var inter = 0
+    val it = small.iterator()
+    while (it.hasNext) if (big.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 16-bit SimHash of a TOKEN array in one JVM pass: one md5 per token,
+  * bit b carries the majority vote of the parity of hex digit b+1
+  * across tokens (multiset semantics — duplicate tokens vote once
+  * each). Bit-identical to the pure-expression form the DuckDB oracle
+  * mirrors (dedup.Dedup.simhash16):
+  *   bit b = 1 iff 2 * Σ_t (hexdigit(md5(t), b+1) % 2) > |tokens|.
+  * Hex digit b+1 of the digest = the high nibble of byte b/2 when b is
+  * even, else the low nibble. Empty token arrays yield 0.
+  */
+case class Simhash16(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](16)
+    val md = MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(t).getBytes)
+        var b = 0
+        while (b < 16) {
+          val byte = d(b >> 1) & 0xff
+          val nibble = if ((b & 1) == 0) byte >> 4 else byte & 0xf
+          ones(b) += nibble & 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 16) {
+      if (2 * ones(b) > n) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashes {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Exact k-shingle-set jaccard of two token-array columns. */
+  def shingleJaccard(toksA: Column, toksB: Column, shingleK: Int = 3): Column =
+    GraftSqlBridge.column(ShingleJaccard(
+      GraftSqlBridge.expression(toksA), GraftSqlBridge.expression(toksB), shingleK))
+
+  /** 16-bit SimHash of a token-array column. */
+  def simhash16(toks: Column): Column =
+    GraftSqlBridge.column(Simhash16(GraftSqlBridge.expression(toks)))
+}

@@ -52,6 +52,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
   }
 
+  test("simhash pairs: banded equi-join, never a cartesian product") {
+    val plan = planOf(graft.dedup.Dedup.qSimhashPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"simhash pair generation must be an equi-join:\n$plan")
+  }
+
+  test("minhash pipeline: no interpreted-lambda stage anywhere") {
+    val (pairs, handles) = graft.dedup.Dedup.minhashPairsPipeline(spark, sf, 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    handles.foreach(_.unpersist(blocking = false))
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"higher-order functions are interpreted — keep them off the dedup path:\n$plan")
+    assert(plan.contains("shingle_jaccard") && plan.contains("minhash_slices"),
+      "both custom JVM-loop expressions must carry the hot path")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string

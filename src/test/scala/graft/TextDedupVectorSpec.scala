@@ -94,6 +94,44 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(s1 != s3, "different salt must give a different sample")
   }
 
+  test("ShingleJaccard expression matches the interpreted shingle/jaccard form") {
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).limit(80)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val a = docs.select(col("doc_id").as("ia"), col("toks").as("ta"))
+    val b = docs.select(col("doc_id").as("ib"), col("toks").as("tb"))
+    val diff = a.crossJoin(b).filter(col("ia") < col("ib")).limit(500)
+      .select(
+        graft.functions.TextHashes.shingleJaccard(col("ta"), col("tb")).as("fast"),
+        Dedup.jaccard(Dedup.shingles(col("ta")), Dedup.shingles(col("tb"))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, "JVM-loop jaccard must equal the interpreted HOF form")
+  }
+
+  test("Simhash16 expression matches the interpreted md5-parity form") {
+    val diff = Tables.documents(spark, sf).limit(200)
+      .select(
+        graft.functions.TextHashes.simhash16(split(col("text"), " ")).as("fast"),
+        Dedup.simhash16(split(col("text"), " ")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, "JVM-loop simhash must equal the interpreted HOF form")
+  }
+
+  test("banded simhash pairs match the cross-join exact twin") {
+    val s = Tables.documents(spark, sf).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextHashes.simhash16(split(col("text"), " ")).as("sh"))
+    val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.qSimhashPairs(spark, sf).as[(Long, Long, Long)].collect().toSet
+    assert(got == truth, "pigeonhole banding must lose no pair within hamming 3")
+  }
+
   test("exact text stats: tokens * docs sane on corpus") {
     val st = TextOps.qTextStats(spark, sf).agg(sum("n_docs"), sum("sum_tokens")).head()
     assert(st.getLong(0) == 500)
