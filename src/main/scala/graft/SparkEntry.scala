@@ -62,6 +62,8 @@ object SparkEntry {
     "q_session" -> (StreamTwins.qSession _),
     "q_state_ttl" -> (StreamTwins.qStateTtl _),
     "q_late" -> (StreamTwins.qLate _),
+    "q_revalidate" -> (StreamTwins.qRevalidate _),
+    "q_swr_serve" -> (StreamTwins.qSwrServe _),
     // -- text analysis --
     "q_text_quality" -> (TextOps.qTextQuality _),
     "q_text_stats" -> (TextOps.qTextStats _),
@@ -373,6 +375,25 @@ object SparkEntry {
         |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_revalidate" ->
+      """WITH e AS (SELECT user_id % 50 AS cache_key, ts, event_id, md5(event_type)[1:8] AS etag FROM events),
+        |c AS (SELECT *, lag(etag) OVER (PARTITION BY cache_key ORDER BY ts, event_id) AS prev FROM e),
+        |f AS (SELECT cache_key, ts, event_id, etag,
+        |  CASE WHEN prev IS NULL OR prev <> etag THEN 1 ELSE 0 END AS is_replace FROM c),
+        |g AS (SELECT cache_key, count(*) AS n_fetches, CAST(sum(is_replace) AS BIGINT) AS n_replace,
+        |  count(*) - CAST(sum(is_replace) AS BIGINT) AS n_refresh FROM f GROUP BY cache_key),
+        |l AS (SELECT cache_key, etag AS last_etag, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_fetch,
+        |  strftime(ts + INTERVAL 600 SECOND, '%Y-%m-%d %H:%M:%S') AS expires_at
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cache_key ORDER BY ts DESC, event_id DESC) AS rn FROM f)
+        |  WHERE rn = 1)
+        |SELECT g.cache_key, n_fetches, n_refresh, n_replace, last_etag, last_fetch, expires_at
+        |FROM g JOIN l USING (cache_key) ORDER BY cache_key""".stripMargin,
+    "q_swr_serve" ->
+      """WITH e AS (SELECT user_id % 50 AS cache_key, ts, event_id, md5(event_type)[1:8] AS etag FROM events),
+        |c AS (SELECT *, lag(etag) OVER (PARTITION BY cache_key ORDER BY ts, event_id) AS prev FROM e)
+        |SELECT event_id, cache_key, coalesce(prev, etag) AS served_etag, etag AS origin_etag,
+        |  CAST(CASE WHEN prev IS NOT NULL AND prev <> etag THEN 1 ELSE 0 END AS BIGINT) AS served_stale
+        |FROM c ORDER BY event_id LIMIT 500""".stripMargin,
     "q_late" ->
       """WITH hw AS (SELECT max(ts) AS hw FROM events)
         |SELECT event_type, count(*) AS n,

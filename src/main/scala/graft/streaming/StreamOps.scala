@@ -62,6 +62,70 @@ object StreamOps {
       .select(col("user_id"), col("signup_id"), col("purchase_id"), col("s_ts"), col("p_ts"))
   }
 
+  case class Fetch(cache_key: Long, event_id: Long, ts: java.sql.Timestamp, etag: String)
+
+  case class CacheEntry(etag: String, fetched_at: java.sql.Timestamp,
+    n_refresh: Long, n_replace: Long)
+
+  case class Revalidation(cache_key: Long, event_id: Long, etag: String,
+    outcome: String, n_refresh: Long, n_replace: Long)
+
+  case class SwrServe(cache_key: Long, event_id: Long, served_etag: String,
+    origin_etag: String, served_stale: Boolean)
+
+  /** Conditional revalidation (ref R14, `pipeline/utils/api.py:140-152`):
+    * keyed cache state where an origin response with a MATCHING
+    * validator (same etag) is a 304 — the payload survives and only the
+    * TTL clock (`fetched_at`) refreshes — while a CHANGED etag is a 200
+    * that replaces the payload and restarts the TTL. Outcomes: `insert`
+    * (first fetch, counted as a replace like the batch twin), `refresh`
+    * (304), `replace` (200). Batch twin: [[StreamTwins.qRevalidate]].
+    * Rows within a micro-batch fold in (ts, event_id) order so replays
+    * are deterministic. */
+  def revalidatingCache(fetches: Dataset[Fetch])(
+      implicit spark: SparkSession): Dataset[Revalidation] = {
+    import spark.implicits._
+    fetches.groupByKey(_.cache_key)
+      .flatMapGroupsWithState[CacheEntry, Revalidation](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Fetch], state: GroupState[CacheEntry]) =>
+          val sorted = rows.toSeq.sortBy(f => (f.ts.getTime, f.event_id))
+          sorted.iterator.map { f =>
+            val (outcome, next) = state.getOption match {
+              case Some(s) if s.etag == f.etag => // 304: refresh TTL, keep payload
+                ("refresh", s.copy(fetched_at = f.ts, n_refresh = s.n_refresh + 1))
+              case Some(s) => // 200: replace payload, restart TTL
+                ("replace", CacheEntry(f.etag, f.ts, s.n_refresh, s.n_replace + 1))
+              case None =>
+                ("insert", CacheEntry(f.etag, f.ts, 0L, 1L))
+            }
+            state.update(next)
+            Revalidation(key, f.event_id, f.etag, outcome, next.n_refresh, next.n_replace)
+          }
+      }
+  }
+
+  /** Stale-while-revalidate (ref R15, `api.py:205-206`): every hit is
+    * answered from the CURRENT cache state immediately (the caller may
+    * receive a stale payload), and the state then updates to the origin
+    * payload — emit-stale-then-update. First fetch per key is a miss
+    * (served = origin). Batch twin: [[StreamTwins.qSwrServe]]. */
+  def staleWhileRevalidateCache(fetches: Dataset[Fetch])(
+      implicit spark: SparkSession): Dataset[SwrServe] = {
+    import spark.implicits._
+    fetches.groupByKey(_.cache_key)
+      .flatMapGroupsWithState[CacheEntry, SwrServe](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Fetch], state: GroupState[CacheEntry]) =>
+          val sorted = rows.toSeq.sortBy(f => (f.ts.getTime, f.event_id))
+          sorted.iterator.map { f =>
+            val served = state.getOption.map(_.etag).getOrElse(f.etag)
+            state.update(CacheEntry(f.etag, f.ts, 0L, 0L))
+            SwrServe(key, f.event_id, served, f.etag, served != f.etag)
+          }
+      }
+  }
+
   /** Keyed last-event state with TTL (Q-state-ttl): the streaming
     * equivalent of the reference's Redis `SET key EX ttl` + staleness
     * check (`cache.py:135-182`). State for a user expires `ttlMs` after

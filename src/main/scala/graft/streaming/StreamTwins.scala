@@ -74,6 +74,60 @@ object StreamTwins {
       .orderBy(col("user_id"))
   }
 
+  /** Conditional-revalidation state machine, batch twin (ref R14,
+    * `pipeline/utils/api.py:140-152`): each key's fetch sequence is a
+    * fold where a matching validator (etag unchanged since the previous
+    * fetch) is a 304 — the cached payload survives and only the TTL
+    * clock refreshes — and a changed etag is a 200 — the payload is
+    * replaced and the TTL restarts. The fetch log is synthesized
+    * deterministically from `events` (cache_key = user_id % 50, etag =
+    * md5(event_type) prefix), so consecutive same-type events model 304
+    * revalidations. Output per key: fetch/refresh/replace counts, the
+    * surviving payload version, and the TTL expiry extended by the last
+    * fetch — observable refresh-extends-TTL semantics.
+    * Streaming form: [[StreamOps.revalidatingCache]]. */
+  def qRevalidate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cache_key")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select((col("user_id") % 50).as("cache_key"), col("ts"), col("event_id"),
+        substring(md5(col("event_type")), 1, 8).as("etag"))
+      .withColumn("prev", lag(col("etag"), 1).over(w))
+      .withColumn("is_replace",
+        when(col("prev").isNull || col("prev") =!= col("etag"), 1L).otherwise(0L))
+      .groupBy(col("cache_key"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("is_replace")).as("n_replace"),
+        (count(lit(1)) - sum(col("is_replace"))).as("n_refresh"),
+        max(struct(col("ts"), col("event_id"), col("etag"))).as("m"))
+      .select(col("cache_key"), col("n_fetches"), col("n_refresh"), col("n_replace"),
+        col("m.etag").as("last_etag"), tstr(col("m.ts")).as("last_fetch"),
+        tstr(col("m.ts") + expr("INTERVAL 600 SECONDS")).as("expires_at"))
+      .orderBy(col("cache_key"))
+  }
+
+  /** Stale-while-revalidate, batch twin (ref R15, `api.py:205-206`):
+    * under `stale-while-revalidate` every hit is served from cache
+    * IMMEDIATELY — the payload the caller sees is the PREVIOUS state —
+    * while the state updates to the origin's new payload in the
+    * background. Per fetch: the served (possibly stale) etag, the
+    * origin etag the state moves to, and whether the serve was stale.
+    * First fetch per key is a miss (served = origin). Streaming form:
+    * [[StreamOps.staleWhileRevalidateCache]]. */
+  def qSwrServe(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cache_key")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select((col("user_id") % 50).as("cache_key"), col("ts"), col("event_id"),
+        substring(md5(col("event_type")), 1, 8).as("etag"))
+      .withColumn("prev", lag(col("etag"), 1).over(w))
+      .select(col("event_id"), col("cache_key"),
+        coalesce(col("prev"), col("etag")).as("served_etag"),
+        col("etag").as("origin_etag"),
+        when(col("prev").isNotNull && col("prev") =!= col("etag"), 1L).otherwise(0L)
+          .as("served_stale"))
+      .orderBy(col("event_id"))
+      .limit(500)
+  }
+
   /** Late-data discard, batch twin: drop events older than watermark =
     * max(ts) − 1 hour (what a streaming watermark would have dropped),
     * then aggregate the survivors. */

@@ -109,6 +109,82 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("revalidating cache: 304 refreshes TTL, 200 replaces payload") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = MemoryStream[StreamOps.Fetch]
+    val q = StreamOps.revalidatingCache(mem.toDS()).writeStream
+      .format("memory").queryName("reval_out").outputMode("update").start()
+    try {
+      mem.addData(
+        StreamOps.Fetch(1, 10, ts(0), "e1"),
+        StreamOps.Fetch(1, 11, ts(1), "e1"), // 304 -> refresh
+        StreamOps.Fetch(1, 12, ts(2), "e2"), // 200 -> replace
+        StreamOps.Fetch(2, 20, ts(0), "x1"))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Fetch(1, 13, ts(3), "e2")) // 304 across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("reval_out")
+      .select("event_id", "outcome", "n_refresh", "n_replace")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, "insert", 0L, 1L),
+      (11L, "refresh", 1L, 1L),
+      (12L, "replace", 1L, 2L),
+      (20L, "insert", 0L, 1L),
+      (13L, "refresh", 2L, 2L)))
+  }
+
+  test("revalidating cache streaming counts agree with the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // same synthetic fetch log the batch twin derives from events
+    val fetches = Tables.events(spark, SparkFixture.sf)
+      .select((col("user_id") % 50).as("cache_key"), col("event_id"), col("ts"),
+        substring(md5(col("event_type")), 1, 8).as("etag"))
+      .as[StreamOps.Fetch].collect().toSeq
+    val mem = MemoryStream[StreamOps.Fetch]
+    mem.addData(fetches: _*)
+    val q = StreamOps.revalidatingCache(mem.toDS()).writeStream
+      .format("memory").queryName("reval_twin_out").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // final streaming state per key == the batch fold
+    val streamed = spark.table("reval_twin_out")
+      .groupBy("cache_key")
+      .agg(max(struct(col("n_refresh") + col("n_replace"), col("n_refresh"), col("n_replace"))).as("m"))
+      .select(col("cache_key"), col("m").getField("n_refresh").as("n_refresh"),
+        col("m").getField("n_replace").as("n_replace"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = StreamTwins.qRevalidate(spark, SparkFixture.sf)
+      .select("cache_key", "n_refresh", "n_replace")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("stale-while-revalidate serves the previous payload, then updates") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = MemoryStream[StreamOps.Fetch]
+    val q = StreamOps.staleWhileRevalidateCache(mem.toDS()).writeStream
+      .format("memory").queryName("swr_out").outputMode("update").start()
+    try {
+      mem.addData(
+        StreamOps.Fetch(1, 10, ts(0), "e1"),
+        StreamOps.Fetch(1, 11, ts(1), "e2"))
+      q.processAllAvailable()
+      mem.addData(StreamOps.Fetch(1, 12, ts(2), "e2")) // fresh hit across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("swr_out")
+      .select("event_id", "served_etag", "origin_etag", "served_stale")
+      .as[(Long, String, String, Boolean)].collect().toSet
+    assert(got == Set(
+      (10L, "e1", "e1", false), // miss: served = origin
+      (11L, "e1", "e2", true),  // stale serve, state moves to e2
+      (12L, "e2", "e2", false)))
+  }
+
   test("streaming tumble agrees with batch twin on the events table (counts)") {
     // batch twin over real corpus vs streaming run over the same rows
     val batch = StreamTwins.qTumble(spark, SparkFixture.sf)
