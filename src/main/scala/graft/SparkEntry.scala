@@ -99,6 +99,12 @@ object SparkEntry {
     "q_resample" -> (graft.ops.EventAnalytics.qResample _),
     "q_funnel" -> (graft.ops.EventAnalytics.qFunnel _),
     "q_retention" -> (graft.ops.EventAnalytics.qRetention _),
+    // -- fixture-backed surfaces (multimodal + nested; see sources/Fixtures) --
+    "q_media" -> (graft.sources.Fixtures.qMedia _),
+    "q_media_frames" -> (graft.sources.Fixtures.qMediaFrames _),
+    "q_media_stats" -> (graft.sources.Fixtures.qMediaStats _),
+    "q_nestsel" -> (graft.sources.Fixtures.qNestsel _),
+    "q_flatten_intent" -> (graft.sources.Fixtures.qFlattenIntent _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -655,5 +661,43 @@ object SparkEntry {
         |  FROM e, q WHERE vec_id <> q_id),
         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    // Fixture-backed oracles: DuckDB reads the SAME parquet files Spark
+    // wrote at fixture-build time (sources/Fixtures), so binary bytes,
+    // nested lists, and extracted features are compared value-for-value.
+    "q_media" ->
+      s"""SELECT media_id, kind, CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+        |  md5(lower(hex(bytes))) AS content_md5,
+        |  meta.width AS width, meta.sample_rate AS sample_rate,
+        |  meta.duration_ms AS duration_ms, meta.format AS format
+        |FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')
+        |ORDER BY media_id""".stripMargin,
+    "q_media_frames" ->
+      s"""WITH v AS (SELECT media_id, octet_length(bytes) AS len, meta.duration_ms AS dur
+        |  FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet') WHERE kind = 'video'),
+        |f AS (SELECT media_id, len, dur, unnest(range(0, greatest(1, dur // 1000))) AS i FROM v)
+        |SELECT media_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS offset_ms,
+        |  CAST(least(len, (len * i * 1000) // dur + 64) - (len * i * 1000) // dur AS BIGINT) AS frame_len
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "q_media_stats" ->
+      s"""SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  min(byte_entropy) AS min_entropy, max(byte_entropy) AS max_entropy
+        |FROM read_parquet('${graft.sources.Fixtures.mediaFeaturesPath}/*.parquet')
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+    "q_nestsel" ->
+      s"""SELECT CAST(identifier AS BIGINT) AS identifier, collection,
+        |  CAST(len(traits) AS BIGINT) AS n_traits,
+        |  traits[1].trait_type AS first_trait, traits
+        |FROM read_parquet('${graft.sources.Fixtures.nftPath}/*.parquet')
+        |ORDER BY identifier""".stripMargin,
+    "q_flatten_intent" ->
+      s"""WITH b AS (SELECT identifier,
+        |  CASE WHEN traits IS NULL OR len(traits) = 0
+        |       THEN [NULL::STRUCT(trait_type VARCHAR, "value" VARCHAR)]
+        |       ELSE traits END AS tr
+        |  FROM read_parquet('${graft.sources.Fixtures.nftPath}/*.parquet')),
+        |e AS (SELECT identifier, unnest(tr) AS t FROM b)
+        |SELECT CAST(identifier AS BIGINT) AS identifier,
+        |  t.trait_type AS trait_type, t."value" AS "value"
+        |FROM e ORDER BY identifier, trait_type""".stripMargin,
   )
 }

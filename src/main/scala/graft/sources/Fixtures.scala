@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+
+/** Deterministic parquet fixtures for the two surfaces the driver
+  * corpus lacks — a binary/multimodal table and a nested `list<struct>`
+  * table — so those operators get REAL oracle rows instead of
+  * spec-only coverage: Spark writes the fixture once to a stable
+  * absolute path, the declared queries read it back, and the DuckDB
+  * oracle reads the very same files via `read_parquet`.
+  *
+  * Everything is derived from pure functions of the row index (sha256
+  * bytes, modular metadata), so the fixture is bit-identical across
+  * runs, scale factors, and engines.
+  */
+object Fixtures {
+
+  /** Stable absolute path (inside the build dir, never the read-only
+    * corpus). Bump the version suffix when generation logic changes. */
+  val dir = "/root/repo/target/graft_fixtures_v1"
+
+  val mediaPath = s"$dir/media.parquet"
+  val mediaFeaturesPath = s"$dir/media_features.parquet"
+  val nftPath = s"$dir/nft.parquet"
+
+  private val lock = new Object
+
+  /** Write-once guard: the fixture set is complete iff every parquet
+    * dir has its _SUCCESS marker. */
+  def ensure(spark: SparkSession): Unit = lock.synchronized {
+    val done = Seq(mediaPath, mediaFeaturesPath, nftPath)
+      .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
+    if (done) return
+    implicit val s: SparkSession = spark
+    val media = MultimodalOps.syntheticMedia(spark, 300)
+    media.write.mode("overwrite").parquet(mediaPath)
+    // features are computed by the real mapPartitions plumbing at
+    // fixture-build time; both engines then aggregate the same stored
+    // values, making mediaStats oracle-checkable without re-deriving
+    // entropy in SQL.
+    MultimodalOps.extractFeatures(media).write.mode("overwrite").parquet(mediaFeaturesPath)
+    nftFixture(spark).write.mode("overwrite").parquet(nftPath)
+  }
+
+  /** NFT-shaped nested rows (ref `main.py:54-65` schema): identifier,
+    * collection, and a `traits: list<struct>` column with the three
+    * shapes that make flatten semantics observable — populated lists,
+    * empty lists (i % 7 == 3), and null lists (i % 10 == 0). */
+  def nftFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      val traits =
+        if (i % 10 == 0) null
+        else if (i % 7 == 3) Seq.empty[(String, String)]
+        else (0 until (i % 4 + 1)).map(j => (s"t$j", s"v${i}_$j"))
+      (i, s"c${i % 5}", traits)
+    }
+    rows.toDF("identifier", "collection", "raw")
+      .select(col("identifier"), col("collection"),
+        transform(col("raw"), t =>
+          struct(t.getField("_1").as("trait_type"), t.getField("_2").as("value"))).as("traits"))
+  }
+
+  // ---- declared queries over the fixtures (dir arg unused: the  ----
+  // ---- fixture is scale-independent; the driver passes it anyway) ----
+
+  /** Multimodal scan surface: binary column length + content hash +
+    * typed-metadata fields. `md5(lower(hex(bytes)))` pins the exact
+    * byte content cross-engine. */
+  def qMedia(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(mediaPath)
+      .select(col("media_id"), col("kind"),
+        length(col("bytes")).cast("long").as("n_bytes"),
+        md5(lower(hex(col("bytes")))).as("content_md5"),
+        col("meta.width").as("width"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.format").as("format"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Frame sampling (video fan-out) — the declared-query form of
+    * [[MultimodalOps.sampleFrames]]: one row per sampled frame with
+    * deterministic offsets and slice lengths the oracle re-derives
+    * arithmetically. */
+  def qMediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = spark.read.parquet(mediaPath).as[MultimodalOps.MediaRow]
+    MultimodalOps.sampleFrames(media, everyMs = 1000).toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("offset_ms").cast("long").as("offset_ms"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Corpus-health stats per kind over the persisted feature table —
+    * [[MultimodalOps.mediaStats]] as an oracle row: both engines
+    * aggregate the same stored doubles (min/max/count/sum are exact and
+    * order-independent). */
+  def qMediaStats(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    MultimodalOps.mediaStats(
+      spark.read.parquet(mediaFeaturesPath).as[MultimodalOps.MediaFeatures])
+  }
+
+  /** Q-nestsel: nested projection WITHOUT flattening (the reference's
+    * literal behavior, `normalize.py:26-29`) — subfield access through
+    * the list<struct>, plus the intact nested column itself. */
+  def qNestsel(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(nftPath)
+      .select(col("identifier").cast("long").as("identifier"), col("collection"),
+        size(col("traits")).cast("long").as("n_traits"),
+        // `get` (not getItem/element_at): null on out-of-bounds under ANSI
+        get(col("traits"), lit(0)).getField("trait_type").as("first_trait"),
+        col("traits"))
+      .orderBy(col("identifier"))
+  }
+
+  /** Q-flatten intent semantics (`explode_outer`): one row per trait,
+    * null/empty lists preserved as a single null-fields row — matching
+    * graft.etl.NftPipeline.traitsExploded. */
+  def qFlattenIntent(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(nftPath)
+      .select(col("identifier").cast("long").as("identifier"),
+        explode_outer(col("traits")).as("trait"))
+      .select(col("identifier"), col("trait.trait_type").as("trait_type"),
+        col("trait.value").as("value"))
+      .orderBy(col("identifier"), col("trait_type"))
+  }
+}
