@@ -83,6 +83,8 @@ object SparkEntry {
     "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
     "q_tpch3" -> (Relational.qTpch3 _),
     "q_tpch5" -> (Relational.qTpch5 _),
+    "q_tpch2" -> (Relational.qTpch2 _),
+    "q_tpch20" -> (Relational.qTpch20 _),
     "q_interval_join" -> (Relational.qIntervalJoin _),
     // -- advanced relational / analytics --
     "q_cube" -> (Advanced.qCube _),
@@ -661,6 +663,28 @@ object SparkEntry {
         |  FROM e, q WHERE vec_id <> q_id),
         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "q_tpch2" ->
+      """SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice AS min_price
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_size < 10
+        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_name, l.l_extendedprice""".stripMargin,
+    "q_tpch20" ->
+      """SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(50 AS DECIMAL(18,2)))
+        |  AND s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0)
+        |ORDER BY s.s_name""".stripMargin,
     // Fixture-backed oracles: DuckDB reads the SAME parquet files Spark
     // wrote at fixture-build time (sources/Fixtures), so binary bytes,
     // nested lists, and extracted features are compared value-for-value.

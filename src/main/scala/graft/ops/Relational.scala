@@ -295,6 +295,58 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q2-shaped correlated scalar subquery: for every small part,
+    * the supplier rows selling it at its global minimum price. Declared
+    * in SQL on purpose — the correlated `min` subquery exercises
+    * Catalyst's decorrelation (RewriteCorrelatedScalarSubquery turns it
+    * into an aggregate + join; no per-row re-execution), a path no
+    * DataFrame-built query reaches. Scale shape after rewrite: one
+    * aggregate over lineitem keyed by partkey, then equi-joins — the
+    * same cost as writing the window/self-join by hand. */
+  def qTpch2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice AS min_price
+        |FROM graft_part p
+        |JOIN graft_lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN graft_nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_size < 10
+        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM graft_lineitem l2
+        |                           WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_name, l.l_extendedprice""".stripMargin)
+  }
+
+  /** TPC-H Q20-shaped nested semi-join chain: suppliers who moved more
+    * than 50 units of some 'gear' part in 1996–97, restricted to a
+    * nation subset. Both IN subqueries plan as left-semi joins (the
+    * inner one over a partial aggregate with the HAVING pushed into it);
+    * exact decimal sum keeps the threshold comparison engine-identical.
+    * Nothing here materializes the full lineitem — filters and the
+    * group-by run before either semi join. */
+  def qTpch20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        |FROM graft_supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l_suppkey FROM graft_lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM graft_part WHERE p_name LIKE '%gear%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(50 AS DECIMAL(18,2)))
+        |  AND s.s_nationkey IN (SELECT n_nationkey FROM graft_nation WHERE n_nationkey % 5 = 0)
+        |ORDER BY s.s_name""".stripMargin)
+  }
+
   /** Q-interval-join (range join): purchases within one hour AFTER the
     * same user's signup — an inequality band join. Spark plans the
     * equi-part (user_id) as the join key with the time band as a

@@ -68,6 +68,19 @@ class PlanSpec extends AnyFunSuite {
       "both custom JVM-loop expressions must carry the hot path")
   }
 
+  test("tpch2: correlated scalar subquery decorrelates to aggregate+join") {
+    val plan = planOf(graft.ops.Relational.qTpch2(spark, sf))
+    assert(!plan.contains("ScalarSubquery"),
+      s"correlated min must be rewritten, not re-executed per row:\n$plan")
+  }
+
+  test("tpch20: IN-subquery chain plans as semi joins, aggregate before the semi") {
+    val plan = planOf(graft.ops.Relational.qTpch20(spark, sf))
+    assert(plan.contains("LeftSemi"), s"expected left-semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop fallback:\n$plan")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string
