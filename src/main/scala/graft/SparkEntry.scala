@@ -64,6 +64,7 @@ object SparkEntry {
     "q_late" -> (StreamTwins.qLate _),
     "q_revalidate" -> (StreamTwins.qRevalidate _),
     "q_swr_serve" -> (StreamTwins.qSwrServe _),
+    "q_dedup_first" -> (StreamTwins.qDedupFirst _),
     // -- text analysis --
     "q_text_quality" -> (TextOps.qTextQuality _),
     "q_text_stats" -> (TextOps.qTextStats _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_media_stats" -> (graft.sources.Fixtures.qMediaStats _),
     "q_nestsel" -> (graft.sources.Fixtures.qNestsel _),
     "q_flatten_intent" -> (graft.sources.Fixtures.qFlattenIntent _),
+    "q_emb_dup" -> (graft.sources.Fixtures.qEmbDup _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -127,11 +129,24 @@ object SparkEntry {
 
   /** Sign-LSH bucket id over a DOUBLE[] column — same ±1 hyperplane
     * literals the Spark plan embeds (vector.VectorOps.hyperplanes). */
-  private def lshBucketSql(v: String): String =
-    graft.vector.VectorOps.hyperplanes(4, 64).zipWithIndex.map { case (r, p) =>
+  private def lshBucketSqlFor(v: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (r, p) =>
       val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
       s"CASE WHEN list_sum(list_transform(range(1, 65), i -> $v[i] * (CAST($arr AS DOUBLE[]))[i])) >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  private def lshBucketSql(v: String): String =
+    lshBucketSqlFor(v, graft.vector.VectorOps.hyperplanes(4, 64))
+
+  /** The 4 bucket tables of the multi-table embedding dedup (4 planes
+    * each from one seeded 16-plane draw — mirrors embeddingDupPairs). */
+  private lazy val embDupTablesSql: String = {
+    val all = graft.vector.VectorOps.hyperplanes(16, 64)
+    (0 until 4).map { t =>
+      val b = lshBucketSqlFor("v", all.slice(t * 4, (t + 1) * 4))
+      s"SELECT vec_id, v, $t AS tbl, $b AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+  }
 
   /** Full MinHash-LSH CTE chain ending in `j(doc_a, doc_b, jac)` —
     * shared by q_minhash_pairs and the recursive q_dup_clusters. */
@@ -663,6 +678,13 @@ object SparkEntry {
         |  FROM e, q WHERE vec_id <> q_id),
         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "q_dedup_first" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, ts,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS first_event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_tpch2" ->
       """SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice AS min_price
         |FROM part p
@@ -723,5 +745,16 @@ object SparkEntry {
         |SELECT CAST(identifier AS BIGINT) AS identifier,
         |  t.trait_type AS trait_type, t."value" AS "value"
         |FROM e ORDER BY identifier, trait_type""".stripMargin,
+    "q_emb_dup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM read_parquet('${graft.sources.Fixtures.embDupPath}/*.parquet')),
+        |k AS ($embDupTablesSql),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM k a JOIN k b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |s AS (SELECT id_a, id_b, ea.v AS qv, eb.v AS vv
+        |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
+        |SELECT id_a, id_b, ${cosineSqlFor("qv", "vv")} AS cos
+        |FROM s WHERE ${cosineSqlFor("qv", "vv")} >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

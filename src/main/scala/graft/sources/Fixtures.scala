@@ -25,13 +25,14 @@ object Fixtures {
   val mediaPath = s"$dir/media.parquet"
   val mediaFeaturesPath = s"$dir/media_features.parquet"
   val nftPath = s"$dir/nft.parquet"
+  val embDupPath = s"$dir/emb_dup.parquet"
 
   private val lock = new Object
 
   /** Write-once guard: the fixture set is complete iff every parquet
     * dir has its _SUCCESS marker. */
   def ensure(spark: SparkSession): Unit = lock.synchronized {
-    val done = Seq(mediaPath, mediaFeaturesPath, nftPath)
+    val done = Seq(mediaPath, mediaFeaturesPath, nftPath, embDupPath)
       .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
     if (done) return
     implicit val s: SparkSession = spark
@@ -43,6 +44,37 @@ object Fixtures {
     // entropy in SQL.
     MultimodalOps.extractFeatures(media).write.mode("overwrite").parquet(mediaFeaturesPath)
     nftFixture(spark).write.mode("overwrite").parquet(nftPath)
+    embDupFixture(spark).write.mode("overwrite").parquet(embDupPath)
+  }
+
+  /** Deterministic unit-range double from sha256(id:j) — the fixture's
+    * stand-in for a random draw (no Random: bit-identical everywhere). */
+  private def u(i: Long, j: Int, salt: String): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(s"$salt:$i:$j".getBytes("UTF-8"))
+    val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    x.toDouble / ((1L << 32) - 1).toDouble * 2.0 - 1.0
+  }
+
+  /** Embedding corpus WITH planted near-duplicates (the driver corpus
+    * has none — max pairwise cosine ≈ 0.48): ids 0–149 are independent
+    * sha-derived vectors; id 150+k is vector k plus a 2 % perturbation
+    * (cosine ≈ 0.999). Gives [[graft.vector.VectorOps.embeddingDupPairs]]
+    * a hash-checkable oracle instead of spec-only planted tests. */
+  def embDupFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val nBase = 150
+    val nDup = 50
+    spark.range(nBase + nDup).map { i0 =>
+      val i: Long = i0
+      val base: Long = if (i < nBase) i else i - nBase
+      val v = Array.tabulate(64) { j =>
+        val b = u(base, j, "emb")
+        val x = if (i < nBase) b else b + 0.02 * u(i, j, "perturb")
+        x.toFloat
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
   }
 
   /** NFT-shaped nested rows (ref `main.py:54-65` schema): identifier,
@@ -109,6 +141,15 @@ object Fixtures {
     import spark.implicits._
     MultimodalOps.mediaStats(
       spark.read.parquet(mediaFeaturesPath).as[MultimodalOps.MediaFeatures])
+  }
+
+  /** Embedding-cosine near-dup pairs over the planted-dup fixture —
+    * the declared-query form of the multi-table sign-LSH dedup: the
+    * oracle mirrors all 4 bucket tables and the exact-cosine verify
+    * over the same parquet. */
+  def qEmbDup(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    graft.vector.VectorOps.embeddingDupPairs(spark.read.parquet(embDupPath))
   }
 
   /** Q-nestsel: nested projection WITHOUT flattening (the reference's

@@ -37,6 +37,16 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("n"))
 
+  /** Streaming deduplication (Q-dedup streaming form): keep the FIRST
+    * arrival per (user_id, event_type); the watermark bounds the dedup
+    * state — keys older than `delay` are dropped from state, the scale
+    * requirement (unbounded exact dedup state is a memory leak at
+    * 100 TB/day; bounded-lateness dedup is the production shape).
+    * Batch twin: [[StreamTwins.qDedupFirst]] (argmin by event time). */
+  def dedupFirst(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Session windows with a 10-minute gap per user (Q-session). */
   def sessions(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)

@@ -51,6 +51,21 @@ object StreamTwins {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Streaming dedup, batch twin: FIRST event per (user_id,
+    * event_type) — the min(struct) twin of the max(struct) latest-state
+    * aggregate (same map-side-combine shape, one row per key per
+    * partition through the shuffle, never a full sort). Streaming form:
+    * [[StreamOps.dedupFirst]] (dropDuplicatesWithinWatermark — state
+    * bounded by the watermark; this global-argmin twin is what it
+    * converges to when no key recurs beyond the lateness bound). */
+  def qDedupFirst(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("first_event_id"), tstr(col("m.ts")).as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+
   /** Keyed state with TTL, batch twin (ref cache staleness R28): the
     * surviving state per user = its latest event, but only if it arrived
     * within TTL of the global high-watermark. The global max(ts) rides a

@@ -185,6 +185,23 @@ class StreamOpsSpec extends AnyFunSuite {
       (12L, "e2", "e2", false)))
   }
 
+  test("streaming dedup keeps the first arrival per key, bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(rows: _*) // in ts order: first arrival == min-ts event per key
+    val q = StreamOps.dedupFirst(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_out")
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    // batch twin on the same rows: min (ts, event_id) per (user, type)
+    val twin = rows.groupBy(e => (e.user_id, e.event_type)).map { case ((u, t), es) =>
+      (u, t, es.minBy(e => (e.ts.getTime, e.event_id)).event_id)
+    }.toSet
+    assert(got == twin, s"expected $twin, got $got")
+  }
+
   test("streaming tumble agrees with batch twin on the events table (counts)") {
     // batch twin over real corpus vs streaming run over the same rows
     val batch = StreamTwins.qTumble(spark, SparkFixture.sf)
