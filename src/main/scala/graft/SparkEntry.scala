@@ -109,6 +109,8 @@ object SparkEntry {
     "q_nestsel" -> (graft.sources.Fixtures.qNestsel _),
     "q_flatten_intent" -> (graft.sources.Fixtures.qFlattenIntent _),
     "q_emb_dup" -> (graft.sources.Fixtures.qEmbDup _),
+    "q_ingest_csv" -> (graft.sources.Fixtures.qIngestCsv _),
+    "q_sink" -> (graft.ops.Sink.qSink _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -745,6 +747,17 @@ object SparkEntry {
         |SELECT CAST(identifier AS BIGINT) AS identifier,
         |  t.trait_type AS trait_type, t."value" AS "value"
         |FROM e ORDER BY identifier, trait_type""".stripMargin,
+    "q_ingest_csv" ->
+      s"""SELECT id, name, price, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, flag
+        |FROM read_csv('${graft.sources.Fixtures.csvPath}', header = true,
+        |  columns = {'id': 'BIGINT', 'name': 'VARCHAR', 'price': 'DOUBLE',
+        |             'ts': 'TIMESTAMP', 'flag': 'BOOLEAN'})
+        |ORDER BY id""".stripMargin,
+    "q_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+        |  o_orderpriority, o_orderstatus AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_emb_dup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM read_parquet('${graft.sources.Fixtures.embDupPath}/*.parquet')),

@@ -40,4 +40,21 @@ object Sink {
     writePartitioned(
       Tables.orders(spark, dir).withColumn("status", col("o_orderstatus")),
       outPath, Seq("status"))
+
+  /** Declared sink round-trip query: write orders partitioned by
+    * status, read the files back, and emit a canonical projection. The
+    * oracle compares against the ORIGINAL `orders` table — so the row
+    * is green iff the sink preserved every value through the
+    * partition-layout write (including the status column that became a
+    * directory key). The write itself is the operator under test and
+    * runs on every execution. */
+  def qSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/root/repo/target/graft_sink/${dir.replaceAll(".*/", "")}"
+    writeOrdersByStatus(spark, dir, out)
+    spark.read.parquet(out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        graft.ops.Exact.tstr(col("o_orderdate")).as("odate"),
+        col("o_orderpriority"), col("status").cast("string").as("status"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -26,6 +26,7 @@ object Fixtures {
   val mediaFeaturesPath = s"$dir/media_features.parquet"
   val nftPath = s"$dir/nft.parquet"
   val embDupPath = s"$dir/emb_dup.parquet"
+  val csvPath = s"$dir/ingest.csv"
 
   private val lock = new Object
 
@@ -45,6 +46,43 @@ object Fixtures {
     MultimodalOps.extractFeatures(media).write.mode("overwrite").parquet(mediaFeaturesPath)
     nftFixture(spark).write.mode("overwrite").parquet(nftPath)
     embDupFixture(spark).write.mode("overwrite").parquet(embDupPath)
+    writeCsvFixture()
+  }
+
+  /** Hand-written CSV (not a Spark write) so the raw text exercises
+    * real ingest surface: quoted fields containing the delimiter,
+    * empty fields as nulls, booleans, timestamps. */
+  private def writeCsvFixture(): Unit = {
+    val sb = new StringBuilder("id,name,price,ts,flag\n")
+    (0 until 120).foreach { i =>
+      val name =
+        if (i % 11 == 0) s""""widget, model $i""""   // quoted delimiter
+        else if (i % 13 == 0) ""                     // null name
+        else s"item-$i"
+      val price = if (i % 7 == 0) "" else s"${i * 3}.${i % 100}"
+      val mins = i % 60
+      val ts = f"2024-03-01 08:$mins%02d:00"
+      val flag = if (i % 2 == 0) "true" else "false"
+      sb.append(s"$i,$name,$price,$ts,$flag\n")
+    }
+    val p = java.nio.file.Paths.get(csvPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, sb.toString)
+  }
+
+  /** Q-ingest-csv: schema-ful CSV read (explicit types, no inference
+    * drift) — quoted delimiters, empty-string nulls, boolean and
+    * timestamp parsing, all mirrored by DuckDB's read_csv over the
+    * same file. */
+  def qIngestCsv(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    spark.read
+      .schema("id LONG, name STRING, price DOUBLE, ts TIMESTAMP, flag BOOLEAN")
+      .option("header", "true")
+      .csv(csvPath)
+      .select(col("id"), col("name"), col("price"),
+        graft.ops.Exact.tstr(col("ts")).as("ts"), col("flag"))
+      .orderBy(col("id"))
   }
 
   /** Deterministic unit-range double from sha256(id:j) — the fixture's
