@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,10 +33,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * absent (the tokenizer never produces them).
   */
 case class MinhashSlices(child: Expression, seed: Int, shingleK: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_slices"
+  override def nullable: Boolean = true // < k tokens ⇒ null, even for non-null input
+
+  /** Not CodegenFallback: generated code calls straight into the JVM
+    * loop below, so the surrounding operators stay inside one
+    * WholeStageCodegen span (a fallback would wall off the stage and
+    * interpret every OTHER expression in the projection too). */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSlices", this, classOf[MinhashSlices].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.nullSafeEval($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
+  }
 
   private val prefix: Array[Byte] = s"$seed:".getBytes("UTF-8")
   private val space: Array[Byte] = Array(' '.toByte)

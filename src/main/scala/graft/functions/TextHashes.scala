@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -23,10 +23,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * minhash signature, which requires ≥ k tokens).
   */
 case class ShingleJaccard(left: Expression, right: Expression, shingleK: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "shingle_jaccard"
+  override def nullable: Boolean = true // both sides shingle-less ⇒ null
+
+  /** Real codegen (not CodegenFallback): call into the JVM hash-set
+    * loop, keep the enclosing stage fused. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleJaccard", this, classOf[ShingleJaccard].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $ref.nullSafeEval($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
+  }
 
   private def shingleSet(arr: ArrayData): java.util.HashSet[String] = {
     val n = arr.numElements()
@@ -82,10 +94,18 @@ case class ShingleJaccard(left: Expression, right: Expression, shingleK: Int)
   * Hex digit b+1 of the digest = the high nibble of byte b/2 when b is
   * even, else the low nibble. Empty token arrays yield 0.
   */
-case class Simhash16(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Simhash16(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash16"
+
+  /** Real codegen: non-null input always yields a value, so the
+    * generated call assigns directly. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash16", this, classOf[Simhash16].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((Long) $ref.nullSafeEval($c)).longValue();")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
