@@ -5,8 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Exact k-shingle-set jaccard of two TOKEN arrays, evaluated as one
   * JVM pass per row (two hash sets, no per-element expression-tree
@@ -140,6 +140,58 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-language-group stopword occurrence counts over a TOKEN array in
+  * ONE pass (one hash-map probe per token), replacing N interpreted
+  * `size(filter(toks, isin(...)))` higher-order passes. A token that
+  * belongs to several groups (e.g. "de" is Spanish and French, "la"
+  * Spanish and French) increments each of them — exactly the semantics
+  * of the per-group filter form the DuckDB oracle mirrors. Occurrences
+  * count multiplicity (no dedup). */
+case class StopwordHits(child: Expression, groups: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "stopword_hits"
+
+  @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    groups.zipWithIndex.foreach { case (ws, g) =>
+      ws.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(g) else prev :+ g)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](groups.size)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val gs = lookup.get(arr.getUTF8String(i).toString)
+        if (gs != null) {
+          var j = 0
+          while (j < gs.length) { counts(gs(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(_.asInstanceOf[Any]))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordHits", this, classOf[StopwordHits].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashes {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -151,4 +203,9 @@ object TextHashes {
   /** 16-bit SimHash of a token-array column. */
   def simhash16(toks: Column): Column =
     GraftSqlBridge.column(Simhash16(GraftSqlBridge.expression(toks)))
+
+  /** Per-group stopword occurrence counts (array<int>, one slot per
+    * group) of a token-array column, in one pass. */
+  def stopwordHits(toks: Column, groups: Seq[Seq[String]]): Column =
+    GraftSqlBridge.column(StopwordHits(GraftSqlBridge.expression(toks), groups))
 }

@@ -117,6 +117,21 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(diff == 0, "JVM-loop simhash must equal the interpreted HOF form")
   }
 
+  test("StopwordHits expression matches the interpreted per-group filter form") {
+    val groups = Seq(
+      Seq("the", "a", "of", "to", "and", "in", "is"),
+      Seq("el", "la", "de", "que", "y", "los"),
+      Seq("der", "die", "und", "das", "ist", "ein"),
+      Seq("le", "la", "et", "les", "des", "un"))
+    val t = split(col("text"), " ")
+    val fast = graft.functions.TextHashes.stopwordHits(t, groups)
+    val diff = Tables.documents(spark, sf).limit(300)
+      .select((0 until 4).map(g =>
+        (fast.getItem(g) =!= graft.text.TextOps.stopwordHits(t, groups(g))).as(s"d$g")): _*)
+      .filter((0 until 4).map(g => col(s"d$g")).reduce(_ || _)).count()
+    assert(diff == 0, "one-pass counts must equal the four filter() walks")
+  }
+
   test("banded simhash pairs match the cross-join exact twin") {
     val s = Tables.documents(spark, sf).filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"),
