@@ -78,6 +78,7 @@ object SparkEntry {
     "q_simhash" -> (Dedup.qSimhash _),
     "q_simhash_pairs" -> (Dedup.qSimhashPairs _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.qDupClusters(s, d)),
+    "q_curate" -> (graft.etl.Curate.qCurate _),
     // -- similarity search --
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
     "q_sim_lsh" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLsh(s, d)),
@@ -484,6 +485,41 @@ object SparkEntry {
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_curate" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |losers AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)),
+         |tt AS (SELECT doc_id, lang, source, text, n_chars,
+         |  string_split(text, ' ') AS toks FROM documents),
+         |scored AS (SELECT *,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |    * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) AS quality,
+         |  len(list_filter(toks, w -> w IN ('the','a','of','to','and','in','is'))) AS en,
+         |  len(list_filter(toks, w -> w IN ('el','la','de','que','y','los'))) AS es,
+         |  len(list_filter(toks, w -> w IN ('der','die','und','das','ist','ein'))) AS de,
+         |  len(list_filter(toks, w -> w IN ('le','la','et','les','des','un'))) AS fr
+         |  FROM tt),
+         |guessed AS (SELECT *,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+         |    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+         |    WHEN de >= fr AND de > 0 THEN 'de'
+         |    WHEN fr > 0 THEN 'fr' ELSE 'und' END AS guess
+         |  FROM scored),
+         |kept AS (SELECT * FROM guessed
+         |  WHERE quality >= 0.35 AND guess = lang
+         |    AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |    AND substring(md5('curate:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(len(toks)) AS BIGINT) AS sum_tokens,
+         |  CAST(CAST(sum(CAST(quality AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS sum_quality
+         |FROM kept GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_ngram_pairs" ->
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
          |  WHERE doc_id % 100 = 0 AND len(string_split(text,' ')) >= 3),
