@@ -93,6 +93,7 @@ object SparkEntry {
     "q_window_analytics" -> (Advanced.qWindowAnalytics _),
     "q_stats" -> (Advanced.qStats _),
     "q_percentile" -> (Advanced.qPercentile _),
+    "q_heavy_hitters" -> ((s: SparkSession, d: String) => Advanced.qHeavyHitters(s, d)),
     "q_fuzzy" -> (Advanced.qFuzzy _),
     "q_map" -> (Advanced.qMap _),
     "q_ingest_json" -> (Advanced.qIngestJson _),
@@ -485,6 +486,10 @@ object SparkEntry {
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+        |GROUP BY l_partkey HAVING count(*) >= 5
+        |ORDER BY n DESC, l_partkey""".stripMargin,
     "q_curate" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),

@@ -87,6 +87,41 @@ object Advanced {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** Heavy hitters (iceberg query): part keys whose lineitem count
+    * reaches a support threshold — exact two-phase hash aggregate
+    * (map-side combine keeps the shuffle at one row per key per
+    * partition). The 100 TB sketch path is [[heavyHittersCms]]:
+    * a count-min sketch answers the same question in one pass with
+    * bounded memory when the key domain itself doesn't fit. */
+  def qHeavyHitters(spark: SparkSession, dir: String, minSupport: Long = 5): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .orderBy(col("n").desc, col("l_partkey"))
+
+  /** Count-min-sketch scale path for [[qHeavyHitters]] — no oracle
+    * (sketch internals are engine-specific); AdvancedSketchSpec pins
+    * the estimate guarantees against the exact counts: estimate ≥
+    * true count, over-estimate ≤ eps·N with the sketch's confidence. */
+  def heavyHittersCms(spark: SparkSession, dir: String,
+      eps: Double = 0.001, confidence: Double = 0.99): org.apache.spark.util.sketch.CountMinSketch =
+    Tables.lineitem(spark, dir).stat.countMinSketch(col("l_partkey"), eps, confidence, 42)
+
+  /** Approx-percentile scale path for qPercentile — single-pass
+    * mergeable quantile summaries (accuracy 10k ⇒ ≤0.01 % rank error)
+    * instead of the exact percentile's full per-group sort. No oracle
+    * (DuckDB's approx_quantile uses a different sketch); spec-pinned
+    * against the exact result instead. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("median_price"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_price"))
+      .orderBy(col("o_orderpriority"))
+
   /** Q-fuzzy: edit-distance near-match pairs of part names within a
     * brand (levenshtein is identical in both engines). Brand acts as
     * the blocking key — the cross join is per-block, never corpus-wide

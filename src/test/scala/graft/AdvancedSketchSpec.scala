@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Advanced
+
+/** Sketch scale paths vs their exact counterparts: the approximate
+  * operators must honor their published error guarantees on the real
+  * corpus — that's what makes them safe substitutes at 100 TB. */
+class AdvancedSketchSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import SparkFixture.sf
+
+  test("count-min sketch dominates exact counts and stays within eps*N") {
+    val exact = Advanced.qHeavyHitters(spark, sf, minSupport = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cms = Advanced.heavyHittersCms(spark, sf, eps = 0.001)
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS must never under-count: key $k exact=$c est=$est")
+      assert(est <= c + math.ceil(0.001 * n).toLong * 3,
+        s"key $k over-estimate beyond bound: exact=$c est=$est n=$n")
+    }
+  }
+
+  test("approx percentile lands within a ±2% rank band of the target quantile") {
+    // rank-based check (value bands conflate rank error with value
+    // gaps: exact percentile() interpolates, the sketch returns a real
+    // element — compare positions, not interpolated values)
+    val bands = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.48)").as("m_lo"),
+        expr("percentile(o_totalprice, 0.52)").as("m_hi"),
+        expr("percentile(o_totalprice, 0.88)").as("p_lo"),
+        expr("percentile(o_totalprice, 0.92)").as("p_hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    Advanced.approxPercentile(spark, sf).collect().foreach { r =>
+      val (mLo, mHi, pLo, pHi) = bands(r.getString(0))
+      assert(r.getDouble(2) >= mLo && r.getDouble(2) <= mHi,
+        s"median rank drift: ${r.getDouble(2)} outside [$mLo, $mHi]")
+      assert(r.getDouble(3) >= pLo && r.getDouble(3) <= pHi,
+        s"p90 rank drift: ${r.getDouble(3)} outside [$pLo, $pHi]")
+    }
+  }
+}
