@@ -108,6 +108,7 @@ object SparkEntry {
     "q_media" -> (graft.sources.Fixtures.qMedia _),
     "q_media_frames" -> (graft.sources.Fixtures.qMediaFrames _),
     "q_media_stats" -> (graft.sources.Fixtures.qMediaStats _),
+    "q_media_resize" -> (graft.sources.Fixtures.qMediaResize _),
     "q_nestsel" -> (graft.sources.Fixtures.qNestsel _),
     "q_flatten_intent" -> (graft.sources.Fixtures.qFlattenIntent _),
     "q_emb_dup" -> (graft.sources.Fixtures.qEmbDup _),
@@ -772,6 +773,18 @@ object SparkEntry {
         |  min(byte_entropy) AS min_entropy, max(byte_entropy) AS max_entropy
         |FROM read_parquet('${graft.sources.Fixtures.mediaFeaturesPath}/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
+    "q_media_resize" ->
+      s"""SELECT media_id, kind,
+        |  CASE WHEN meta.width IS NOT NULL AND meta.height IS NOT NULL
+        |            AND greatest(meta.width, meta.height) > 96
+        |       THEN CAST(trunc(meta.width * (CAST(96 AS DOUBLE) / greatest(meta.width, meta.height))) AS INTEGER)
+        |       ELSE meta.width END AS width,
+        |  CASE WHEN meta.width IS NOT NULL AND meta.height IS NOT NULL
+        |            AND greatest(meta.width, meta.height) > 96
+        |       THEN CAST(trunc(meta.height * (CAST(96 AS DOUBLE) / greatest(meta.width, meta.height))) AS INTEGER)
+        |       ELSE meta.height END AS height
+        |FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')
+        |ORDER BY media_id""".stripMargin,
     "q_nestsel" ->
       s"""SELECT CAST(identifier AS BIGINT) AS identifier, collection,
         |  CAST(len(traits) AS BIGINT) AS n_traits,

@@ -169,6 +169,22 @@ object Fixtures {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Resize as a declared query: the metadata-level transform of
+    * [[MultimodalOps.resize]] (max dimension 96, aspect preserved,
+    * truncating scale arithmetic) — the oracle re-derives the new
+    * dimensions arithmetically over the same stored metadata. */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    MultimodalOps.resize(
+        spark.read.parquet(mediaPath).as[MultimodalOps.MediaRow], maxDim = 96)
+      .toDF()
+      .select(col("media_id"), col("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy(col("media_id"))
+  }
+
   /** Corpus-health stats per kind over the persisted feature table —
     * [[MultimodalOps.mediaStats]] as an oracle row: both engines
     * aggregate the same stored doubles (min/max/count/sum are exact and
