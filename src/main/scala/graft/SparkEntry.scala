@@ -88,6 +88,7 @@ object SparkEntry {
     "q_tpch2" -> (Relational.qTpch2 _),
     "q_tpch20" -> (Relational.qTpch20 _),
     "q_interval_join" -> (Relational.qIntervalJoin _),
+    "q_interval_left" -> (Relational.qIntervalLeft _),
     // -- advanced relational / analytics --
     "q_cube" -> (Advanced.qCube _),
     "q_window_analytics" -> (Advanced.qWindowAnalytics _),
@@ -682,6 +683,14 @@ object SparkEntry {
         |  CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(s_ts)) AS BIGINT) AS lag_secs
         |FROM s JOIN p ON s.user_id = p.user_id
         |WHERE p_ts >= s_ts AND p_ts < s_ts + INTERVAL 1 HOUR
+        |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin,
+    "q_interval_left" ->
+      """WITH s AS (SELECT user_id, event_id AS signup_id, ts AS s_ts FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, signup_id, purchase_id,
+        |  CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(s_ts)) AS BIGINT) AS lag_secs
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |  AND p_ts >= s_ts AND p_ts < s_ts + INTERVAL 1 HOUR
         |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin,
     "q_resample" ->
       """WITH e AS (SELECT * FROM events WHERE user_id < 10),

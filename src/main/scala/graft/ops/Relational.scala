@@ -295,6 +295,27 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Q-interval-join, LEFT OUTER form: every signup, with its
+    * within-the-hour purchases when they exist and nulls when they
+    * don't — the batch twin of the streaming outer interval join
+    * ([[graft.streaming.StreamOps.signupPurchaseLeftJoin]], where the
+    * null rows emit on watermark-driven state expiry). Same plan shape
+    * as the inner form: equi-key hash join with the band as a join
+    * condition, never a nested loop. */
+  def qIntervalLeft(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    s.join(p, col("user_id") === col("p_user")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("user_id"), col("signup_id"), col("purchase_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("lag_secs"))
+      .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
   /** TPC-H Q2-shaped correlated scalar subquery: for every small part,
     * the supplier rows selling it at its global minimum price. Declared
     * in SQL on purpose — the correlated `min` subquery exercises

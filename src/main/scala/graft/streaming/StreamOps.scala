@@ -72,6 +72,25 @@ object StreamOps {
       .select(col("user_id"), col("signup_id"), col("purchase_id"), col("s_ts"), col("p_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: signups that never saw a
+    * purchase within the hour still emit (with null purchase columns)
+    * once the watermark passes the end of their join window — the
+    * state-expiry-driven emission that distinguishes streaming outer
+    * joins from batch ones. Both sides' state is bounded by the
+    * watermark + interval, the 100 TB requirement. Batch twin:
+    * [[graft.ops.Relational.qIntervalJoin]] with a left join. */
+  def signupPurchaseLeftJoin(signups: DataFrame, purchases: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    val s = signups.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    s.join(p, col("user_id") === col("p_user")
+      && col("p_ts") >= col("s_ts")
+      && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("user_id"), col("signup_id"), col("purchase_id"), col("s_ts"), col("p_ts"))
+  }
+
   case class Fetch(cache_key: Long, event_id: Long, ts: java.sql.Timestamp, etag: String)
 
   case class CacheEntry(etag: String, fetched_at: java.sql.Timestamp,

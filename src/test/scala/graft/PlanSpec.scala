@@ -81,6 +81,14 @@ class PlanSpec extends AnyFunSuite {
       s"no nested-loop fallback:\n$plan")
   }
 
+  test("curate: dup-loser anti-join broadcasts, never a sort-merge") {
+    val plan = planOf(graft.etl.Curate.qCurate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the tiny loser set must broadcast into the anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge anywhere in the curation path:\n$plan")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string

@@ -109,6 +109,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("left-outer stream join emits unmatched signups on watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val sMem = MemoryStream[StreamOps.Event]
+    val pMem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.signupPurchaseLeftJoin(sMem.toDF(), pMem.toDF(), delay = "5 minutes")
+      .writeStream.format("memory").queryName("ssjl_out").outputMode("append").start()
+    try {
+      sMem.addData(
+        StreamOps.Event(1, ts(0), 1, "signup", 0),
+        StreamOps.Event(2, ts(1), 2, "signup", 0)) // never purchases
+      pMem.addData(StreamOps.Event(10, ts(20), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // push both watermarks past signup 2's join window (1h + 5min)
+      val far = java.sql.Timestamp.valueOf("2024-01-01 13:00:00")
+      sMem.addData(StreamOps.Event(3, far, 9, "signup", 0))
+      pMem.addData(StreamOps.Event(11, far, 9, "purchase", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjl_out").select("signup_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got.contains((1L, 10L)), s"matched pair must emit: $got")
+    assert(got.contains((2L, -1L)), s"unmatched signup must emit nulls after expiry: $got")
+  }
+
   test("revalidating cache: 304 refreshes TTL, 200 replaces payload") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
