@@ -89,6 +89,7 @@ object SparkEntry {
     "q_tpch20" -> (Relational.qTpch20 _),
     "q_interval_join" -> (Relational.qIntervalJoin _),
     "q_interval_left" -> (Relational.qIntervalLeft _),
+    "q_range_join" -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.qRangeJoin(s, d)),
     // -- advanced relational / analytics --
     "q_cube" -> (Advanced.qCube _),
     "q_window_analytics" -> (Advanced.qWindowAnalytics _),
@@ -692,6 +693,14 @@ object SparkEntry {
         |FROM s LEFT JOIN p ON s.user_id = p.user_id
         |  AND p_ts >= s_ts AND p_ts < s_ts + INTERVAL 1 HOUR
         |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin,
+    "q_range_join" ->
+      """WITH s AS (SELECT event_id AS signup_id, ts AS s_ts FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id AS purchase_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+        |SELECT signup_id, purchase_id,
+        |  CAST(floor(epoch(p_ts)) AS BIGINT) - CAST(floor(epoch(s_ts)) AS BIGINT) AS dt_secs
+        |FROM s, p
+        |WHERE abs(CAST(floor(epoch(s_ts)) AS BIGINT) - CAST(floor(epoch(p_ts)) AS BIGINT)) <= 30
+        |ORDER BY signup_id, purchase_id""".stripMargin,
     "q_resample" ->
       """WITH e AS (SELECT * FROM events WHERE user_id < 10),
         |b AS (SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM e),

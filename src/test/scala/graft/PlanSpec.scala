@@ -81,6 +81,12 @@ class PlanSpec extends AnyFunSuite {
       s"no nested-loop fallback:\n$plan")
   }
 
+  test("keyless range join: binned equi-join, never a nested loop") {
+    val plan = planOf(graft.ops.RangeJoin.qRangeJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band must ride the manufactured bucket key:\n$plan")
+  }
+
   test("curate: dup-loser anti-join broadcasts, never a sort-merge") {
     val plan = planOf(graft.etl.Curate.qCurate(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
