@@ -83,6 +83,7 @@ object SparkEntry {
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
     "q_sim_lsh" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLsh(s, d)),
     "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
+    "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
     "q_tpch3" -> (Relational.qTpch3 _),
     "q_tpch5" -> (Relational.qTpch5 _),
     "q_tpch2" -> (Relational.qTpch2 _),
@@ -654,6 +655,42 @@ object SparkEntry {
          |  FROM e JOIN qc ON e.label = qc.c_label WHERE e.vec_id <> qc.q_id),
          |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
+         |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+         |cm0 AS (SELECT label, pos,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  FROM ex GROUP BY 1, 2),
+         |c0 AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm0 GROUP BY label),
+         |d1 AS (SELECT vec_id, v, c_label,
+         |  list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS dist
+         |  FROM e, c0),
+         |a1 AS (SELECT vec_id, v, c_label AS cluster FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM d1)
+         |  WHERE rn = 1),
+         |ex1 AS (SELECT cluster, ii.i - 1 AS pos, v[ii.i] AS x
+         |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+         |cm1 AS (SELECT cluster, pos,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  FROM ex1 GROUP BY 1, 2),
+         |c1 AS (SELECT cluster AS c_label, list(m ORDER BY pos) AS cv FROM cm1 GROUP BY cluster),
+         |d2 AS (SELECT vec_id, v, c_label,
+         |  list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS dist
+         |  FROM e, c1),
+         |a2 AS (SELECT vec_id, v, c_label AS cluster FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn FROM d2)
+         |  WHERE rn = 1),
+         |ex2 AS (SELECT cluster, ii.i - 1 AS pos, v[ii.i] AS x
+         |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+         |cm2 AS (SELECT cluster, pos,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  FROM ex2 GROUP BY 1, 2),
+         |c2 AS (SELECT cluster AS c_label, list(m ORDER BY pos) AS cv FROM cm2 GROUP BY cluster)
+         |SELECT CAST(a2.cluster AS BIGINT) AS cluster, count(*) AS n_members,
+         |  any_value(list_sum(cv)) AS c_checksum
+         |FROM a2 JOIN c2 ON a2.cluster = c2.c_label
+         |GROUP BY a2.cluster ORDER BY cluster""".stripMargin,
     "q_tpch3" ->
       s"""SELECT l_orderkey, o_orderpriority,
          |  CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue,

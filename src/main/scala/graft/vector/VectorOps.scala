@@ -169,6 +169,61 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Squared L2 distance (sequential double fold — bit-identical to
+    * DuckDB's list_sum over the same expression). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  private def elementMeans(assigned: DataFrame): DataFrame = {
+    import graft.ops.Exact._
+    assigned.select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((decToDouble(sum(dec(col("col"), 9))) / count(lit(1))).as("m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster").as("c_label"), transform(col("pm"), p => p.getField("m")).as("cv"))
+  }
+
+  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"),
+        struct(l2sq(col("v"), col("cv")).as("dist"), col("c_label").as("cl")).as("dc"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("v"), col("m.cl").as("cluster"))
+
+  /** Deterministic Lloyd refinement completing the IVF story: seed
+    * centroids are the per-label element means ([[ivfCentroids]]), then
+    * `iters` rounds of nearest-centroid assignment (squared-L2, label
+    * tie-break) and exact-decimal mean recomputation. Every step is
+    * reproducible cross-engine — double distances come out bitwise
+    * identical (sequential folds both sides), argmin ties break on the
+    * label, and means go through DECIMAL(18,9) sums — so the whole
+    * clustering is oracle-checkable, unlike seed-random k-means.
+    * Scale shape: k centroids broadcast; assignment is one narrow map
+    * over the corpus; the mean recompute is the same two-phase
+    * aggregate as ivfCentroids. At 100 TB both steps stay
+    * shuffle-bounded by k·dim, not corpus size.
+    *
+    * Declared output: per final cluster, the member count and the
+    * centroid checksum (fold-sum of its 64 means). */
+  def qKmeans(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var centroids = ivfCentroids(spark, dir)
+    var assigned: DataFrame = null
+    (1 to iters).foreach { _ =>
+      assigned = assign(emb, centroids).localCheckpoint()
+      centroids = elementMeans(assigned).localCheckpoint()
+    }
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(centroids.select(col("c_label").as("cluster"),
+        aggregate(col("cv"), lit(0.0), (acc, v) => acc + v).as("c_checksum")), Seq("cluster"))
+      .select(col("cluster").cast("long").as("cluster"), col("n_members"), col("c_checksum"))
+      .orderBy(col("cluster"))
+  }
+
   /** Centroid distance per label — exercises grouped vector aggregation
     * (element-wise mean via exact long-scaled sums would be ideal;
     * here: mean of the first component per label, deterministic via
