@@ -82,6 +82,7 @@ object SparkEntry {
     // -- similarity search --
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
     "q_sim_lsh" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLsh(s, d)),
+    "q_sim_lsh_mp" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLshMultiprobe(s, d)),
     "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
     "q_tpch3" -> (Relational.qTpch3 _),
@@ -145,6 +146,14 @@ object SparkEntry {
 
   private def lshBucketSql(v: String): String =
     lshBucketSqlFor(v, graft.vector.VectorOps.hyperplanes(4, 64))
+
+  /** Per-plane dot-product SQL fragments (same ±1 literals as the
+    * Spark plan) — used by the multi-probe oracle's margin argmin. */
+  private lazy val planeDotsSql: Seq[String] =
+    graft.vector.VectorOps.hyperplanes(4, 64).map { r =>
+      val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * (CAST($arr AS DOUBLE[]))[i]))"
+    }
 
   /** The 4 bucket tables of the multi-table embedding dedup (4 planes
     * each from one seeded 16-plane draw — mirrors embeddingDupPairs). */
@@ -635,6 +644,22 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
          |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 5),
+         |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
+         |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_sim_lsh_mp" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket,
+         |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
+         |  ${planeDotsSql(2)} AS d3, ${planeDotsSql(3)} AS d4 FROM e),
+         |qf AS (SELECT vec_id AS q_id, v AS qv, bucket,
+         |  CASE WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) AND abs(d1) <= abs(d4) THEN 1
+         |       WHEN abs(d2) <= abs(d3) AND abs(d2) <= abs(d4) THEN 2
+         |       WHEN abs(d3) <= abs(d4) THEN 4 ELSE 8 END AS flip
+         |  FROM bk WHERE vec_id < 5),
+         |q AS (SELECT q_id, qv, bucket FROM qf
+         |  UNION ALL SELECT q_id, qv, xor(bucket, flip) AS bucket FROM qf),
          |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
          |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
          |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)

@@ -83,6 +83,41 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Multi-probe sign-LSH ANN: each query probes its own bucket PLUS
+    * the bucket reached by flipping its lowest-|margin| hyperplane bit
+    * — the plane the vector sits closest to, hence the likeliest
+    * wrong-side assignment of a true neighbor. Recall rises toward the
+    * multi-table level at the cost of 2× query-side candidates and
+    * ZERO extra state (multi-table LSH pays nTables× the index
+    * storage; multi-probe reuses one table — the standard trade at
+    * 100 TB index scale). Probe order is deterministic (first-minimum
+    * tie-break) and mirrored in the oracle SQL; a corpus vector lives
+    * in exactly one bucket so the two probes can never double-count a
+    * candidate. */
+  def qSimTopkLshMultiprobe(spark: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val planes = hyperplanes(4, 64)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val dots = array(planes.map(r => dot(col("v"), array(r.map(lit): _*))): _*)
+    val absDots = transform(dots, abs(_))
+    // 1-based first index of the minimum |margin| → bit 1 << (pos-1)
+    val flipBit = element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+      array_position(absDots, array_min(absDots)).cast("int"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array(col("bucket"), col("bucket").bitwiseXOR(flipBit))).as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — multi-table sign-LSH:
     * candidates are pairs colliding in AT LEAST ONE of `nTables` bucket
     * tables (each table = `nPlanes` hyperplanes ⇒ 2^nPlanes buckets).

@@ -147,6 +147,17 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(got == truth, "pigeonhole banding must lose no pair within hamming 3")
   }
 
+  test("multi-probe LSH recall dominates single-probe against exact top-k") {
+    import graft.vector.VectorOps
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorOps.qSimTopk(spark, sf))
+    val single = pairs(VectorOps.qSimTopkLsh(spark, sf))
+    val multi = pairs(VectorOps.qSimTopkLshMultiprobe(spark, sf))
+    assert((multi intersect exact).size >= (single intersect exact).size,
+      s"extra probe must not lose recall: multi=${(multi intersect exact).size} single=${(single intersect exact).size}")
+  }
+
   test("exact text stats: tokens * docs sane on corpus") {
     val st = TextOps.qTextStats(spark, sf).agg(sum("n_docs"), sum("sum_tokens")).head()
     assert(st.getLong(0) == 500)
