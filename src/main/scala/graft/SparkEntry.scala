@@ -56,6 +56,7 @@ object SparkEntry {
     "q_array" -> (Scalars.qArray _),
     "q_cache_key" -> (Scalars.qCacheKey _),
     "q_ttl" -> (Scalars.qTtl _),
+    "q_headers" -> (Scalars.qHeaders _),
     // -- streaming batch twins --
     "q_tumble" -> (StreamTwins.qTumble _),
     "q_slide" -> (StreamTwins.qSlide _),
@@ -357,6 +358,13 @@ object SparkEntry {
         |  CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS BIGINT) AS has_the,
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_token_chars
         |FROM t ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q_headers" ->
+      """SELECT event_id,
+        |  'accept=application/json;content-type=' ||
+        |  CASE WHEN event_id % 3 = 0 THEN 'application/json'
+        |       WHEN event_id % 3 = 1 THEN 'text/html'
+        |       ELSE 'application/xml' END AS relevant
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
     "q_cache_key" ->
       """SELECT event_id,
         |  'https://api.example.com/v1/items?a=' || CAST(event_id AS VARCHAR) || '&b=' || CAST(user_id AS VARCHAR) AS url_norm,

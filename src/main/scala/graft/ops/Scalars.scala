@@ -108,6 +108,30 @@ object Scalars {
       .limit(300)
   }
 
+  /** Header allowlisting (ref `cache.py:41-55`): synthesize a messy
+    * header map (mixed-case keys, auth + request-id noise), keep only
+    * the cache-relevant entries with lowercased keys, and emit them as
+    * a canonical sorted `k=v;…` string. The oracle re-derives the
+    * expected survivors analytically from the same synthesized inputs —
+    * proving Authorization/X-Request-Id are dropped and case folds. */
+  def qHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val ct = when(col("event_id") % 3 === 0, lit("application/json"))
+      .when(col("event_id") % 3 === 1, lit("text/html"))
+      .otherwise(lit("application/xml"))
+    val headers = map(
+      lit("Accept"), lit("application/json"),
+      lit("Content-Type"), ct,
+      lit("X-Request-Id"), col("event_id").cast("string"),
+      lit("Authorization"), lit("Bearer secret"))
+    val rel = CacheSemantics.relevantHeaders(headers)
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        array_join(array_sort(transform(map_entries(rel),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))), ";").as("relevant"))
+      .orderBy(col("event_id"))
+      .limit(300)
+  }
+
   /** Q-ttl (ref R24/R25/R29): synthesize cache-control headers from
     * event ids, extract max-age / stale-while-revalidate, clamp TTL to
     * [0, 86400], detect directives. Pure int arithmetic — exact. */
