@@ -85,24 +85,70 @@ class PagedTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   }
 }
 
-class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder {
+/** Filter pushdown = PAGE PRUNING (ref: server-side query params,
+  * `nft.py:30-38`): identifier-range predicates map exactly onto the
+  * API's page space (`identifier = page·pageSize + offset`), so pages
+  * wholly outside the range are never fetched — the DSv2 analogue of
+  * passing the filter to the server. Every filter is also returned as
+  * residual so Spark re-applies it post-scan (page granularity is a
+  * superset at the boundaries — same contract as parquet row-group
+  * stats pruning). */
+class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var lo = 0L
+  private var hi = Long.MaxValue
+  private var pruning: Array[Filter] = Array.empty
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruning = filters.filter {
+      case EqualTo("identifier", v) =>
+        asLong(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x); true }
+      case GreaterThan("identifier", v) =>
+        asLong(v).exists { x => lo = math.max(lo, x + 1); true }
+      case GreaterThanOrEqual("identifier", v) =>
+        asLong(v).exists { x => lo = math.max(lo, x); true }
+      case LessThan("identifier", v) =>
+        asLong(v).exists { x => hi = math.min(hi, x - 1); true }
+      case LessThanOrEqual("identifier", v) =>
+        asLong(v).exists { x => hi = math.min(hi, x); true }
+      case _ => false
+    }
+    filters // all residual: Spark re-applies exact predicates post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pruning
+
   override def build(): Scan = new PagedScan(
     options.getLong("rows", 1000L),
     options.getInt("pageSize", 200),
     options.getInt("pagesPerPartition", 8),
     options.getInt("failEvery", 0),
-    options.getInt("maxRetries", 3))
+    options.getInt("maxRetries", 3),
+    lo, hi)
 }
 
 class PagedScan(rows: Long, pageSize: Int, pagesPerPartition: Int,
-    failEvery: Int, maxRetries: Int) extends Scan with Batch {
+    failEvery: Int, maxRetries: Int, idLo: Long = 0L, idHi: Long = Long.MaxValue)
+    extends Scan with Batch {
   override def readSchema(): StructType = PagedSource.schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val nPages = ((rows + pageSize - 1) / pageSize).toInt
-    (0 until nPages by pagesPerPartition).map { first =>
-      PagedPartition(first, math.min(first + pagesPerPartition, nPages)): InputPartition
+    // clamp the page space to the pushed identifier range
+    val firstPage = math.max(0L, idLo / pageSize).toInt
+    val lastPage = if (idHi == Long.MaxValue) nPages
+      else math.min(nPages.toLong, idHi / pageSize + 1).toInt
+    if (firstPage >= lastPage) return Array.empty
+    (firstPage until lastPage by pagesPerPartition).map { first =>
+      PagedPartition(first, math.min(first + pagesPerPartition, lastPage)): InputPartition
     }.toArray
   }
 

@@ -29,6 +29,19 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 7)
   }
 
+  test("identifier-range filters prune pages before any fetch") {
+    // 26 pages of 100; identifier < 350 touches pages 0-3 -> 1 partition of 4 pages
+    val pruned = read(2537).filter(col("identifier") < 350)
+    assert(pruned.rdd.getNumPartitions == 1,
+      s"expected one 4-page partition, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.count() == 350) // residual re-applied: exact rows survive
+    val mid = read(2537).filter(col("identifier") >= 1000 && col("identifier") < 1200)
+    assert(mid.count() == 200)
+    assert(mid.rdd.getNumPartitions == 1)
+    val none = read(2537).filter(col("identifier") === lit(5000))
+    assert(none.count() == 0, "range beyond the corpus plans zero partitions")
+  }
+
   test("transient page failures are retried, not lost") {
     val df = read(1000, Map("failEvery" -> "3")) // every 3rd page fails once
     assert(df.count() == 1000)
