@@ -86,6 +86,7 @@ object SparkEntry {
     "q_sim_lsh_mp" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLshMultiprobe(s, d)),
     "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
+    "q_sim_pq" -> ((s: SparkSession, d: String) => VectorOps.qSimPq(s, d)),
     "q_tpch3" -> (Relational.qTpch3 _),
     "q_tpch5" -> (Relational.qTpch5 _),
     "q_tpch2" -> (Relational.qTpch2 _),
@@ -155,6 +156,11 @@ object SparkEntry {
       val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
       s"list_sum(list_transform(range(1, 65), i -> v[i] * (CAST($arr AS DOUBLE[]))[i]))"
     }
+
+  /** PQ oracle fragments: per-subspace squared distance (dims 8s+1..
+    * 8s+8, sequential fold) and the 8-way code/lookup join chain. */
+  private def pqSubDistSql(s: Int): String =
+    s"list_sum(list_transform(range(${1 + 8 * s}, ${9 + 8 * s}), i -> (v[i]-cv[i])*(v[i]-cv[i])))"
 
   /** The 4 bucket tables of the multi-table embedding dedup (4 planes
     * each from one seeded 16-plane draw — mirrors embeddingDupPairs). */
@@ -724,6 +730,32 @@ object SparkEntry {
          |  any_value(list_sum(cv)) AS c_checksum
          |FROM a2 JOIN c2 ON a2.cluster = c2.c_label
          |GROUP BY a2.cluster ORDER BY cluster""".stripMargin,
+    "q_sim_pq" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
+         |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+         |cm AS (SELECT label, pos,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  FROM ex GROUP BY 1, 2),
+         |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
+         |dists AS (SELECT vec_id, c_label,
+         |  ${(0 until 8).map(s => s"${pqSubDistSql(s)} AS d$s").mkString(", ")}
+         |  FROM e, cent),
+         |codes AS (SELECT vec_id,
+         |  ${(0 until 8).map(s => s"first(c_label ORDER BY d$s, c_label) AS code$s").mkString(", ")}
+         |  FROM dists GROUP BY vec_id),
+         |qd AS (SELECT vec_id AS q_id, c_label,
+         |  ${(0 until 8).map(s => s"d$s").mkString(", ")}
+         |  FROM dists WHERE vec_id < 5),
+         |score AS (SELECT t0.q_id, x.vec_id,
+         |  ${(0 until 8).map(s => s"t$s.d$s").mkString(" + ")} AS score
+         |  FROM codes x
+         |  ${(0 until 8).map(s => s"JOIN qd t$s ON t$s.c_label = x.code$s" +
+               (if (s > 0) s" AND t$s.q_id = t0.q_id" else "")).mkString("\n  ")}),
+         |r AS (SELECT q_id, vec_id, score,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY score, vec_id) AS rn
+         |  FROM score WHERE vec_id <> q_id)
+         |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_tpch3" ->
       s"""SELECT l_orderkey, o_orderpriority,
          |  CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue,

@@ -259,6 +259,62 @@ object VectorOps {
       .orderBy(col("cluster"))
   }
 
+  /** Per-subspace squared distance: dims [8s+1, 8s+8] (1-based), as a
+    * sequential fold (bitwise == DuckDB's list_sum over the same
+    * slice). */
+  private def subDist(v: Column, cv: Column, s: Int): Column =
+    aggregate(zip_with(slice(v, 8 * s + 1, 8), slice(cv, 8 * s + 1, 8),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  /** Product-quantization ANN (asymmetric distance): 64-dim vectors
+    * split into 8 subspaces of 8 dims; per subspace the codebook is the
+    * label centroids restricted to those dims (label-seeded — swap in
+    * [[qKmeans]]-refined codebooks per subspace for production); each
+    * corpus vector is ENCODED as 8 small codes (8 ints replace 64
+    * floats — the memory collapse that lets a 100 TB corpus' index fit
+    * in RAM), and query scoring is table lookup + 8 adds per candidate,
+    * never touching raw corpus vectors (ADC). Every step is
+    * deterministic (sequential folds, label tie-breaks), so encoding
+    * AND approximate ranking are oracle-checked end-to-end. (On THIS
+    * corpus the approximate ranking carries little signal — the
+    * synthetic embeddings have no cluster structure (max pairwise
+    * cosine ≈ 0.48), so 10 label-seeded codes per subspace quantize
+    * near-randomly; recall vs exact top-k ≈ 20 %. The oracle verifies
+    * the mechanics bit-for-bit; real corpora with real clusters are
+    * where PQ recall comes from.)
+    *
+    * Scale shape: codebooks broadcast (k·64 doubles); encoding is one
+    * narrow corpus map; the scored relation is codes × queries with
+    * 8 broadcast lookup joins — no shuffle of anything vector-sized. */
+  def qSimPq(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = ivfCentroids(spark, dir)
+    val dists = emb.crossJoin(broadcast(cent))
+      .select(Seq(col("vec_id"), col("c_label")) ++
+        (0 until 8).map(s => subDist(col("v"), col("cv"), s).as(s"d$s")): _*)
+    val codes = dists.groupBy(col("vec_id"))
+      .agg(min(struct(col("d0").as("d"), col("c_label").as("l"))).getField("l").as("code0"),
+        (1 until 8).map(s =>
+          min(struct(col(s"d$s").as("d"), col("c_label").as("l"))).getField("l").as(s"code$s")): _*)
+    val qd = dists.filter(col("vec_id") < nQueries).withColumnRenamed("vec_id", "q_id")
+    var scored = codes.crossJoin(broadcast(qd.select(col("q_id")).distinct()))
+    (0 until 8).foreach { s =>
+      scored = scored.join(
+        broadcast(qd.select(col("q_id"), col("c_label").as(s"code$s"), col(s"d$s").as(s"qd$s"))),
+        Seq("q_id", s"code$s"))
+    }
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score"), col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id"),
+        (0 until 8).map(s => col(s"qd$s")).reduce(_ + _).as("score"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Centroid distance per label — exercises grouped vector aggregation
     * (element-wise mean via exact long-scaled sums would be ideal;
     * here: mean of the first component per label, deterministic via
