@@ -197,6 +197,25 @@ object Fixtures {
       spark.read.parquet(mediaFeaturesPath).as[MultimodalOps.MediaFeatures])
   }
 
+  /** Clustered embedding corpus for ANN-recall specs (the driver
+    * corpus is cluster-free — max pairwise cosine ≈ 0.48 — so recall
+    * there is structurally meaningless): `nClusters` sha-derived
+    * centers, `perCluster` members each at center + noise·perturbation.
+    * Labels carry the ground-truth cluster. Not persisted — specs
+    * generate it on demand; deterministic like every fixture. */
+  def embClusterFixture(spark: SparkSession, nClusters: Int = 10,
+      perCluster: Int = 20, noise: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    spark.range(nClusters.toLong * perCluster).map { i0 =>
+      val i: Long = i0
+      val cl = i / perCluster
+      val v = Array.tabulate(64) { j =>
+        u(cl, j, "center") + noise * u(i, j, "cnoise")
+      }
+      (i, cl.toInt, v)
+    }.toDF("vec_id", "label", "v")
+  }
+
   /** Embedding-cosine near-dup pairs over the planted-dup fixture —
     * the declared-query form of the multi-table sign-LSH dedup: the
     * oracle mirrors all 4 bucket tables and the exact-cosine verify

@@ -259,6 +259,12 @@ object VectorOps {
       .orderBy(col("cluster"))
   }
 
+  /** Exact-decimal per-label element means of an arbitrary
+    * `(label, v)` relation — codebook source for [[pqTopk]] on
+    * fixtures. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    elementMeans(emb.select(col("label").as("cluster"), col("v")))
+
   /** Per-subspace squared distance: dims [8s+1, 8s+8] (1-based), as a
     * sequential fold (bitwise == DuckDB's list_sum over the same
     * slice). */
@@ -289,7 +295,14 @@ object VectorOps {
   def qSimPq(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = ivfCentroids(spark, dir)
+    pqTopk(emb, ivfCentroids(spark, dir), nQueries, k)
+  }
+
+  /** PQ encode + ADC rank against an arbitrary corpus `(vec_id, v)`
+    * and codebook source `(c_label, cv)` — the engine form behind
+    * [[qSimPq]]; specs drive it with planted-cluster fixtures where
+    * recall is structurally meaningful. */
+  def pqTopk(emb: DataFrame, cent: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val dists = emb.crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("c_label")) ++
         (0 until 8).map(s => subDist(col("v"), col("cv"), s).as(s"d$s")): _*)

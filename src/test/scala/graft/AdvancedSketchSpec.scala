@@ -25,6 +25,22 @@ class AdvancedSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ recall is high on clustered data (where recall is structural)") {
+    import graft.vector.VectorOps
+    import graft.sources.Fixtures
+    val emb = Fixtures.embClusterFixture(spark).cache()
+    val cent = VectorOps.labelCentroids(emb)
+    val truth = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val all = VectorOps.pqTopk(emb.select(col("vec_id"), col("v")), cent,
+      nQueries = 200, k = 5) // every vector queries
+      .select(col("q_id"), col("vec_id")).collect()
+    val hits = all.count(r => truth(r.getLong(0)) == truth(r.getLong(1)))
+    val recall = hits.toDouble / all.length
+    emb.unpersist()
+    assert(recall > 0.9, f"same-cluster recall $recall%.2f should be >0.9 on clustered data")
+  }
+
   test("approx percentile lands within a ±2% rank band of the target quantile") {
     // rank-based check (value bands conflate rank error with value
     // gaps: exact percentile() interpolates, the sketch returns a real
