@@ -94,12 +94,30 @@ class PagedTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   * superset at the boundaries — same contract as parquet row-group
   * stats pruning). */
 class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var lo = 0L
   private var hi = Long.MaxValue
   private var pruning: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** COUNT(*) pushdown: the page space is arithmetic (`identifier =
+    * page·pageSize + offset`), so a global count needs ZERO fetches —
+    * each partition reports its page-range row count analytically
+    * (partial pushdown; Spark sums the partition rows). The API
+    * analogue of reading a `total` field off the index endpoint
+    * instead of paging the collection. Spark only offers the
+    * aggregate when no residual filters remain, so the all-residual
+    * filter policy above keeps filtered counts on the exact path. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
@@ -131,13 +149,16 @@ class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
     options.getInt("pagesPerPartition", 8),
     options.getInt("failEvery", 0),
     options.getInt("maxRetries", 3),
-    lo, hi)
+    lo, hi, countPushed)
 }
 
 class PagedScan(rows: Long, pageSize: Int, pagesPerPartition: Int,
-    failEvery: Int, maxRetries: Int, idLo: Long = 0L, idHi: Long = Long.MaxValue)
+    failEvery: Int, maxRetries: Int, idLo: Long = 0L, idHi: Long = Long.MaxValue,
+    countOnly: Boolean = false)
     extends Scan with Batch {
-  override def readSchema(): StructType = PagedSource.schema
+  override def readSchema(): StructType =
+    if (countOnly) StructType(Seq(StructField("count", LongType, nullable = false)))
+    else PagedSource.schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -153,7 +174,26 @@ class PagedScan(rows: Long, pageSize: Int, pagesPerPartition: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(rows, pageSize, failEvery, maxRetries)
+    if (countOnly) new CountReaderFactory(rows, pageSize)
+    else new PagedReaderFactory(rows, pageSize, failEvery, maxRetries)
+}
+
+/** Partial-count reader: one row per partition with the page-range
+  * size, computed arithmetically — the Fetcher is never constructed. */
+class CountReaderFactory(rows: Long, pageSize: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val first = p.firstPage.toLong * pageSize
+        val end = math.min(p.endPage.toLong * pageSize, rows)
+        InternalRow(math.max(0L, end - first))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class PagedPartition(firstPage: Int, endPage: Int) extends InputPartition

@@ -29,6 +29,19 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 7)
   }
 
+  test("COUNT(*) is answered from page arithmetic without fetching") {
+    // failEvery=1 + maxRetries=0 makes ANY fetch throw — the count can
+    // only succeed if the aggregate pushdown bypassed the Fetcher
+    val df = spark.read.format("graft.sources.PagedSource")
+      .option("rows", 2537).option("pageSize", 100)
+      .option("failEvery", 1).option("maxRetries", 0).load()
+    assert(df.agg(count(lit(1))).head().getLong(0) == 2537L)
+    // a filtered count must stay on the exact fetch path (and fail here)
+    intercept[Exception] {
+      df.filter(col("identifier") < 100).agg(count(lit(1))).head()
+    }
+  }
+
   test("identifier-range filters prune pages before any fetch") {
     // 26 pages of 100; identifier < 350 touches pages 0-3 -> 1 partition of 4 pages
     val pruned = read(2537).filter(col("identifier") < 350)
@@ -50,7 +63,9 @@ class PagedSourceSpec extends AnyFunSuite {
 
   test("exhausted retries surface the failure") {
     val df = read(1000, Map("failEvery" -> "3", "maxRetries" -> "0"))
-    val e = intercept[Exception] { df.count() }
+    // collect(), not count(): a bare count is now answered by the
+    // aggregate pushdown without fetching and would (correctly) succeed
+    val e = intercept[Exception] { df.collect() }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
     assert(chain(e).exists(_.getMessage != null) &&
