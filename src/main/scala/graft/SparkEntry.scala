@@ -90,6 +90,7 @@ object SparkEntry {
     "q_tpch3" -> (Relational.qTpch3 _),
     "q_tpch5" -> (Relational.qTpch5 _),
     "q_tpch2" -> (Relational.qTpch2 _),
+    "q_tpch4" -> (Relational.qTpch4 _),
     "q_tpch20" -> (Relational.qTpch20 _),
     "q_interval_join" -> (Relational.qIntervalJoin _),
     "q_interval_left" -> (Relational.qIntervalLeft _),
@@ -859,6 +860,15 @@ object SparkEntry {
         |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
         |                           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
         |ORDER BY p.p_partkey, s.s_name, l.l_extendedprice""".stripMargin,
+    "q_tpch4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_tpch20" ->
       """SELECT s.s_suppkey, s.s_name, s.s_acctbal
         |FROM supplier s

@@ -342,6 +342,27 @@ object Relational {
         |ORDER BY p.p_partkey, s.s_name, l.l_extendedprice""".stripMargin)
   }
 
+  /** TPC-H Q4-shaped correlated EXISTS: order-priority counts for one
+    * quarter, keeping only orders with at least one lineitem shipped
+    * after the order date. EXISTS is the third decorrelation path
+    * (scalar → q_tpch2, IN → q_tpch20, EXISTS → here): Catalyst
+    * rewrites it to a left-semi join with the correlated predicate as
+    * the join condition — the inner never aggregates or materializes,
+    * and the fact scan prunes to the quarter first. */
+  def qTpch4(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM graft_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** TPC-H Q20-shaped nested semi-join chain: suppliers who moved more
     * than 50 units of some 'gear' part in 1996–97, restricted to a
     * nation subset. Both IN subqueries plan as left-semi joins (the

@@ -74,6 +74,13 @@ class PlanSpec extends AnyFunSuite {
       s"correlated min must be rewritten, not re-executed per row:\n$plan")
   }
 
+  test("tpch4: correlated EXISTS plans as a left-semi join, no per-row subquery") {
+    val plan = planOf(graft.ops.Relational.qTpch4(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS must become a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop fallback:\n$plan")
+  }
+
   test("tpch20: IN-subquery chain plans as semi joins, aggregate before the semi") {
     val plan = planOf(graft.ops.Relational.qTpch20(spark, sf))
     assert(plan.contains("LeftSemi"), s"expected left-semi joins:\n$plan")
