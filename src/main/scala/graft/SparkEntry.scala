@@ -91,6 +91,7 @@ object SparkEntry {
     "q_tpch5" -> (Relational.qTpch5 _),
     "q_tpch2" -> (Relational.qTpch2 _),
     "q_tpch4" -> (Relational.qTpch4 _),
+    "q_not_exists" -> (Relational.qNotExists _),
     "q_tpch20" -> (Relational.qTpch20 _),
     "q_interval_join" -> (Relational.qIntervalJoin _),
     "q_interval_left" -> (Relational.qIntervalLeft _),
@@ -867,6 +868,16 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_not_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey
+        |                    AND l_shipdate < o_orderdate + INTERVAL 30 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_tpch20" ->

@@ -363,6 +363,26 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Correlated NOT EXISTS (anti-decorrelation, Q21/Q22 flavor):
+    * quarter orders where NO lineitem shipped within 30 days of the
+    * order date — the left-ANTI twin of [[qTpch4]]'s semi join, with
+    * the same correlated non-equi predicate riding the anti-join
+    * condition. */
+  def qNotExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM graft_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem
+        |                  WHERE l_orderkey = o_orderkey
+        |                    AND l_shipdate < o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** TPC-H Q20-shaped nested semi-join chain: suppliers who moved more
     * than 50 units of some 'gear' part in 1996–97, restricted to a
     * nation subset. Both IN subqueries plan as left-semi joins (the
