@@ -92,6 +92,7 @@ object SparkEntry {
     "q_tpch2" -> (Relational.qTpch2 _),
     "q_tpch4" -> (Relational.qTpch4 _),
     "q_not_exists" -> (Relational.qNotExists _),
+    "q_not_in_naaj" -> (Relational.qNotInNaaj _),
     "q_tpch20" -> (Relational.qTpch20 _),
     "q_interval_join" -> (Relational.qIntervalJoin _),
     "q_interval_left" -> (Relational.qIntervalLeft _),
@@ -870,6 +871,14 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_not_in_naaj" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 7 = 0
+        |  AND c_custkey NOT IN (
+        |    SELECT CASE WHEN o_totalprice > 150000 THEN NULL ELSE o_custkey END
+        |    FROM orders WHERE o_custkey % 3 = 0 AND o_totalprice <= 150000)
+        |ORDER BY c_custkey""".stripMargin,
     "q_not_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -363,6 +363,28 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Null-aware anti join: NOT IN over a NULLABLE inner column has
+    * three-valued-logic semantics (any NULL in the inner set makes
+    * every NOT IN false — the whole result empties) that a plain anti
+    * join gets wrong; Spark plans the single-column case as a
+    * BroadcastHashJoin with isNullAwareAntiJoin. The CASE makes the
+    * inner column nullable-typed (forcing the null-aware plan) while
+    * the WHERE keeps actual NULLs out of the set — so the result stays
+    * non-degenerate (an actual NULL would empty it entirely) and both
+    * engines must agree on the 3VL handling row-by-row. */
+  def qNotInNaaj(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM graft_customer
+        |WHERE c_custkey % 7 = 0
+        |  AND c_custkey NOT IN (
+        |    SELECT CASE WHEN o_totalprice > 150000 THEN NULL ELSE o_custkey END
+        |    FROM graft_orders WHERE o_custkey % 3 = 0 AND o_totalprice <= 150000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Correlated NOT EXISTS (anti-decorrelation, Q21/Q22 flavor):
     * quarter orders where NO lineitem shipped within 30 days of the
     * order date — the left-ANTI twin of [[qTpch4]]'s semi join, with
