@@ -79,6 +79,7 @@ object SparkEntry {
     "q_simhash" -> (Dedup.qSimhash _),
     "q_simhash_pairs" -> (Dedup.qSimhashPairs _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.qDupClusters(s, d)),
+    "q_incr_dedup" -> ((s: SparkSession, d: String) => Dedup.qIncrementalDedup(s, d)),
     "q_curate" -> (graft.etl.Curate.qCurate _),
     // -- similarity search --
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
@@ -520,6 +521,23 @@ object SparkEntry {
       """SELECT l_partkey, count(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING count(*) >= 5
         |ORDER BY n DESC, l_partkey""".stripMargin,
+    "q_incr_dedup" ->
+      s"""WITH $minhashCtes,
+         |near AS (
+         |  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+         |         min(CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END) AS near_dup_of
+         |  FROM j
+         |  WHERE jac >= 0.5 AND ((doc_a % 5 = 0) <> (doc_b % 5 = 0))
+         |  GROUP BY 1),
+         |fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+         |  FROM documents),
+         |hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 0),
+         |delta AS (SELECT doc_id, f FROM fp WHERE doc_id % 5 = 0)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN h.f IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+         |  CAST(coalesce(n.near_dup_of, -1) AS BIGINT) AS near_dup_of
+         |FROM delta d LEFT JOIN hist h ON d.f = h.f LEFT JOIN near n ON n.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_curate" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),

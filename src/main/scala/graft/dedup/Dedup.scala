@@ -239,6 +239,51 @@ object Dedup {
     dupClusters(minhashPairs(spark, dir))
       .orderBy(col("doc_id"))
 
+  /** INCREMENTAL dedup — the daily-delta scenario that dominates real
+    * pipeline cost: dedupe NEW documents against the EXISTING corpus
+    * without recomputing anything over history. History (doc_id % 5
+    * ≠ 0 here; in production a stored band-index table) contributes
+    * only its banded signatures and fingerprints; the delta is scanned
+    * once for its own signatures; candidates come from the delta×index
+    * band equi-join (never delta×history raw); exact verify touches
+    * candidate pairs only. Output per delta doc: exact-dup flag
+    * (fingerprint match against history) and the smallest near-dup
+    * history partner, if any.
+    *
+    * At 100 TB the band index is a bucketed table the daily job
+    * equi-joins against — cost scales with |delta|·dup-density, not
+    * |corpus|. */
+  def qIncrementalDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val fp = (d: Column) => md5(lower(trim(regexp_replace(d, "\\s+", " "))))
+    // exact: fingerprint semi-join against history
+    val histFp = history.select(fp(col("text")).as("fp")).distinct()
+    val exact = delta.select(col("doc_id"), fp(col("text")).as("fp"))
+      .join(broadcast(histFp.withColumn("is_exact_dup", lit(1L))), Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"))
+    // near: delta signatures × history band index, exact verify on candidates
+    val histBands = bandedSignatures(history)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("hist_id"))
+    val deltaBands = bandedSignatures(delta)
+    val cand = deltaBands.join(histBands, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("hist_id")).distinct()
+    val candIds = cand.select(explode(array(col("doc_id"), col("hist_id"))).as("id")).distinct()
+    val toks = docs.join(broadcast(candIds), col("doc_id") === col("id"), "left_semi")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val near = cand
+      .join(toks.select(col("doc_id"), col("toks").as("t_a")), Seq("doc_id"))
+      .join(toks.select(col("doc_id").as("hist_id"), col("toks").as("t_b")), Seq("hist_id"))
+      .filter(graft.functions.TextHashes.shingleJaccard(col("t_a"), col("t_b"), ShingleK) >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(min(col("hist_id")).as("near_dup_of"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("near_dup_of"), lit(-1L)).as("near_dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force n-gram (3-shingle) jaccard pairs above a high
     * threshold — the exact (non-LSH) reference answer; O(n²), kept for
     * small-corpus verification and as the oracle-checkable twin of the
