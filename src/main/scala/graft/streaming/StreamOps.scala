@@ -91,6 +91,15 @@ object StreamOps {
       .select(col("user_id"), col("signup_id"), col("purchase_id"), col("s_ts"), col("p_ts"))
   }
 
+  /** Stream-static enrichment: a streaming fact joined to a batch
+    * dimension (the streaming form of Q-join-lookup / ref R3's per-row
+    * trait enrichment). The static side broadcasts per micro-batch —
+    * no stream state at all, the cheapest join a stream can do; a
+    * dimension too big to broadcast becomes a stream-stream join with
+    * the dim as a slowly-changing stream instead. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   case class Fetch(cache_key: Long, event_id: Long, ts: java.sql.Timestamp, etag: String)
 
   case class CacheEntry(etag: String, fetched_at: java.sql.Timestamp,

@@ -109,6 +109,20 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("stream-static enrichment joins each micro-batch to the broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("event_type", "category")
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(rows: _*)
+    val q = StreamOps.enrichWithStatic(mem.toDF(), dim, "event_type").writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_out").select("event_id", "category")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"))).toSet
+    assert(got == Set((1L, "alpha"), (2L, "alpha"), (4L, "alpha"),
+      (3L, "beta"), (5L, "beta")))
+  }
+
   test("left-outer stream join emits unmatched signups on watermark expiry") {
     implicit val sqlCtx = spark.sqlContext
     val sMem = MemoryStream[StreamOps.Event]
