@@ -284,6 +284,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Persist a corpus' band signatures as the BUCKETED index table the
+    * incremental job equi-joins against: bucketed+sorted on the join
+    * key, so the (large, historical) index side is read pre-partitioned
+    * with NO Exchange — only the small daily delta shuffles. This is
+    * the stored-artifact form of [[qIncrementalDedup]]'s history side. */
+  def writeBandIndex(history: DataFrame, table: String, buckets: Int = 8): Unit =
+    bandedSignatures(history).write.mode("overwrite")
+      .bucketBy(buckets, "band_idx", "band_hash")
+      .sortBy("band_idx", "band_hash")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Delta near-dup candidates against a persisted band index: one
+    * shuffle (the delta), index side Exchange-free (asserted in
+    * SkewSpec). */
+  def candidatesAgainstIndex(spark: SparkSession, delta: DataFrame,
+      indexTable: String): DataFrame = {
+    val idx = spark.table(indexTable)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("hist_id"))
+    bandedSignatures(delta)
+      .join(idx, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("hist_id")).distinct()
+  }
+
   /** Brute-force n-gram (3-shingle) jaccard pairs above a high
     * threshold — the exact (non-LSH) reference answer; O(n²), kept for
     * small-corpus verification and as the oracle-checkable twin of the

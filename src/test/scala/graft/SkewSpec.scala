@@ -9,6 +9,43 @@ class SkewSpec extends AnyFunSuite {
   import SparkFixture.{spark, sf}
   import spark.implicits._
 
+  test("band-index incremental dedup: index side reads Exchange-free") {
+    import graft.dedup.Dedup
+    val table = "band_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val dir = new java.io.File(s"spark-warehouse/$table")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val docs = Tables.documents(spark, sf)
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.writeBandIndex(history, table, buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cand = Dedup.candidatesAgainstIndex(spark, delta, table)
+      cand.count() // finalize AQE
+      val plan = cand.queryExecution.executedPlan.toString
+      // exactly the delta and the distinct shuffle; the index never moves
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ against the bucketed index:\n$plan")
+      assert(joinPart.split("Exchange").length - 1 == 1,
+        s"only the delta side may shuffle into the join:\n$plan")
+      // candidate set identical to the unbucketed computation
+      val live = graft.dedup.Dedup.bandedSignatures(delta)
+        .join(graft.dedup.Dedup.bandedSignatures(history)
+          .select(col("band_idx"), col("band_hash"), col("doc_id").as("hist_id")),
+          Seq("band_idx", "band_hash"))
+        .select(col("doc_id"), col("hist_id")).distinct()
+      assert(cand.collect().toSet == live.collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of rows share one hot key
     val big = spark.range(20000)
