@@ -91,6 +91,22 @@ object StreamOps {
       .select(col("user_id"), col("signup_id"), col("purchase_id"), col("s_ts"), col("p_ts"))
   }
 
+  /** Streaming near-dup flagging: incoming documents hash to banded
+    * MinHash signatures IN the stream (the custom MinhashSlices
+    * expression is a deterministic projection, so it runs unchanged in
+    * a streaming plan) and equi-join the STATIC persisted band index —
+    * zero stream state, candidates emitted at-least-once per colliding
+    * band (downstream exact-verify dedupes, as in the batch pipeline).
+    * This is [[graft.dedup.Dedup.candidatesAgainstIndex]] with the
+    * delta arriving as a stream: the shape of continuous corpus
+    * ingestion with online dedup against yesterday's index. */
+  def streamingNearDupCandidates(docs: DataFrame, bandIndex: DataFrame): DataFrame =
+    graft.dedup.Dedup.bandedSignatures(docs)
+      .join(broadcast(bandIndex
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("hist_id"))),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("hist_id"))
+
   /** Stream-static enrichment: a streaming fact joined to a batch
     * dimension (the streaming form of Q-join-lookup / ref R3's per-row
     * trait enrichment). The static side broadcasts per micro-batch —

@@ -109,6 +109,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 12L)))
   }
 
+  test("streaming near-dup candidates match the batch index join") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, SparkFixture.sf)
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val index = graft.dedup.Dedup.bandedSignatures(history)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(delta.toSeq: _*)
+    val q = StreamOps.streamingNearDupCandidates(
+        mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("neardup_out").as[(Long, Long)].collect().toSet
+    // batch twin built inline (no table needed): same band join
+    val expected = graft.dedup.Dedup.bandedSignatures(docs.filter(col("doc_id") % 5 === 0))
+      .join(index.select(col("band_idx"), col("band_hash"), col("doc_id").as("hist_id")),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("hist_id")).as[(Long, Long)].collect().toSet
+    assert(got == expected, s"stream flags ${got.size} vs batch ${expected.size}")
+  }
+
   test("stream-static enrichment joins each micro-batch to the broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("event_type", "category")
