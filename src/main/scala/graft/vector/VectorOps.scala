@@ -272,6 +272,52 @@ object VectorOps {
     aggregate(zip_with(slice(v, 8 * s + 1, 8), slice(cv, 8 * s + 1, 8),
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
 
+  /** One Lloyd round of PER-SUBSPACE codebook refinement for PQ:
+    * within each 8-dim subspace, vectors re-assign to their nearest
+    * sub-centroid and the sub-centroids move to the exact-decimal mean
+    * of their assignees (labels that win nothing keep their seed
+    * slice). Lloyd guarantees the total quantization error is
+    * non-increasing per round — pinned in AdvancedSketchSpec. Returns
+    * the same (c_label, cv) shape [[pqTopk]] consumes, slices
+    * reassembled per label. */
+  def refinePqCodebooks(emb: DataFrame, seed: DataFrame): DataFrame = {
+    import graft.ops.Exact._
+    (0 until 8).foldLeft(seed) { (cb, s) =>
+      val assigned = emb.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("v"),
+          struct(subDist(col("v"), col("cv"), s).as("d"), col("c_label").as("l")).as("dc"))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(min(col("dc")).getField("l").as("cluster"))
+      val subMeans = assigned
+        .select(col("cluster"), posexplode(slice(col("v"), 8 * s + 1, 8)))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((decToDouble(sum(dec(col("col"), 9))) / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster").as("c_label"),
+          transform(col("pm"), p => p.getField("m")).as("sub"))
+      cb.join(subMeans, Seq("c_label"), "left")
+        .select(col("c_label"), concat(
+          slice(col("cv"), 1, 8 * s),
+          coalesce(col("sub"), slice(col("cv"), 8 * s + 1, 8)),
+          slice(col("cv"), 8 * s + 9, 64 - 8 * s - 8)).as("cv"))
+        .localCheckpoint()
+    }
+  }
+
+  /** Total PQ quantization error of a corpus under a codebook: each
+    * vector's summed squared distance to its nearest sub-centroid per
+    * subspace. The objective Lloyd minimizes. */
+  def pqQuantizationError(emb: DataFrame, cb: DataFrame): Double = {
+    val perSub = (0 until 8).map { s =>
+      emb.crossJoin(broadcast(cb))
+        .select(col("vec_id"), struct(subDist(col("v"), col("cv"), s).as("d")).as("dc"))
+        .groupBy(col("vec_id")).agg(min(col("dc")).getField("d").as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+    }
+    perSub.sum
+  }
+
   /** Product-quantization ANN (asymmetric distance): 64-dim vectors
     * split into 8 subspaces of 8 dims; per subspace the codebook is the
     * label centroids restricted to those dims (label-seeded — swap in

@@ -41,6 +41,23 @@ class AdvancedSketchSpec extends AnyFunSuite {
     assert(recall > 0.9, f"same-cluster recall $recall%.2f should be >0.9 on clustered data")
   }
 
+  test("Lloyd-refined PQ codebooks never increase quantization error") {
+    import graft.vector.VectorOps
+    import graft.sources.Fixtures
+    // noisy clusters: label seeds are a poor fit, refinement has room
+    val emb = Fixtures.embClusterFixture(spark, noise = 0.6)
+      .select(col("vec_id"), col("label"), col("v")).cache()
+    val corpus = emb.select(col("vec_id"), col("v"))
+    val seed = VectorOps.labelCentroids(emb).localCheckpoint()
+    val refined = VectorOps.refinePqCodebooks(corpus, seed)
+    val e0 = VectorOps.pqQuantizationError(corpus, seed)
+    val e1 = VectorOps.pqQuantizationError(corpus, refined)
+    emb.unpersist()
+    assert(e1 <= e0 + 1e-9,
+      f"Lloyd round must not increase quantization error: seed=$e0%.4f refined=$e1%.4f")
+    assert(e1 < e0 * 0.999, f"expected measurable improvement on noisy seeds: $e0%.4f -> $e1%.4f")
+  }
+
   test("approx percentile lands within a ±2% rank band of the target quantile") {
     // rank-based check (value bands conflate rank error with value
     // gaps: exact percentile() interpolates, the sketch returns a real
