@@ -258,10 +258,14 @@ object Dedup {
     val history = docs.filter(col("doc_id") % 5 =!= 0)
     val delta = docs.filter(col("doc_id") % 5 === 0)
     val fp = (d: Column) => md5(lower(trim(regexp_replace(d, "\\s+", " "))))
-    // exact: fingerprint semi-join against history
+    // exact: fingerprint join against history — NO broadcast hint: the
+    // history fingerprint set is corpus-sized, so at scale this is a
+    // shuffle join on a 16-byte key (|delta| + |history| through the
+    // exchange; a bloom-filter pre-pass is the next refinement). Spark
+    // still broadcasts it when it fits.
     val histFp = history.select(fp(col("text")).as("fp")).distinct()
     val exact = delta.select(col("doc_id"), fp(col("text")).as("fp"))
-      .join(broadcast(histFp.withColumn("is_exact_dup", lit(1L))), Seq("fp"), "left")
+      .join(histFp.withColumn("is_exact_dup", lit(1L)), Seq("fp"), "left")
       .select(col("doc_id"), coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"))
     // near: delta signatures × history band index, exact verify on candidates
     val histBands = bandedSignatures(history)

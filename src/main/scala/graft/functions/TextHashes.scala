@@ -156,7 +156,9 @@ case class StopwordHits(child: Expression, groups: Seq[Seq[String]])
   @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, Array[Int]]()
     groups.zipWithIndex.foreach { case (ws, g) =>
-      ws.foreach { w =>
+      // distinct: a word listed twice in ONE group must not double-count
+      // (filter-form semantics count each token occurrence once per group)
+      ws.distinct.foreach { w =>
         val prev = m.get(w)
         m.put(w, if (prev == null) Array(g) else prev :+ g)
       }
