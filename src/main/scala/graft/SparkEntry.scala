@@ -73,6 +73,7 @@ object SparkEntry {
     "q_term_freq" -> (TextOps.qTermFreq _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_sample" -> (TextOps.qSample _),
+    "q_decontaminate" -> ((s: SparkSession, d: String) => TextOps.qDecontaminate(s, d)),
     // -- dedup --
     "q_minhash_pairs" -> ((s: SparkSession, d: String) => Dedup.qMinhashPairs(s, d)),
     "q_ngram_pairs" -> ((s: SparkSession, d: String) => Dedup.qNgramJaccardPairs(s, d)),
@@ -521,6 +522,16 @@ object SparkEntry {
       """SELECT l_partkey, count(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING count(*) >= 5
         |ORDER BY n DESC, l_partkey""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+        |  FROM t WHERE len(toks) >= 5),
+        |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0),
+        |c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 7 <> 0)
+        |SELECT doc_id, count(*) AS n_contaminated_grams
+        |FROM c JOIN b USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_incr_dedup" ->
       s"""WITH $minhashCtes,
          |near AS (

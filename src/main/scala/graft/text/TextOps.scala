@@ -114,6 +114,36 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** Word n-grams of a token array (deduplicated set), parameterized k
+    * — decontamination wants longer grams than dedup's 3-shingles. */
+  def wordGrams(toks: Column, k: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+
+  /** Benchmark DECONTAMINATION — the eval-leak check every LLM data
+    * pipeline runs before training: flag corpus documents sharing any
+    * word k-gram with a benchmark/eval set. Shape: the benchmark gram
+    * set is small (eval suites are thousands of prompts, not billions)
+    * so it broadcasts; the corpus explodes its grams ONCE and
+    * inner-joins the broadcast set — per-doc match counts without a
+    * corpus shuffle (the group-by key is doc_id, map-side combined).
+    * Contaminated docs then leave the training set via the same
+    * anti-join pattern as near-dup removal. Here the "benchmark" is
+    * the doc_id % 7 == 0 slice of the corpus itself (driver corpus
+    * ships no eval table), which guarantees hits. */
+  def qDecontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) >= k)
+    val benchGrams = docs.filter(col("doc_id") % 7 === 0)
+      .select(explode(wordGrams(tokens(col("text")), k)).as("gram")).distinct()
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), explode(wordGrams(tokens(col("text")), k)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic sampling predicate: keep a row iff the md5 of its
     * salted key falls below the fraction's 8-hex threshold (fixed-width
     * hex compare == unsigned numeric compare). Unlike rand()-based
