@@ -140,6 +140,62 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word k-grams of a TOKEN array in one JVM pass (hash-set
+  * dedup, no per-element expression interpretation) — semantically
+  * identical to the HOF form the DuckDB oracle uses
+  * (`TextOps.wordGrams`: array_distinct ∘ transform(sequence) ∘
+  * concat_ws), pinned by spec. Fewer than k tokens ⇒ empty array. */
+case class WordGrams(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](n)
+    var t = 0
+    while (t < n) {
+      toks(t) = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      t += 1
+    }
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = n - k
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGrams", this, classOf[WordGrams].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-language-group stopword occurrence counts over a TOKEN array in
   * ONE pass (one hash-map probe per token), replacing N interpreted
   * `size(filter(toks, isin(...)))` higher-order passes. A token that
@@ -210,4 +266,8 @@ object TextHashes {
     * group) of a token-array column, in one pass. */
   def stopwordHits(toks: Column, groups: Seq[Seq[String]]): Column =
     GraftSqlBridge.column(StopwordHits(GraftSqlBridge.expression(toks), groups))
+
+  /** Distinct word k-grams of a token-array column, in one pass. */
+  def wordGrams(toks: Column, k: Int): Column =
+    GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(toks), k))
 }

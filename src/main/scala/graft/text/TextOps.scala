@@ -132,12 +132,16 @@ object TextOps {
     * the doc_id % 7 == 0 slice of the corpus itself (driver corpus
     * ships no eval table), which guarantees hits. */
   def qDecontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // gram construction via the one-pass WordGrams expression (the HOF
+    // twin `wordGrams` below is the oracle-mirrored reference form —
+    // interpreted, spec-pinned equal)
+    val grams = (t: Column) => graft.functions.TextHashes.wordGrams(t, k)
     val docs = Tables.documents(spark, dir)
       .filter(size(tokens(col("text"))) >= k)
     val benchGrams = docs.filter(col("doc_id") % 7 === 0)
-      .select(explode(wordGrams(tokens(col("text")), k)).as("gram")).distinct()
+      .select(explode(grams(tokens(col("text")))).as("gram")).distinct()
     docs.filter(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"), explode(wordGrams(tokens(col("text")), k)).as("gram"))
+      .select(col("doc_id"), explode(grams(tokens(col("text")))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_grams"))

@@ -147,6 +147,16 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(got == truth, "pigeonhole banding must lose no pair within hamming 3")
   }
 
+  test("WordGrams expression matches the interpreted HOF form") {
+    val t = split(col("text"), " ")
+    val diff = Tables.documents(spark, sf).limit(300)
+      .filter(size(t) >= 5)
+      .select(graft.functions.TextHashes.wordGrams(t, 5).as("fast"),
+        graft.text.TextOps.wordGrams(t, 5).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, "one-pass grams must equal array_distinct(transform(...))")
+  }
+
   test("multi-probe LSH recall dominates single-probe against exact top-k") {
     import graft.vector.VectorOps
     def pairs(df: org.apache.spark.sql.DataFrame) =
