@@ -105,6 +105,8 @@ object SparkEntry {
     "q_stats" -> (Advanced.qStats _),
     "q_percentile" -> (Advanced.qPercentile _),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => Advanced.qHeavyHitters(s, d)),
+    "q_grouping_sets" -> (Advanced.qGroupingSets _),
+    "q_string_agg" -> (Advanced.qStringAgg _),
     "q_fuzzy" -> (Advanced.qFuzzy _),
     "q_map" -> (Advanced.qMap _),
     "q_ingest_json" -> (Advanced.qIngestJson _),
@@ -518,6 +520,21 @@ object SparkEntry {
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_stat,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_string_agg" ->
+      """SELECT p_brand, count(*) AS n,
+        |  string_agg(p_name, '|' ORDER BY p_name) AS names
+        |FROM part WHERE p_size <= 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING count(*) >= 5

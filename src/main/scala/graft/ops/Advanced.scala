@@ -87,6 +87,36 @@ object Advanced {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * two one-dimension marginals plus the grand total in one pass —
+    * Spark expands to a single Expand + two-phase aggregate, reading
+    * the fact once for all three groupings. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+         |  coalesce(l_linestatus, '(all)') AS linestatus,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_stat,
+         |  count(*) AS n,
+         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty
+         |FROM graft_lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Ordered string aggregation (listagg/string_agg): the canonical
+    * "concatenate group members deterministically" — sort inside the
+    * aggregate so the result is engine- and partitioning-independent
+    * (collect_list alone is arrival-ordered, never oracle-stable). */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_size") <= 2)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("p_name"))), "|").as("names"))
+      .orderBy(col("p_brand"))
+
   /** Heavy hitters (iceberg query): part keys whose lineitem count
     * reaches a support threshold — exact two-phase hash aggregate
     * (map-side combine keeps the shuffle at one row per key per
