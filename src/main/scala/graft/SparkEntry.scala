@@ -984,7 +984,7 @@ object SparkEntry {
     "q_nestsel" ->
       s"""SELECT CAST(identifier AS BIGINT) AS identifier, collection,
         |  CAST(len(traits) AS BIGINT) AS n_traits,
-        |  traits[1].trait_type AS first_trait, traits
+        |  traits[1].trait_type AS first_trait, to_json(traits) AS traits_json
         |FROM read_parquet('${graft.sources.Fixtures.nftPath}/*.parquet')
         |ORDER BY identifier""".stripMargin,
     "q_flatten_intent" ->

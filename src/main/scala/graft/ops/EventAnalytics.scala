@@ -71,7 +71,9 @@ object EventAnalytics {
       .filter(col("day_offset") <= 14)
       .distinct()
       .groupBy(col("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      // rows are already (user_id, day_offset)-distinct — a plain count
+      // avoids a second dedup pass over the same key
+      .agg(count(col("user_id")).as("n_users"))
       .orderBy(col("day_offset"))
   }
 }

@@ -227,7 +227,10 @@ object Fixtures {
 
   /** Q-nestsel: nested projection WITHOUT flattening (the reference's
     * literal behavior, `normalize.py:26-29`) — subfield access through
-    * the list<struct>, plus the intact nested column itself. */
+    * the list<struct>, plus the nested column serialized as canonical
+    * JSON (the driver's compare harness lexsorts every output column,
+    * which requires scalar cells; the intact `list<struct>` shape is
+    * asserted in NftPipelineSpec). */
   def qNestsel(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark)
     spark.read.parquet(nftPath)
@@ -235,7 +238,7 @@ object Fixtures {
         size(col("traits")).cast("long").as("n_traits"),
         // `get` (not getItem/element_at): null on out-of-bounds under ANSI
         get(col("traits"), lit(0)).getField("trait_type").as("first_trait"),
-        col("traits"))
+        to_json(col("traits")).as("traits_json"))
       .orderBy(col("identifier"))
   }
 

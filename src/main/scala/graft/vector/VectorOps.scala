@@ -349,9 +349,14 @@ object VectorOps {
     * [[qSimPq]]; specs drive it with planted-cluster fixtures where
     * recall is structurally meaningful. */
   def pqTopk(emb: DataFrame, cent: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    // corpus × codebook with 8 subspace-distance folds — the most
+    // expensive relation here, consumed by the codes aggregate, `qd`,
+    // and each of the 8 per-subspace lookup joins. Materialize once:
+    // without this the lineage re-executes per consumer (~10 passes).
     val dists = emb.crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("c_label")) ++
         (0 until 8).map(s => subDist(col("v"), col("cv"), s).as(s"d$s")): _*)
+      .localCheckpoint()
     val codes = dists.groupBy(col("vec_id"))
       .agg(min(struct(col("d0").as("d"), col("c_label").as("l"))).getField("l").as("code0"),
         (1 until 8).map(s =>

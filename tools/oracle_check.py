@@ -48,6 +48,17 @@ def main():
             n_fail += 1
             continue
         try:
+            # The driver's pandas harness lexsorts every output column and
+            # cannot hash ndarray cells — reject nested output up front so
+            # this mirror fails exactly where the driver gate would.
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+            nested = [(c, t) for c, t, *_ in desc
+                      if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+            if nested:
+                print(f"FAIL {name}: nested output columns (driver harness cannot sort them): {nested}")
+                n_fail += 1
+                continue
             s = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             s_cols = [d[0] for d in s.description]
             s_rows = s.fetchall()
