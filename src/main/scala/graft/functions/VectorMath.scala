@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Vector distance math as single-pass JVM loops with real codegen —
+  * replacing the interpreted `aggregate(zip_with(...))` higher-order
+  * folds on the ANN hot paths (HOFs are interpreted per element: the
+  * exact cost class that made round-1's minhash verify 18.7 s).
+  *
+  * Bitwise contract: each loop is the SAME sequential left fold in
+  * double precision the HOF form evaluates (and DuckDB's `list_sum`
+  * reproduces), so every oracle hash is unchanged. The HOF twins stay
+  * in [[graft.vector.VectorOps]] (`dotHof`/`cosineHof`/`l2sqHof`) and
+  * VectorMathSpec pins expression == twin on real corpus data plus the
+  * null/length edge cases.
+  *
+  * Null semantics mirror the fold: `zip_with` pads unequal lengths with
+  * null and a null element poisons `acc + v` to null for the rest of
+  * the fold — so length mismatch or any null element in the considered
+  * window ⇒ null result.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true // length mismatch / null element ⇒ null
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotProduct", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $ref.nullSafeEval($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity in ONE pass over both arrays (dot product and both
+  * squared norms accumulate in the same loop), finished as
+  * `dot / (sqrt(sa) * sqrt(sb))` — operation-for-operation the HOF form
+  * `dot(a,b) / (norm2(a) * norm2(b))`, hence bit-identical. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $ref.nullSafeEval($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0.0
+    var sa = 0.0
+    var sb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      sa += xv * xv
+      sb += yv * yv
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (Math.sqrt(sa) * Math.sqrt(sb)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance over a window of both arrays: elements
+  * [start, start+len) 0-based, or the full arrays when `len < 0` —
+  * one expression serving both the k-means assignment fold and PQ's
+  * 8-dim subspace distances (mirroring
+  * `aggregate(zip_with(slice(a,start+1,len), slice(b,start+1,len), ...)`
+  * without materializing the slices). Windows clipped by array length
+  * mirror `slice` semantics; unequal clipped windows ⇒ null (zip_with
+  * padding), an empty window ⇒ 0.0 (the fold's seed). */
+case class L2SqRange(left: Expression, right: Expression, start: Int, len: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_range"
+  override def nullable: Boolean = true
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2sqRange", this, classOf[L2SqRange].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = $ref.nullSafeEval($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    val s = if (len < 0) 0 else start
+    val ea = if (len < 0) na else Math.min(na, start + len)
+    val eb = if (len < 0) nb else Math.min(nb, start + len)
+    if (Math.max(0, ea - s) != Math.max(0, eb - s)) return null
+    var acc = 0.0
+    var i = s
+    while (i < ea) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorMath {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** One-pass cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlBridge.column(CosineSim(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Squared L2 over the full arrays. */
+  def l2sq(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2SqRange(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), 0, -1))
+
+  /** Squared L2 over elements [start, start+len), 0-based. */
+  def l2sqRange(a: Column, b: Column, start: Int, len: Int): Column =
+    GraftSqlBridge.column(L2SqRange(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), start, len))
+}

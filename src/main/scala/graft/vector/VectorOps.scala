@@ -21,13 +21,28 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two double arrays — codegen'd JVM
+    * loop ([[graft.functions.DotProduct]]), bitwise identical to
+    * [[dotHof]] (VectorMathSpec-pinned). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorMath.dot(a, b)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** One-pass cosine similarity (dot + both norms in one traversal) —
+    * bitwise identical to [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorMath.cosine(a, b)
+
+  // -- interpreted higher-order-function twins: the oracle-mirrored  --
+  // -- reference semantics the codegen'd expressions must reproduce  --
+  // -- bit-for-bit (VectorMathSpec). Not used on any declared path.  --
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def norm2(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def norm2Hof(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (norm2Hof(a) * norm2Hof(b))
 
   /** Exact top-k cosine neighbors for each query vector (query set =
     * vec_id < nQueries, broadcast). Ranking key: cosine desc with
@@ -100,8 +115,9 @@ object VectorOps {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-    val dots = array(planes.map(r => dot(col("v"), array(r.map(lit): _*))): _*)
-    val absDots = transform(dots, abs(_))
+    // direct array of |dot| terms (no transform lambda — keeps the
+    // query-side projection codegen'd like the corpus side)
+    val absDots = array(planes.map(r => abs(dot(col("v"), array(r.map(lit): _*)))): _*)
     // 1-based first index of the minimum |margin| → bit 1 << (pos-1)
     val flipBit = element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
       array_position(absDots, array_min(absDots)).cast("int"))
@@ -205,8 +221,11 @@ object VectorOps {
   }
 
   /** Squared L2 distance (sequential double fold — bit-identical to
-    * DuckDB's list_sum over the same expression). */
-  def l2sq(a: Column, b: Column): Column =
+    * DuckDB's list_sum over the same expression); codegen'd JVM loop,
+    * [[l2sqHof]] is the pinned twin. */
+  def l2sq(a: Column, b: Column): Column = graft.functions.VectorMath.l2sq(a, b)
+
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
   private def elementMeans(assigned: DataFrame): DataFrame = {
@@ -267,8 +286,12 @@ object VectorOps {
 
   /** Per-subspace squared distance: dims [8s+1, 8s+8] (1-based), as a
     * sequential fold (bitwise == DuckDB's list_sum over the same
-    * slice). */
+    * slice); windowed codegen'd loop, [[subDistHof]] is the pinned
+    * twin. */
   private def subDist(v: Column, cv: Column, s: Int): Column =
+    graft.functions.VectorMath.l2sqRange(v, cv, 8 * s, 8)
+
+  def subDistHof(v: Column, cv: Column, s: Int): Column =
     aggregate(zip_with(slice(v, 8 * s + 1, 8), slice(cv, 8 * s + 1, 8),
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
 

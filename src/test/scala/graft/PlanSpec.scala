@@ -68,6 +68,26 @@ class PlanSpec extends AnyFunSuite {
       "both custom JVM-loop expressions must carry the hot path")
   }
 
+  test("similarity paths: no interpreted-lambda stage, distances are codegen'd loops") {
+    val sims = Map(
+      "q_sim_topk" -> graft.vector.VectorOps.qSimTopk(spark, sf),
+      "q_sim_lsh" -> graft.vector.VectorOps.qSimTopkLsh(spark, sf),
+      "q_sim_lsh_mp" -> graft.vector.VectorOps.qSimTopkLshMultiprobe(spark, sf),
+      "q_sim_ivf" -> graft.vector.VectorOps.qSimIvf(spark, sf),
+      "q_sim_pq" -> graft.vector.VectorOps.qSimPq(spark, sf))
+    sims.foreach { case (name, df) =>
+      val plan = planOf(df).toLowerCase
+      assert(!plan.contains("lambdafunction"),
+        s"$name: interpreted HOF on a similarity hot path:\n$plan")
+      // q_sim_pq's distance folds live inside the materialized dists
+      // checkpoint, so they are absent from the final plan by design
+      if (name != "q_sim_pq")
+        assert(plan.contains("cosine_sim") || plan.contains("dot_product")
+          || plan.contains("l2sq_range"),
+          s"$name: expected a codegen'd distance expression in the plan")
+    }
+  }
+
   test("tpch2: correlated scalar subquery decorrelates to aggregate+join") {
     val plan = planOf(graft.ops.Relational.qTpch2(spark, sf))
     assert(!plan.contains("ScalarSubquery"),

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.vector.VectorOps
+
+/** Pins the codegen'd vector-math expressions (functions/VectorMath)
+  * bit-for-bit to their interpreted higher-order-function twins — the
+  * forms the DuckDB oracle mirrors. Any ULP drift here would silently
+  * break every q_sim_* / q_kmeans / q_emb_dup oracle hash. */
+class VectorMathSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sf}
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    .limit(50)
+
+  private lazy val pairs = {
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b")).limit(500)
+  }
+
+  private def assertBitwiseEqual(exprCol: org.apache.spark.sql.Column,
+      hofCol: org.apache.spark.sql.Column, what: String): Unit = {
+    val rows = pairs.select(exprCol.as("e"), hofCol.as("h")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getDouble(0)
+      val h = r.getDouble(1)
+      assert(java.lang.Double.doubleToRawLongBits(e) == java.lang.Double.doubleToRawLongBits(h),
+        s"$what: expression $e != HOF $h")
+    }
+  }
+
+  test("dot product: codegen'd loop == sequential HOF fold, bitwise") {
+    assertBitwiseEqual(
+      VectorOps.dot(col("va"), col("vb")), VectorOps.dotHof(col("va"), col("vb")), "dot")
+  }
+
+  test("cosine: one-pass loop == HOF dot/(norm*norm), bitwise") {
+    assertBitwiseEqual(
+      VectorOps.cosine(col("va"), col("vb")), VectorOps.cosineHof(col("va"), col("vb")), "cosine")
+  }
+
+  test("l2sq: codegen'd loop == sequential HOF fold, bitwise") {
+    assertBitwiseEqual(
+      VectorOps.l2sq(col("va"), col("vb")), VectorOps.l2sqHof(col("va"), col("vb")), "l2sq")
+  }
+
+  test("subspace l2: windowed loop == HOF fold over slices, bitwise, all 8 subspaces") {
+    (0 until 8).foreach { s =>
+      assertBitwiseEqual(
+        graft.functions.VectorMath.l2sqRange(col("va"), col("vb"), 8 * s, 8),
+        VectorOps.subDistHof(col("va"), col("vb"), s), s"subspace $s")
+    }
+  }
+
+  test("null semantics mirror zip_with padding and null-element poisoning") {
+    val df = spark.sql("""
+      SELECT * FROM VALUES
+        (array(1.0d, 2.0d), array(3.0d, 4.0d)),          -- clean
+        (array(1.0d, 2.0d), array(3.0d)),                -- length mismatch
+        (array(1.0d, cast(null as double)), array(3.0d, 4.0d)), -- null element
+        (array(), array())                                -- empty
+      AS t(a, b)""")
+    val got = df.select(
+      VectorOps.dot(col("a"), col("b")).as("e_dot"),
+      VectorOps.dotHof(col("a"), col("b")).as("h_dot"),
+      VectorOps.l2sq(col("a"), col("b")).as("e_l2"),
+      VectorOps.l2sqHof(col("a"), col("b")).as("h_l2")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"dot null mismatch: $r")
+      assert(r.isNullAt(2) == r.isNullAt(3), s"l2sq null mismatch: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+      if (!r.isNullAt(2)) assert(r.getDouble(2) == r.getDouble(3))
+    }
+    // cosine over the clean row only (0-norm rows divide by zero the
+    // same way on both forms but NaN != NaN under ==)
+    val c = df.limit(1).select(
+      VectorOps.cosine(col("a"), col("b")).as("e"),
+      VectorOps.cosineHof(col("a"), col("b")).as("h")).head()
+    assert(java.lang.Double.doubleToRawLongBits(c.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(c.getDouble(1)))
+  }
+}
