@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sim_lsh" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLsh(s, d)),
     "q_sim_lsh_mp" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLshMultiprobe(s, d)),
     "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
+    "q_knn_join" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoin(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
     "q_sim_pq" -> ((s: SparkSession, d: String) => VectorOps.qSimPq(s, d)),
     "q_tpch3" -> (Relational.qTpch3 _),
@@ -721,6 +722,22 @@ object SparkEntry {
          |       WHEN abs(d2) <= abs(d3) AND abs(d2) <= abs(d4) THEN 2
          |       WHEN abs(d3) <= abs(d4) THEN 4 ELSE 8 END AS flip
          |  FROM bk WHERE vec_id < 5),
+         |q AS (SELECT q_id, qv, bucket FROM qf
+         |  UNION ALL SELECT q_id, qv, xor(bucket, flip) AS bucket FROM qf),
+         |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
+         |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket,
+         |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
+         |  ${planeDotsSql(2)} AS d3, ${planeDotsSql(3)} AS d4 FROM e),
+         |qf AS (SELECT vec_id AS q_id, v AS qv, bucket,
+         |  CASE WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) AND abs(d1) <= abs(d4) THEN 1
+         |       WHEN abs(d2) <= abs(d3) AND abs(d2) <= abs(d4) THEN 2
+         |       WHEN abs(d3) <= abs(d4) THEN 4 ELSE 8 END AS flip
+         |  FROM bk),
          |q AS (SELECT q_id, qv, bucket FROM qf
          |  UNION ALL SELECT q_id, qv, xor(bucket, flip) AS bucket FROM qf),
          |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim

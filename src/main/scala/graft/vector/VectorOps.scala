@@ -134,6 +134,41 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Corpus-wide kNN join — EVERY vector finds its approximate top-k
+    * cosine neighbors (the kNN-graph workload behind semantic dedup
+    * and cluster curation in an LLM data pipeline), not a broadcast
+    * handful of probe queries. Shape: multi-probe sign-LSH self-join —
+    * each vector is indexed in its own bucket and, as a query, probes
+    * that bucket plus the one reached by flipping its lowest-|margin|
+    * hyperplane bit (first-minimum tie-break, mirrored in the oracle).
+    * Candidates ride a bucket equi-join (never a cross join); a corpus
+    * vector lives in exactly one bucket so the two probes cannot
+    * double-count a pair. Per-bucket candidate volume is quadratic in
+    * bucket occupancy, so `nPlanes` is the 100 TB dial (buckets ≈
+    * 2^nPlanes; size them so n/2^nPlanes candidates per probe fit the
+    * task); bucket skew is AQE's skew-join case. Vectors whose probed
+    * buckets hold fewer than k neighbors return fewer rows — inherent
+    * to ANN bucketing, recall rises with planes × probes. */
+  def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val planes = hyperplanes(4, 64)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val absDots = array(planes.map(r => abs(dot(col("v"), array(r.map(lit): _*)))): _*)
+    val flipBit = element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+      array_position(absDots, array_min(absDots)).cast("int"))
+    val queries = emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      explode(array(col("bucket"), col("bucket").bitwiseXOR(flipBit))).as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    emb.join(queries, Seq("bucket")) // corpus-sized both sides: equi-join, NOT broadcast
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — multi-table sign-LSH:
     * candidates are pairs colliding in AT LEAST ONE of `nTables` bucket
     * tables (each table = `nPlanes` hyperplanes ⇒ 2^nPlanes buckets).

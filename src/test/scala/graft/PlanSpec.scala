@@ -74,7 +74,8 @@ class PlanSpec extends AnyFunSuite {
       "q_sim_lsh" -> graft.vector.VectorOps.qSimTopkLsh(spark, sf),
       "q_sim_lsh_mp" -> graft.vector.VectorOps.qSimTopkLshMultiprobe(spark, sf),
       "q_sim_ivf" -> graft.vector.VectorOps.qSimIvf(spark, sf),
-      "q_sim_pq" -> graft.vector.VectorOps.qSimPq(spark, sf))
+      "q_sim_pq" -> graft.vector.VectorOps.qSimPq(spark, sf),
+      "q_knn_join" -> graft.vector.VectorOps.qKnnJoin(spark, sf))
     sims.foreach { case (name, df) =>
       val plan = planOf(df).toLowerCase
       assert(!plan.contains("lambdafunction"),
@@ -86,6 +87,12 @@ class PlanSpec extends AnyFunSuite {
           || plan.contains("l2sq_range"),
           s"$name: expected a codegen'd distance expression in the plan")
     }
+  }
+
+  test("knn join: corpus-wide self-join rides the bucket key, never a cross join") {
+    val plan = planOf(graft.vector.VectorOps.qKnnJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"kNN candidates must come from a bucket equi-join:\n$plan")
   }
 
   test("tpch2: correlated scalar subquery decorrelates to aggregate+join") {
