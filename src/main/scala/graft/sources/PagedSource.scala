@@ -95,13 +95,25 @@ class PagedTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   * stats pruning). */
 class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
 
   private var lo = 0L
   private var hi = Long.MaxValue
   private var pruning: Array[Filter] = Array.empty
   private var countPushed = false
+  private var required: StructType = PagedSource.schema
+
+  /** Column pruning (completing the DSv2 trio with filters and
+    * COUNT(*)): the pruned schema reaches the reader factory, which
+    * materializes ONLY the requested fields per row — the analogue of
+    * the API's field-limited page payloads (ref `nft.py:25-45`): a
+    * user selecting 2 of the 5 fields no longer pays row-width cost
+    * for the other 3. */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
 
   /** COUNT(*) pushdown: the page space is arithmetic (`identifier =
     * page·pageSize + offset`), so a global count needs ZERO fetches —
@@ -149,16 +161,16 @@ class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
     options.getInt("pagesPerPartition", 8),
     options.getInt("failEvery", 0),
     options.getInt("maxRetries", 3),
-    lo, hi, countPushed)
+    lo, hi, countPushed, required)
 }
 
 class PagedScan(rows: Long, pageSize: Int, pagesPerPartition: Int,
     failEvery: Int, maxRetries: Int, idLo: Long = 0L, idHi: Long = Long.MaxValue,
-    countOnly: Boolean = false)
+    countOnly: Boolean = false, required: StructType = PagedSource.schema)
     extends Scan with Batch {
   override def readSchema(): StructType =
     if (countOnly) StructType(Seq(StructField("count", LongType, nullable = false)))
-    else PagedSource.schema
+    else required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -175,7 +187,7 @@ class PagedScan(rows: Long, pageSize: Int, pagesPerPartition: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (countOnly) new CountReaderFactory(rows, pageSize)
-    else new PagedReaderFactory(rows, pageSize, failEvery, maxRetries)
+    else new PagedReaderFactory(rows, pageSize, failEvery, maxRetries, required)
 }
 
 /** Partial-count reader: one row per partition with the page-range
@@ -198,11 +210,12 @@ class CountReaderFactory(rows: Long, pageSize: Int) extends PartitionReaderFacto
 
 case class PagedPartition(firstPage: Int, endPage: Int) extends InputPartition
 
-class PagedReaderFactory(rows: Long, pageSize: Int, failEvery: Int, maxRetries: Int)
+class PagedReaderFactory(rows: Long, pageSize: Int, failEvery: Int, maxRetries: Int,
+    val required: StructType = PagedSource.schema)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedPartition]
-    new PagedReader(p, rows, pageSize, failEvery, maxRetries)
+    new PagedReader(p, rows, pageSize, failEvery, maxRetries, required)
   }
 }
 
@@ -210,11 +223,16 @@ class PagedReaderFactory(rows: Long, pageSize: Int, failEvery: Int, maxRetries: 
   * the reference's queue backpressure analogue is that only one page
   * per task is in flight). */
 class PagedReader(p: PagedPartition, rows: Long, pageSize: Int, failEvery: Int,
-    maxRetries: Int) extends PartitionReader[InternalRow] {
+    maxRetries: Int, required: StructType = PagedSource.schema)
+    extends PartitionReader[InternalRow] {
   private val fetcher = new PagedSource.SyntheticFetcher(rows, failEvery)
   private var page = p.firstPage
   private var buf: Iterator[(Long, String, String, String, String)] = Iterator.empty
   var retriesUsed: Int = 0
+  // pruned projection: full-schema ordinals of the required columns,
+  // resolved once per reader — get() materializes only these
+  private val fieldIdx: Array[Int] =
+    required.fieldNames.map(PagedSource.schema.fieldIndex)
 
   private def fetchWithRetry(idx: Int): Seq[(Long, String, String, String, String)] = {
     var attempt = 0
@@ -240,9 +258,20 @@ class PagedReader(p: PagedPartition, rows: Long, pageSize: Int, failEvery: Int,
   }
 
   override def get(): InternalRow = {
-    val (id, coll, std, nm, url) = buf.next()
-    InternalRow(id, UTF8String.fromString(coll), UTF8String.fromString(std),
-      UTF8String.fromString(nm), UTF8String.fromString(url))
+    val t = buf.next()
+    val vals = new Array[Any](fieldIdx.length)
+    var i = 0
+    while (i < fieldIdx.length) {
+      vals(i) = fieldIdx(i) match {
+        case 0 => t._1
+        case 1 => UTF8String.fromString(t._2)
+        case 2 => UTF8String.fromString(t._3)
+        case 3 => UTF8String.fromString(t._4)
+        case 4 => UTF8String.fromString(t._5)
+      }
+      i += 1
+    }
+    InternalRow(vals: _*)
   }
 
   override def close(): Unit = { buf = Iterator.empty }

@@ -55,6 +55,32 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(none.count() == 0, "range beyond the corpus plans zero partitions")
   }
 
+  test("column pruning: the pruned read schema reaches the reader factory") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = read(1000).select("identifier", "name")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScan")
+    val readSchema = scans.head.scan.readSchema()
+    assert(readSchema.fieldNames.toSeq == Seq("identifier", "name"),
+      s"projection not pruned at the scan: $readSchema")
+    val factory = scans.head.scan.asInstanceOf[graft.sources.PagedScan]
+      .createReaderFactory().asInstanceOf[graft.sources.PagedReaderFactory]
+    assert(factory.required.fieldNames.toSeq == Seq("identifier", "name"),
+      "pruned schema must reach the reader factory")
+    // pruned rows are still correct (and identifier-only ordering holds)
+    val got = df.orderBy("identifier").limit(3).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(got.head.getString(1) == "Token #0")
+  }
+
+  test("pruning composes with filter pushdown (narrow scan over pruned pages)") {
+    val df = read(2537).filter(col("identifier") >= 1000 && col("identifier") < 1200)
+      .select("collection")
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 200)
+    assert(df.distinct().count() == 7)
+  }
+
   test("transient page failures are retried, not lost") {
     val df = read(1000, Map("failEvery" -> "3")) // every 3rd page fails once
     assert(df.count() == 1000)
