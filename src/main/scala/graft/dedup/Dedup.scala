@@ -258,12 +258,19 @@ object Dedup {
     val history = docs.filter(col("doc_id") % 5 =!= 0)
     val delta = docs.filter(col("doc_id") % 5 === 0)
     val fp = (d: Column) => md5(lower(trim(regexp_replace(d, "\\s+", " "))))
-    // exact: fingerprint join against history — NO broadcast hint: the
-    // history fingerprint set is corpus-sized, so at scale this is a
-    // shuffle join on a 16-byte key (|delta| + |history| through the
-    // exchange; a bloom-filter pre-pass is the next refinement). Spark
-    // still broadcasts it when it fits.
-    val histFp = history.select(fp(col("text")).as("fp")).distinct()
+    // exact: fingerprint join against history. The history fingerprint
+    // set is corpus-sized, so before it reaches the exchange we
+    // semi-filter it through a bloom filter built over the DELTA's
+    // fingerprints (the small side — one extra narrow pass over the
+    // delta buys dropping ~all non-matching history rows pre-shuffle;
+    // false positives only cost join probes, the join stays exact).
+    // At 100 TB this turns the dominant |history| shuffle into
+    // |history ∩ delta| + fpp·|history|.
+    val deltaBloom = delta.select(fp(col("text")).as("fp"))
+      .stat.bloomFilter("fp", 1000000L, 0.01)
+    val histFp = history.select(fp(col("text")).as("fp"))
+      .filter(graft.functions.Blooms.mightContain(col("fp"), deltaBloom))
+      .distinct()
     val exact = delta.select(col("doc_id"), fp(col("text")).as("fp"))
       .join(histFp.withColumn("is_exact_dup", lit(1L)), Seq("fp"), "left")
       .select(col("doc_id"), coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"))

@@ -65,6 +65,31 @@ class SkewSpec extends AnyFunSuite {
     assert(salts == 8)
   }
 
+  test("incremental dedup: bloom pre-pass prunes history pre-shuffle, no false negatives") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val fp = (d: org.apache.spark.sql.Column) =>
+      md5(lower(trim(regexp_replace(d, "\\s+", " "))))
+    val bloom = delta.select(fp(col("text")).as("fp")).stat.bloomFilter("fp", 1000000L, 0.01)
+    val histTotal = history.count()
+    val histKept = history.select(fp(col("text")).as("fp"))
+      .filter(graft.functions.Blooms.mightContain(col("fp"), bloom)).count()
+    // md5 fingerprints are ~uniform: survivors = true matches + ~fpp tail
+    assert(histKept < histTotal / 2,
+      s"bloom pruned nothing: $histKept of $histTotal history rows kept")
+    // zero false negatives: every history fp that truly matches a delta fp survives
+    val trueMatches = history.select(fp(col("text")).as("fp"))
+      .join(delta.select(fp(col("text")).as("fp")), Seq("fp"), "left_semi")
+    assert(trueMatches.filter(!graft.functions.Blooms.mightContain(col("fp"), bloom)).count() == 0)
+    // and the declared query's plan carries the probe
+    val plan = graft.dedup.Dedup.qIncrementalDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"expected the bloom probe in the incremental dedup plan:\n$plan")
+  }
+
   test("bucketed join plans with zero Exchange") {
     // in-memory catalog forgets tables between JVMs but the warehouse
     // dirs persist — clear both
