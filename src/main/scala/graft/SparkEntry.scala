@@ -90,6 +90,7 @@ object SparkEntry {
     "q_knn_join" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoin(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
     "q_sim_pq" -> ((s: SparkSession, d: String) => VectorOps.qSimPq(s, d)),
+    "q_sim_pq_refined" -> ((s: SparkSession, d: String) => VectorOps.qSimPqRefined(s, d)),
     "q_tpch3" -> (Relational.qTpch3 _),
     "q_tpch5" -> (Relational.qTpch5 _),
     "q_tpch2" -> (Relational.qTpch2 _),
@@ -169,6 +170,60 @@ object SparkEntry {
     * 8s+8, sequential fold) and the 8-way code/lookup join chain. */
   private def pqSubDistSql(s: Int): String =
     s"list_sum(list_transform(range(${1 + 8 * s}, ${9 + 8 * s}), i -> (v[i]-cv[i])*(v[i]-cv[i])))"
+
+  /** Shared seed CTEs: corpus + exact-decimal per-label centroids. */
+  private lazy val pqSeedCtesSql: String =
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
+       |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+       |cm AS (SELECT label, pos,
+       |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+       |  FROM ex GROUP BY 1, 2),
+       |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label)""".stripMargin
+
+  /** Encode + ADC rank chain against centroid CTE `centName`. */
+  private def pqRankChainSql(centName: String): String =
+    s"""dists AS (SELECT vec_id, c_label,
+       |  ${(0 until 8).map(s => s"${pqSubDistSql(s)} AS d$s").mkString(", ")}
+       |  FROM e, $centName),
+       |codes AS (SELECT vec_id,
+       |  ${(0 until 8).map(s => s"first(c_label ORDER BY d$s, c_label) AS code$s").mkString(", ")}
+       |  FROM dists GROUP BY vec_id),
+       |qd AS (SELECT vec_id AS q_id, c_label,
+       |  ${(0 until 8).map(s => s"d$s").mkString(", ")}
+       |  FROM dists WHERE vec_id < 5),
+       |score AS (SELECT t0.q_id, x.vec_id,
+       |  ${(0 until 8).map(s => s"t$s.d$s").mkString(" + ")} AS score
+       |  FROM codes x
+       |  ${(0 until 8).map(s => s"JOIN qd t$s ON t$s.c_label = x.code$s" +
+            (if (s > 0) s" AND t$s.q_id = t0.q_id" else "")).mkString("\n  ")}),
+       |r AS (SELECT q_id, vec_id, score,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY score, vec_id) AS rn
+       |  FROM score WHERE vec_id <> q_id)""".stripMargin
+
+  /** One Lloyd round of per-subspace codebook refinement, mirrored
+    * from VectorOps.refinePqCodebooks: each subspace re-assigns on the
+    * SEED slice (step s only rewrites slice s, so refinements are
+    * independent), sub-means go through DECIMAL(18,9), and labels that
+    * win no vectors keep their seed slice. */
+  private lazy val pqRefineCtesSql: String = {
+    val perSub = (0 until 8).map { s =>
+      s"""asg$s AS (SELECT vec_id, first(c_label ORDER BY d, c_label) AS cluster
+         |  FROM (SELECT e.vec_id, c_label, ${pqSubDistSql(s)} AS d FROM e, cent)
+         |  GROUP BY vec_id),
+         |sm$s AS (SELECT a.cluster, ii.i AS pos,
+         |  CAST(CAST(sum(CAST(e.v[${8 * s} + ii.i] AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  FROM asg$s a JOIN e ON e.vec_id = a.vec_id
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ii
+         |  GROUP BY 1, 2),
+         |sl$s AS (SELECT cluster AS c_label, list(m ORDER BY pos) AS sub FROM sm$s GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    val slices = (0 until 8)
+      .map(s => s"coalesce(sl$s.sub, cent.cv[${8 * s + 1}:${8 * s + 8}])").mkString(" || ")
+    val joins = (0 until 8).map(s => s"LEFT JOIN sl$s ON sl$s.c_label = cent.c_label").mkString(" ")
+    s"""$perSub,
+       |cent2 AS (SELECT cent.c_label, $slices AS cv FROM cent $joins)""".stripMargin
+  }
 
   /** The 4 bucket tables of the multi-table embedding dedup (4 planes
     * each from one seeded 16-plane draw — mirrors embeddingDupPairs). */
@@ -797,30 +852,13 @@ object SparkEntry {
          |FROM a2 JOIN c2 ON a2.cluster = c2.c_label
          |GROUP BY a2.cluster ORDER BY cluster""".stripMargin,
     "q_sim_pq" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
-         |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
-         |cm AS (SELECT label, pos,
-         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
-         |  FROM ex GROUP BY 1, 2),
-         |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
-         |dists AS (SELECT vec_id, c_label,
-         |  ${(0 until 8).map(s => s"${pqSubDistSql(s)} AS d$s").mkString(", ")}
-         |  FROM e, cent),
-         |codes AS (SELECT vec_id,
-         |  ${(0 until 8).map(s => s"first(c_label ORDER BY d$s, c_label) AS code$s").mkString(", ")}
-         |  FROM dists GROUP BY vec_id),
-         |qd AS (SELECT vec_id AS q_id, c_label,
-         |  ${(0 until 8).map(s => s"d$s").mkString(", ")}
-         |  FROM dists WHERE vec_id < 5),
-         |score AS (SELECT t0.q_id, x.vec_id,
-         |  ${(0 until 8).map(s => s"t$s.d$s").mkString(" + ")} AS score
-         |  FROM codes x
-         |  ${(0 until 8).map(s => s"JOIN qd t$s ON t$s.c_label = x.code$s" +
-               (if (s > 0) s" AND t$s.q_id = t0.q_id" else "")).mkString("\n  ")}),
-         |r AS (SELECT q_id, vec_id, score,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY score, vec_id) AS rn
-         |  FROM score WHERE vec_id <> q_id)
+      s"""WITH $pqSeedCtesSql,
+         |${pqRankChainSql("cent")}
+         |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_sim_pq_refined" ->
+      s"""WITH $pqSeedCtesSql,
+         |$pqRefineCtesSql,
+         |${pqRankChainSql("cent2")}
          |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_tpch3" ->
       s"""SELECT l_orderkey, o_orderpriority,

@@ -402,6 +402,18 @@ object VectorOps {
     pqTopk(emb, ivfCentroids(spark, dir), nQueries, k)
   }
 
+  /** [[qSimPq]] with one Lloyd round of per-subspace codebook
+    * refinement ([[refinePqCodebooks]]) between seeding and encoding —
+    * the production PQ shape (seed, refine, encode). Still end-to-end
+    * deterministic: each subspace's re-assignment reads the SEED slice
+    * for that subspace (step s only rewrites slice s), so the oracle
+    * mirrors all 8 refinements independently from the seed codebook. */
+  def qSimPqRefined(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pqTopk(emb, refinePqCodebooks(emb, ivfCentroids(spark, dir)), nQueries, k)
+  }
+
   /** PQ encode + ADC rank against an arbitrary corpus `(vec_id, v)`
     * and codebook source `(c_label, cv)` — the engine form behind
     * [[qSimPq]]; specs drive it with planted-cluster fixtures where

@@ -58,6 +58,28 @@ class AdvancedSketchSpec extends AnyFunSuite {
     assert(e1 < e0 * 0.999, f"expected measurable improvement on noisy seeds: $e0%.4f -> $e1%.4f")
   }
 
+  test("Lloyd-refined codebooks rank at least as well as label seeds") {
+    import graft.vector.VectorOps
+    import graft.sources.Fixtures
+    // noisy clusters: label seeds are a poor fit, refinement has room
+    val emb = Fixtures.embClusterFixture(spark, noise = 0.6)
+      .select(col("vec_id"), col("label"), col("v")).cache()
+    val corpus = emb.select(col("vec_id"), col("v"))
+    val truth = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seed = VectorOps.labelCentroids(emb).localCheckpoint()
+    def recall(cent: org.apache.spark.sql.DataFrame): Double = {
+      val all = VectorOps.pqTopk(corpus, cent, nQueries = 200, k = 5)
+        .select(col("q_id"), col("vec_id")).collect()
+      all.count(r => truth(r.getLong(0)) == truth(r.getLong(1))).toDouble / all.length
+    }
+    val rSeed = recall(seed)
+    val rRefined = recall(VectorOps.refinePqCodebooks(corpus, seed))
+    emb.unpersist()
+    assert(rRefined >= rSeed - 1e-9,
+      f"refined codebooks must not rank worse: seed=$rSeed%.3f refined=$rRefined%.3f")
+  }
+
   test("approx percentile lands within a ±2% rank band of the target quantile") {
     // rank-based check (value bands conflate rank error with value
     // gaps: exact percentile() interpolates, the sketch returns a real
