@@ -340,27 +340,32 @@ object VectorOps {
     * reassembled per label. */
   def refinePqCodebooks(emb: DataFrame, seed: DataFrame): DataFrame = {
     import graft.ops.Exact._
-    (0 until 8).foldLeft(seed) { (cb, s) =>
-      val assigned = emb.crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("v"),
-          struct(subDist(col("v"), col("cv"), s).as("d"), col("c_label").as("l")).as("dc"))
-        .groupBy(col("vec_id"), col("v"))
-        .agg(min(col("dc")).getField("l").as("cluster"))
-      val subMeans = assigned
-        .select(col("cluster"), posexplode(slice(col("v"), 8 * s + 1, 8)))
+    // The sequential Lloyd fold's step s reads only the SEED slice s
+    // (earlier steps rewrite earlier slices), so the 8 re-assignments
+    // are mutually independent: one corpus×codebook pass computes all
+    // 8 argmins, materialized once — identical results to the
+    // step-by-step fold at 1/8th the shuffle rounds (the oracle pins
+    // the equivalence bit-for-bit).
+    val assigned = emb.crossJoin(broadcast(seed))
+      .select(Seq(col("vec_id"), col("v")) ++ (0 until 8).map(s =>
+        struct(subDist(col("v"), col("cv"), s).as("d"), col("c_label").as("l")).as(s"dc$s")): _*)
+      .groupBy(col("vec_id"), col("v"))
+      .agg(min(col("dc0")).getField("l").as("c0"),
+        (1 until 8).map(s => min(col(s"dc$s")).getField("l").as(s"c$s")): _*)
+      .localCheckpoint()
+    val subMeans = (0 until 8).map { s =>
+      assigned.select(col(s"c$s").as("cluster"), posexplode(slice(col("v"), 8 * s + 1, 8)))
         .groupBy(col("cluster"), col("pos"))
         .agg((decToDouble(sum(dec(col("col"), 9))) / count(lit(1))).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cluster").as("c_label"),
-          transform(col("pm"), p => p.getField("m")).as("sub"))
-      cb.join(subMeans, Seq("c_label"), "left")
-        .select(col("c_label"), concat(
-          slice(col("cv"), 1, 8 * s),
-          coalesce(col("sub"), slice(col("cv"), 8 * s + 1, 8)),
-          slice(col("cv"), 8 * s + 9, 64 - 8 * s - 8)).as("cv"))
-        .localCheckpoint()
+          transform(col("pm"), p => p.getField("m")).as(s"sub$s"))
     }
+    subMeans.foldLeft(seed)((cb, sm) => cb.join(sm, Seq("c_label"), "left"))
+      .select(col("c_label"), concat((0 until 8).map(s =>
+        coalesce(col(s"sub$s"), slice(col("cv"), 8 * s + 1, 8))): _*).as("cv"))
+      .localCheckpoint()
   }
 
   /** Total PQ quantization error of a corpus under a codebook: each
