@@ -129,6 +129,11 @@ object SparkEntry {
     "q_emb_dup" -> (graft.sources.Fixtures.qEmbDup _),
     "q_ingest_csv" -> (graft.sources.Fixtures.qIngestCsv _),
     "q_sink" -> (graft.ops.Sink.qSink _),
+    // -- training-data prep (chunk / pack / mixture / tf-idf) --
+    "q_chunk" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qChunk(s, d)),
+    "q_pack" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPack(s, d)),
+    "q_mixture" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qMixture(s, d)),
+    "q_tfidf" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qTfidf(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -1063,6 +1068,45 @@ object SparkEntry {
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
         |  o_orderpriority, o_orderstatus AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |c AS (SELECT doc_id, t, n, unnest(range(0,
+        |  CAST(greatest(floor((n - 64 + 47) / 48.0) + 1, 1) AS BIGINT))) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start,
+        |  least(64, n - chunk_idx * 48) AS chunk_len,
+        |  array_to_string(t[CAST(chunk_idx * 48 + 1 AS BIGINT):CAST(chunk_idx * 48 + 64 AS BIGINT)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack" ->
+      s"""WITH d AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok, sum(n_tok) OVER
+        |  (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT source, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "q_mixture" -> {
+      val cases = graft.text.TrainPrep.mixtureWeights.map { case (l, f) =>
+        s"WHEN '$l' THEN '${graft.text.TextOps.sampleThreshold(f)}'"
+      }.mkString(" ")
+      val dflt = graft.text.TextOps.sampleThreshold(graft.text.TrainPrep.mixtureDefault)
+      s"""WITH d AS (SELECT lang, doc_id,
+        |  CASE lang $cases ELSE '$dflt' END AS thr FROM documents),
+        |k AS (SELECT lang, CASE WHEN substring(md5('${graft.text.TrainPrep.mixtureSalt}:' ||
+        |  CAST(doc_id AS VARCHAR)), 1, 8) < thr THEN 1 ELSE 0 END AS kept FROM d)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(kept) AS DOUBLE) / count(*) AS rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT doc_id, term, tf, df,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rnk
+        |  FROM tf JOIN dfr USING (term))
+        |SELECT doc_id, rnk, term, tf, df FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_emb_dup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM read_parquet('${graft.sources.Fixtures.embDupPath}/*.parquet')),

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextOps.{sampleHash, sampleThreshold, tokens}
+
+/** Training-data preparation operators over `documents` — the steps
+  * between a curated corpus and a tokenized training shard: chunking
+  * long documents into context windows, packing sequences into
+  * fixed-budget bins, mixture-weighted source sampling, and
+  * distinctive-term extraction (TF-IDF-style inverted statistics).
+  * All deterministic and oracle-mirrored in DuckDB SQL.
+  */
+object TrainPrep {
+
+  /** Sliding-window CHUNKING: split each document's token stream into
+    * windows of `chunk` tokens at `stride` offsets (stride < chunk ⇒
+    * overlap, the usual context-window prep for LLM training). The
+    * last window may be shorter (partial tail kept, nothing dropped);
+    * docs shorter than one window yield exactly one chunk. Integer
+    * window count: 1 + ceil(max(n-chunk,0)/stride), all arithmetic
+    * exact in double well below 2^53. Scale shape: pure per-row
+    * narrow explode — no shuffle at all; output order is the only
+    * (declared-query) sort. */
+  def qChunk(spark: SparkSession, dir: String, chunk: Int = 64, stride: Int = 48): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    docs
+      .withColumn("n_chunks",
+        greatest(floor((col("n") - chunk + (stride - 1)) / lit(stride.toDouble)) + 1, lit(1L)))
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start"),
+        least(lit(chunk.toLong), col("n") - col("chunk_idx") * stride).as("chunk_len"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunk)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Greedy SEQUENCE PACKING: fill fixed token-budget bins with
+    * documents in deterministic (doc_id) order, one packing stream per
+    * `source` — the shard-building step that turns a corpus into
+    * fixed-size training batches. A document goes to the bin its
+    * cumulative token offset starts in (contiguous first-fit; a doc
+    * may straddle its bin's boundary, as real packers split across
+    * sequence boundaries). Scale shape: the window runs per source
+    * partition — parallelism = number of sources (at 100 TB, pack per
+    * shard key: date × source × hash-bucket), shuffle = one exchange
+    * on the partition key. */
+  def qPack(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(budget.toDouble)))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Mixture weights: per-language keep-fractions (the data-mixture
+    * dial every LLM training run tunes). Shared with the generated
+    * oracle SQL so both engines embed identical thresholds. */
+  val mixtureWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.9, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
+  val mixtureDefault: Double = 0.05
+  val mixtureSalt: String = "mix"
+
+  /** MIXTURE SAMPLING: deterministic hash-threshold sampling with
+    * per-language rates — reweighting sources into a target training
+    * mixture, reproducible across engines/runs/retries (same property
+    * as [[TextOps.deterministicSample]], per-group thresholds). The
+    * weights ride a broadcast dim join (mixture config is data, not
+    * code). Declared output audits per language: total, kept, achieved
+    * rate. */
+  def qMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = broadcast(
+      mixtureWeights.map { case (l, f) => (l, sampleThreshold(f)) }.toDF("lang", "thr"))
+    Tables.documents(spark, dir)
+      .join(weights, Seq("lang"), "left")
+      .withColumn("thr", coalesce(col("thr"), lit(sampleThreshold(mixtureDefault))))
+      .withColumn("kept", (sampleHash(col("doc_id"), mixtureSalt) < col("thr")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        (sum(col("kept")).cast("double") / count(lit(1))).as("rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** DISTINCTIVE TERMS (TF-IDF shape): term frequency per document
+    * joined against corpus-wide document frequency, top-3 terms per
+    * document ranked by (tf desc, df asc, term asc). The ranking is
+    * the TF-IDF order for any monotone idf — kept in integers so the
+    * oracle is immune to cross-engine libm (ln) drift. Scale shape:
+    * explode → two-phase count [shuffle on (doc,term)], df aggregate
+    * [shuffle on term], tf⋈df on term (vocab-sized side — AQE
+    * broadcasts when it fits, bucket-join at 100 TB), one window per
+    * doc. */
+  def qTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+}
