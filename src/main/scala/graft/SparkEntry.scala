@@ -127,6 +127,8 @@ object SparkEntry {
     "q_nestsel" -> (graft.sources.Fixtures.qNestsel _),
     "q_flatten_intent" -> (graft.sources.Fixtures.qFlattenIntent _),
     "q_emb_dup" -> (graft.sources.Fixtures.qEmbDup _),
+    "q_emb_clusters" -> (graft.sources.Fixtures.qEmbClusters _),
+    "q_media_dedup" -> (graft.sources.Fixtures.qMediaDedup _),
     "q_ingest_csv" -> (graft.sources.Fixtures.qIngestCsv _),
     "q_sink" -> (graft.ops.Sink.qSink _),
     // -- training-data prep (chunk / pack / mixture / tf-idf) --
@@ -1107,6 +1109,31 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rnk
         |  FROM tf JOIN dfr USING (term))
         |SELECT doc_id, rnk, term, tf, df FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_media_dedup" ->
+      s"""WITH m AS (SELECT media_id, bytes
+        |  FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')),
+        |u AS (SELECT media_id, bytes FROM m UNION ALL
+        |  SELECT media_id + 10000 AS media_id, bytes FROM m WHERE media_id < 20),
+        |f AS (SELECT media_id, md5(hex(bytes)) AS fp FROM u)
+        |SELECT fp, count(*) AS n_copies, min(media_id) AS canonical_id,
+        |  max(media_id) AS dup_id
+        |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY canonical_id""".stripMargin,
+    "q_emb_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM read_parquet('${graft.sources.Fixtures.embDupPath}/*.parquet')),
+        |k AS ($embDupTablesSql),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM k a JOIN k b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |s AS (SELECT id_a, id_b, ea.v AS qv, eb.v AS vv
+        |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b),
+        |p AS (SELECT id_a, id_b FROM s WHERE ${cosineSqlFor("qv", "vv")} >= 0.95),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        |  UNION
+        |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u)
+        |SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     "q_emb_dup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM read_parquet('${graft.sources.Fixtures.embDupPath}/*.parquet')),

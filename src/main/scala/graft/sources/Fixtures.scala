@@ -225,6 +225,45 @@ object Fixtures {
     graft.vector.VectorOps.embeddingDupPairs(spark.read.parquet(embDupPath))
   }
 
+  /** Multimodal content-hash dedup: exact-duplicate detection over
+    * opaque binary media columns — the asset-level dedup step of a
+    * multimodal pipeline (same bytes ⇒ same asset, regardless of id).
+    * The fixture's binaries are all unique, so a deterministic planted
+    * copy set (first 20 assets re-keyed +10000) makes the op
+    * observable; both engines derive it from the same parquet. Hash =
+    * md5 of the uppercase hex encoding (DuckDB's md5 takes VARCHAR,
+    * not BLOB; hex() is bit-identical cross-engine). Scale shape: one
+    * narrow scan computing a 32-char key per asset, one hash shuffle
+    * of (id, key) — bytes never shuffle. */
+  def qMediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    val media = spark.read.parquet(mediaPath).select(col("media_id"), col("bytes"))
+    val planted = media.filter(col("media_id") < 20)
+      .select((col("media_id") + 10000).as("media_id"), col("bytes"))
+    media.unionByName(planted)
+      .select(col("media_id"), md5(hex(col("bytes"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("media_id")).as("canonical_id"),
+        max(col("media_id")).as("dup_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("canonical_id"))
+  }
+
+  /** Embedding near-dup CLUSTERS: connected components over the
+    * planted-dup pair graph ([[qEmbDup]]'s edges) via the same
+    * min-label propagation as document dup clustering — the step that
+    * turns pairwise semantic-dup detection into one canonical vector
+    * per cluster. Oracle mirrors with a recursive CTE. */
+  def qEmbClusters(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    val pairs = graft.vector.VectorOps.embeddingDupPairs(spark.read.parquet(embDupPath))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.dedup.Dedup.dupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Q-nestsel: nested projection WITHOUT flattening (the reference's
     * literal behavior, `normalize.py:26-29`) — subfield access through
     * the list<struct>, plus the nested column serialized as canonical
