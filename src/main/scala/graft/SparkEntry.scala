@@ -98,6 +98,9 @@ object SparkEntry {
     "q_not_exists" -> (Relational.qNotExists _),
     "q_not_in_naaj" -> (Relational.qNotInNaaj _),
     "q_tpch20" -> (Relational.qTpch20 _),
+    "q_tpch7" -> (Relational.qTpch7 _),
+    "q_tpch10" -> (Relational.qTpch10 _),
+    "q_tpch18" -> (Relational.qTpch18 _),
     "q_interval_join" -> (Relational.qIntervalJoin _),
     "q_interval_left" -> (Relational.qIntervalLeft _),
     "q_range_join" -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.qRangeJoin(s, d)),
@@ -867,6 +870,50 @@ object SparkEntry {
          |$pqRefineCtesSql,
          |${pqRankChainSql("cent2")}
          |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_tpch7" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l.l_shipdate) AS l_year,
+         |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+         |    (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |WHERE (sn.n_nationkey = 1 AND cn.n_nationkey = 2)
+         |   OR (sn.n_nationkey = 2 AND cn.n_nationkey = 1)
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch10" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name,
+         |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+         |    (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+         |  AND l.l_returnflag = 'R'
+         |GROUP BY c.c_custkey, c.c_name, n.n_name
+         |ORDER BY revenue DESC, c.c_custkey
+         |LIMIT 20""".stripMargin,
+    "q_tpch18" ->
+      s"""SELECT c.c_name, c.c_custkey, o.o_orderkey,
+         |  strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+         |  CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+         |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(200 AS DECIMAL(18,2)))
+         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+         |ORDER BY totalprice DESC, o.o_orderkey
+         |LIMIT 20""".stripMargin,
     "q_tpch3" ->
       s"""SELECT l_orderkey, o_orderpriority,
          |  CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue,

@@ -431,6 +431,86 @@ object Relational {
         |ORDER BY s.s_name""".stripMargin)
   }
 
+  /** TPC-H Q7-shaped volume shipping: bilateral trade revenue between
+    * two nations per ship year — a 6-table snowflake (lineitem at the
+    * center; two independent nation lookups through supplier and
+    * customer). All four dims broadcast; the only shuffles are
+    * fact-side aggregation exchanges. Exact decimal revenue. */
+  def qTpch7(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS STRING) AS DOUBLE) AS revenue
+        |FROM graft_lineitem l
+        |JOIN graft_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_customer c ON o.o_custkey = c.c_custkey
+        |JOIN graft_nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN graft_nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_nationkey = 1 AND cn.n_nationkey = 2)
+        |   OR (sn.n_nationkey = 2 AND cn.n_nationkey = 1)
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin)
+  }
+
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns
+    * per customer over one quarter, top 20. Ordering is total (revenue
+    * desc, then custkey) so the limit cut is deterministic despite the
+    * double sort key — the decimal-sum revenue is bitwise identical in
+    * both engines, making desc-by-double safe. */
+  def qTpch10(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS STRING) AS DOUBLE) AS revenue
+        |FROM graft_customer c
+        |JOIN graft_orders o ON o.o_custkey = c.c_custkey
+        |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    * clears a threshold, with customer context — the IN subquery's
+    * HAVING aggregates BEFORE the semi join (no full-fact
+    * materialization), then the outer join re-aggregates only
+    * surviving orders. Total order on (totalprice desc, orderkey). */
+  def qTpch18(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  date_format(o.o_orderdate, 'yyyy-MM-dd') AS odate,
+        |  CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+        |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty
+        |FROM graft_customer c
+        |JOIN graft_orders o ON o.o_custkey = c.c_custkey
+        |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM graft_lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(200 AS DECIMAL(18,2)))
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY totalprice DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   /** Q-interval-join (range join): purchases within one hour AFTER the
     * same user's signup — an inequality band join. Spark plans the
     * equi-part (user_id) as the join key with the time band as a

@@ -115,6 +115,19 @@ class PlanSpec extends AnyFunSuite {
       s"no nested-loop fallback:\n$plan")
   }
 
+  test("tpch7: 6-table snowflake rides broadcast joins, no nested loop") {
+    val plan = planOf(graft.ops.Relational.qTpch7(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the OR nation-pair predicate must not degrade the join:\n$plan")
+  }
+
+  test("tpch18: quantity threshold aggregates before the semi join") {
+    val plan = planOf(graft.ops.Relational.qTpch18(spark, sf))
+    assert(plan.contains("LeftSemi"), s"IN must become a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("keyless range join: binned equi-join, never a nested loop") {
     val plan = planOf(graft.ops.RangeJoin.qRangeJoin(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
