@@ -176,6 +176,13 @@ object SparkEntry {
       s"list_sum(list_transform(range(1, 65), i -> v[i] * (CAST($arr AS DOUBLE[]))[i]))"
     }
 
+  /** Scaled-integer mean of a computed double — mirrors
+    * `Exact.scaledMean` (same multiply, integer round, sum, and
+    * division order; see its scaladoc for why double→DECIMAL casts
+    * are not cross-engine identical at rounding boundaries). */
+  private def scaledMeanSql(x: String): String =
+    s"CAST(sum(CAST(round($x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / count(*)"
+
   /** PQ oracle fragments: per-subspace squared distance (dims 8s+1..
     * 8s+8, sequential fold) and the 8-way code/lookup join chain. */
   private def pqSubDistSql(s: Int): String =
@@ -187,7 +194,7 @@ object SparkEntry {
        |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
        |cm AS (SELECT label, pos,
-       |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+       |  ${scaledMeanSql("x")} AS m
        |  FROM ex GROUP BY 1, 2),
        |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label)""".stripMargin
 
@@ -222,7 +229,7 @@ object SparkEntry {
          |  FROM (SELECT e.vec_id, c_label, ${pqSubDistSql(s)} AS d FROM e, cent)
          |  GROUP BY vec_id),
          |sm$s AS (SELECT a.cluster, ii.i AS pos,
-         |  CAST(CAST(sum(CAST(e.v[${8 * s} + ii.i] AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  ${scaledMeanSql(s"e.v[${8 * s} + ii.i]")} AS m
          |  FROM asg$s a JOIN e ON e.vec_id = a.vec_id
          |  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ii
          |  GROUP BY 1, 2),
@@ -814,7 +821,7 @@ object SparkEntry {
          |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
          |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
          |cm AS (SELECT label, pos,
-         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  ${scaledMeanSql("x")} AS m
          |  FROM ex GROUP BY 1, 2),
          |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm GROUP BY label),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -830,7 +837,7 @@ object SparkEntry {
          |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
          |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
          |cm0 AS (SELECT label, pos,
-         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  ${scaledMeanSql("x")} AS m
          |  FROM ex GROUP BY 1, 2),
          |c0 AS (SELECT label AS c_label, list(m ORDER BY pos) AS cv FROM cm0 GROUP BY label),
          |d1 AS (SELECT vec_id, v, c_label,
@@ -842,7 +849,7 @@ object SparkEntry {
          |ex1 AS (SELECT cluster, ii.i - 1 AS pos, v[ii.i] AS x
          |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
          |cm1 AS (SELECT cluster, pos,
-         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  ${scaledMeanSql("x")} AS m
          |  FROM ex1 GROUP BY 1, 2),
          |c1 AS (SELECT cluster AS c_label, list(m ORDER BY pos) AS cv FROM cm1 GROUP BY cluster),
          |d2 AS (SELECT vec_id, v, c_label,
@@ -854,7 +861,7 @@ object SparkEntry {
          |ex2 AS (SELECT cluster, ii.i - 1 AS pos, v[ii.i] AS x
          |  FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
          |cm2 AS (SELECT cluster, pos,
-         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+         |  ${scaledMeanSql("x")} AS m
          |  FROM ex2 GROUP BY 1, 2),
          |c2 AS (SELECT cluster AS c_label, list(m ORDER BY pos) AS cv FROM cm2 GROUP BY cluster)
          |SELECT CAST(a2.cluster AS BIGINT) AS cluster, count(*) AS n_members,

@@ -51,6 +51,21 @@ object Exact {
   def davg(c: Column, scale: Int = 2): Column =
     decToDouble(sum(dec(c, scale))) / count(lit(1))
 
+  /** Deterministic mean of COMPUTED doubles via scaled-integer sums.
+    * The double→decimal cast (`dec(x, 9)`) is NOT cross-engine
+    * identical at rounding boundaries: Spark rounds the double's
+    * shortest decimal string HALF_UP while DuckDB rounds the exact
+    * binary value — one element in ~128k hit such a boundary at sf0.1
+    * (q_kmeans/q_sim_pq checksum drift ≈ 1e-9/count). Rounding
+    * x·1e9 to an INTEGER agrees in both engines for every double: at
+    * exact halves both round away from zero, and off the boundary the
+    * shortest-repr round-trip cannot cross the exactly-representable
+    * k+0.5. Overflow-safe to ~9e9 rows per group at |x| ≤ 1.
+    * SQL mirror: CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT))
+    * AS DOUBLE) / 1000000000.0 / count(*)  — same division order. */
+  def scaledMean(c: Column): Column =
+    sum(round(c * lit(1e9)).cast("long")).cast("double") / lit(1e9) / count(lit(1))
+
   /** `l_extendedprice * (1 - l_discount)`-style revenue term, exact. */
   def revenue(price: Column, discount: Column): Column =
     money(price) * (one - rate(discount))

@@ -220,7 +220,7 @@ object VectorOps {
         .select(col("label"), col("embedding").cast("array<double>").as("v"))
       emb.select(col("label"), posexplode(col("v")))
         .groupBy(col("label"), col("pos"))
-        .agg((decToDouble(sum(dec(col("col"), 9))) / count(lit(1))).as("m"))
+        .agg(graft.ops.Exact.scaledMean(col("col")).as("m"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("label").as("c_label"), transform(col("pm"), p => p.getField("m")).as("cv"))
@@ -267,7 +267,7 @@ object VectorOps {
     import graft.ops.Exact._
     assigned.select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))
-      .agg((decToDouble(sum(dec(col("col"), 9))) / count(lit(1))).as("m"))
+      .agg(graft.ops.Exact.scaledMean(col("col")).as("m"))
       .groupBy(col("cluster"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cluster").as("c_label"), transform(col("pm"), p => p.getField("m")).as("cv"))
@@ -356,7 +356,7 @@ object VectorOps {
     val subMeans = (0 until 8).map { s =>
       assigned.select(col(s"c$s").as("cluster"), posexplode(slice(col("v"), 8 * s + 1, 8)))
         .groupBy(col("cluster"), col("pos"))
-        .agg((decToDouble(sum(dec(col("col"), 9))) / count(lit(1))).as("m"))
+        .agg(graft.ops.Exact.scaledMean(col("col")).as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cluster").as("c_label"),
