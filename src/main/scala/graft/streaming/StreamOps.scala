@@ -13,6 +13,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (`pipeline/collectors/nft.py:62-96`) → micro-batch triggers + rate
   * limits; Redis TTL state (`pipeline/utils/cache.py:135-182`) →
   * keyed state with ProcessingTime/EventTime timeout.
+  *
+  * 100 TB configuration (pure config — no operator here changes):
+  *  - `spark.sql.streaming.stateStore.providerClass =
+  *    ...state.RocksDBStateStoreProvider`: keyed state (dedup sets,
+  *    session maps, join buffers) off the JVM heap onto local disk
+  *    with incremental checkpointing; StreamOpsSpec pins identical
+  *    results under this provider.
+  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` on file sources
+  *    bound each micro-batch (the backpressure the reference's
+  *    bounded queue provided); prefer `Trigger.AvailableNow` for
+  *    catch-up runs so rate limits still apply.
+  *  - watermarks bound every stateful operator here — state size is
+  *    O(keys in the watermark horizon), not O(stream history).
   */
 object StreamOps {
 

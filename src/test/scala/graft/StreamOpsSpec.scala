@@ -53,6 +53,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!types.contains("late"), s"late row should be dropped, got $types")
   }
 
+  test("stateful ops run unchanged on the RocksDB state store (the 100 TB provider)") {
+    // At scale, streaming state (dedup sets, session maps, join buffers)
+    // cannot live on the JVM heap — RocksDB spills to local disk with
+    // incremental checkpointing. Spark 4 bundles the provider; this
+    // pins that our stateful operators produce identical results under
+    // it, so the switch is pure configuration.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.Event]
+      mem.addData(rows: _*)
+      val q = StreamOps.tumbling(mem.toDF()).writeStream
+        .format("memory").queryName("rocks_out").outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("rocks_out")
+        .select(date_format(col("wstart"), "HH:mm").as("w"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(("10:00", "a", 2L), ("10:05", "b", 1L), ("10:10", "a", 1L), ("10:30", "b", 1L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session stream groups events within 10-minute gaps per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
