@@ -134,6 +134,8 @@ object SparkEntry {
     "q_media_dedup" -> (graft.sources.Fixtures.qMediaDedup _),
     "q_ingest_csv" -> (graft.sources.Fixtures.qIngestCsv _),
     "q_sink" -> (graft.ops.Sink.qSink _),
+    "q_repetition" -> (graft.text.TextOps.qRepetition _),
+    "q_redact" -> (graft.text.TextOps.qRedact _),
     // -- training-data prep (chunk / pack / mixture / tf-idf) --
     "q_chunk" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qChunk(s, d)),
     "q_pack" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPack(s, d)),
@@ -1124,6 +1126,31 @@ object SparkEntry {
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
         |  o_orderpriority, o_orderstatus AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT doc_id,
+        |  CAST(len(t) - 1 AS BIGINT) AS n_grams2,
+        |  CAST(len(list_distinct(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1]))) AS BIGINT) AS n_distinct2,
+        |  CAST(len(t) - 2 AS BIGINT) AS n_grams3,
+        |  CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS BIGINT) AS n_distinct3
+        |  FROM d)
+        |SELECT doc_id, n_grams2, n_distinct2,
+        |  CAST(n_grams2 - n_distinct2 AS DOUBLE) / n_grams2 AS rep2,
+        |  n_grams3, n_distinct3,
+        |  CAST(n_grams3 - n_distinct3 AS DOUBLE) / n_grams3 AS rep3
+        |FROM g WHERE n_grams2 > n_distinct2 OR n_grams3 > n_distinct3
+        |ORDER BY doc_id""".stripMargin,
+    "q_redact" ->
+      s"""WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '${graft.text.TextOps.emailPattern}')) AS BIGINT) AS n_emails,
+        |  md5(regexp_replace(text2, '${graft.text.TextOps.emailPattern}', '<EMAIL>', 'g')) AS redacted_fp
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_chunk" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |n AS (SELECT doc_id, t, len(t) AS n FROM d),

@@ -175,6 +175,50 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** REPETITION scoring — the boilerplate/degenerate-text signal every
+    * LLM quality filter carries: fraction of duplicate word n-grams
+    * per document (1 - distinct/total), at n=2 and n=3. Pure per-row
+    * computation (one WordGrams pass per n, no shuffle); the declared
+    * query keeps docs with any repetition. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val tot2 = (size(t) - 1).cast("long")
+    val tot3 = (size(t) - 2).cast("long")
+    val dist2 = size(graft.functions.TextHashes.wordGrams(t, 2)).cast("long")
+    val dist3 = size(graft.functions.TextHashes.wordGrams(t, 3)).cast("long")
+    Tables.documents(spark, dir)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"),
+        tot2.as("n_grams2"), dist2.as("n_distinct2"),
+        ((tot2 - dist2).cast("double") / tot2).as("rep2"),
+        tot3.as("n_grams3"), dist3.as("n_distinct3"),
+        ((tot3 - dist3).cast("double") / tot3).as("rep3"))
+      .filter(col("rep2") > 0 || col("rep3") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Email pattern for PII redaction — identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs. */
+  val emailPattern: String = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+
+  /** PII REDACTION: detect and mask email-shaped spans (the scrubbing
+    * pass a training pipeline runs before tokenization). The corpus
+    * carries no PII, so each doc gets a deterministic planted address
+    * derived from its id — BOTH engines derive the same input, so
+    * detection counts and the redacted-text fingerprint are exact.
+    * Narrow per-row regex work, no shuffle. */
+  def qRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com now"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("text2"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text2"), lit(emailPattern), lit(0))).cast("long")
+          .as("n_emails"),
+        md5(regexp_replace(col("text2"), emailPattern, "<EMAIL>")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints per source: exact-dup detection via md5
     * canonical hash (ref cache-key dedup, `cache.py:57-74`). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
