@@ -454,6 +454,40 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Persist the corpus' sign-LSH bucket assignment as the STANDING
+    * ANN INDEX artifact — bucketed+sorted on bucket id so query probes
+    * equi-join it with NO Exchange on the (corpus-sized) index side:
+    * the vector-search analogue of [[graft.dedup.Dedup.writeBandIndex]].
+    * At 100 TB this is the write-once nightly index table; only the
+    * (small) probe set shuffles into its layout. */
+  def writeLshIndex(emb: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val planes = hyperplanes(4, 64)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Top-k cosine per query against the persisted LSH index: probes
+    * hash to their buckets and join the index in ITS bucket layout —
+    * one Exchange (the probes), asserted in SkewSpec. Same ranking
+    * contract as [[qSimTopkLsh]]. */
+  def topkAgainstIndex(spark: SparkSession, queries: DataFrame, table: String,
+      k: Int = 3): DataFrame = {
+    val planes = hyperplanes(4, 64)
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    spark.table(table).join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+  }
+
   /** Centroid distance per label — exercises grouped vector aggregation
     * (element-wise mean via exact long-scaled sums would be ideal;
     * here: mean of the first component per label, deterministic via

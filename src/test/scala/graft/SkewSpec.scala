@@ -65,6 +65,38 @@ class SkewSpec extends AnyFunSuite {
     assert(salts == 8)
   }
 
+  test("persisted LSH index: probes shuffle into the index layout, index Exchange-free") {
+    import org.apache.spark.sql.functions._
+    val table = "lsh_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val dir = new java.io.File(s"spark-warehouse/$table")
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val emb = Tables.embeddings(spark, sf)
+    graft.vector.VectorOps.writeLshIndex(emb, table, buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val queries = emb.filter(col("vec_id") < 5)
+      val got = graft.vector.VectorOps.topkAgainstIndex(spark, queries, table)
+      got.count() // finalize AQE
+      val plan = got.queryExecution.executedPlan.toString
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ against the bucketed index:\n$plan")
+      assert(joinPart.split("Exchange").length - 1 == 1,
+        s"only the probe side may shuffle into the join:\n$plan")
+      // ranking identical to the live (unpersisted) LSH computation
+      val live = graft.vector.VectorOps.qSimTopkLsh(spark, sf)
+        .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      assert(got.collect().toSet == live.collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incremental dedup: bloom pre-pass prunes history pre-shuffle, no false negatives") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
