@@ -88,6 +88,7 @@ object SparkEntry {
     "q_sim_lsh_mp" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLshMultiprobe(s, d)),
     "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
     "q_knn_join" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoin(s, d)),
+    "q_knn_clusters" -> ((s: SparkSession, d: String) => VectorOps.qKnnClusters(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
     "q_sim_pq" -> ((s: SparkSession, d: String) => VectorOps.qSimPq(s, d)),
     "q_sim_pq_refined" -> ((s: SparkSession, d: String) => VectorOps.qSimPqRefined(s, d)),
@@ -101,6 +102,14 @@ object SparkEntry {
     "q_tpch7" -> (Relational.qTpch7 _),
     "q_tpch10" -> (Relational.qTpch10 _),
     "q_tpch18" -> (Relational.qTpch18 _),
+    "q_tpch6" -> (Relational.qTpch6 _),
+    "q_tpch8" -> (Relational.qTpch8 _),
+    "q_tpch13" -> (Relational.qTpch13 _),
+    "q_tpch14" -> (Relational.qTpch14 _),
+    "q_tpch15" -> (Relational.qTpch15 _),
+    "q_tpch17" -> (Relational.qTpch17 _),
+    "q_tpch19" -> (Relational.qTpch19 _),
+    "q_tpch22" -> (Relational.qTpch22 _),
     "q_interval_join" -> (Relational.qIntervalJoin _),
     "q_interval_left" -> (Relational.qIntervalLeft _),
     "q_range_join" -> ((s: SparkSession, d: String) => graft.ops.RangeJoin.qRangeJoin(s, d)),
@@ -280,6 +289,25 @@ object SparkEntry {
        |  (sqrt(list_sum(list_transform($a, x -> x*x))) * sqrt(list_sum(list_transform($b, x -> x*x))))""".stripMargin
 
   private val cosineSql = cosineSqlFor("qv", "v")
+
+  /** Corpus-wide multi-probe kNN CTE chain ending in
+    * `r(q_id, vec_id, sim, rn)` — shared by q_knn_join and the
+    * recursive q_knn_clusters. */
+  private lazy val knnChainSql: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket,
+       |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
+       |  ${planeDotsSql(2)} AS d3, ${planeDotsSql(3)} AS d4 FROM e),
+       |qf AS (SELECT vec_id AS q_id, v AS qv, bucket,
+       |  CASE WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) AND abs(d1) <= abs(d4) THEN 1
+       |       WHEN abs(d2) <= abs(d3) AND abs(d2) <= abs(d4) THEN 2
+       |       WHEN abs(d3) <= abs(d4) THEN 4 ELSE 8 END AS flip
+       |  FROM bk),
+       |q AS (SELECT q_id, qv, bucket FROM qf
+       |  UNION ALL SELECT q_id, qv, xor(bucket, flip) AS bucket FROM qf),
+       |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
+       |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -803,21 +831,20 @@ object SparkEntry {
          |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_knn_join" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket,
-         |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
-         |  ${planeDotsSql(2)} AS d3, ${planeDotsSql(3)} AS d4 FROM e),
-         |qf AS (SELECT vec_id AS q_id, v AS qv, bucket,
-         |  CASE WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) AND abs(d1) <= abs(d4) THEN 1
-         |       WHEN abs(d2) <= abs(d3) AND abs(d2) <= abs(d4) THEN 2
-         |       WHEN abs(d3) <= abs(d4) THEN 4 ELSE 8 END AS flip
-         |  FROM bk),
-         |q AS (SELECT q_id, qv, bucket FROM qf
-         |  UNION ALL SELECT q_id, qv, xor(bucket, flip) AS bucket FROM qf),
-         |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
-         |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
-         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+      s"""WITH $knnChainSql
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_knn_clusters" ->
+      s"""WITH RECURSIVE $knnChainSql,
+         |knn AS (SELECT q_id, vec_id FROM r WHERE rn <= 3),
+         |m AS (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
+         |  JOIN knn k2 ON k1.q_id = k2.vec_id AND k1.vec_id = k2.q_id
+         |  WHERE k1.q_id < k1.vec_id),
+         |edges AS (SELECT a AS u, b AS w FROM m UNION ALL SELECT b AS u, a AS w FROM m),
+         |reach(u, w) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT rr.u, e2.w FROM reach rr JOIN edges e2 ON rr.w = e2.u)
+         |SELECT u AS vec_id, min(w) AS cluster_id FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
@@ -923,6 +950,89 @@ object SparkEntry {
          |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
          |ORDER BY totalprice DESC, o.o_orderkey
          |LIMIT 20""".stripMargin,
+    "q_tpch6" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_tpch8" ->
+      s"""WITH base AS (
+         |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         |    $revenueExpr AS volume,
+         |    s.s_nationkey AS supp_nation
+         |  FROM part p
+         |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY')
+         |SELECT o_year,
+         |  CAST(CAST(sum(CASE WHEN supp_nation = 1 THEN volume END) AS VARCHAR) AS DOUBLE) /
+         |  CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch13" ->
+      """WITH c_orders AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch14" ->
+      s"""SELECT
+         |  CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+         |      THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+         |        (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4))) END) AS VARCHAR) AS DOUBLE)
+         |    * 100.0 /
+         |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+         |    (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE)
+         |    AS promo_revenue
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' AND l.l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q_tpch15" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, r.total_revenue
+         |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+         |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s.s_suppkey""".stripMargin,
+    "q_tpch17" ->
+      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#11' AND p.p_size <= 2
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q_tpch19" ->
+      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch22" ->
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+        |  CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_nationkey <= 10
+        |  AND c.c_acctbal > (
+        |    SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey <= 10)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c.c_nationkey
+        |ORDER BY cntrycode""".stripMargin,
     "q_tpch3" ->
       s"""SELECT l_orderkey, o_orderpriority,
          |  CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue,

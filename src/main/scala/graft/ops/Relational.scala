@@ -511,6 +511,183 @@ object Relational {
         |LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q6-shaped forecast-revenue check: a single wide scan with a
+    * conjunctive range predicate and no join — the canonical test that
+    * ALL filters reach the parquet scan (shipdate + discount + quantity
+    * all appear in PushedFilters) and the aggregate runs map-side over
+    * the surviving rows. At 100 TB this query is pure scan bandwidth;
+    * anything but a one-stage plan with full pushdown is wrong. */
+  def qTpch6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_discount AS DECIMAL(6,4))) AS STRING) AS DOUBLE) AS revenue
+        |FROM graft_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+  }
+
+  /** TPC-H Q8-shaped national market share: nation 1's share of
+    * AMERICA-region ECONOMY-part revenue by order year — a 6-table
+    * star join (3 broadcast dims) feeding a conditional-numerator
+    * ratio. Both sums stay exact decimal and convert via the STRING
+    * cast before the ONE double division, so the share is bitwise
+    * reproducible cross-engine (dec/dec division has engine-specific
+    * scale rules; double division is IEEE-exact). */
+  def qTpch8(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    spark.sql(
+      """WITH base AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4))) AS volume,
+        |    s.s_nationkey AS supp_nation
+        |  FROM graft_part p
+        |  JOIN graft_lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN graft_orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN graft_customer c ON o.o_custkey = c.c_custkey
+        |  JOIN graft_nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN graft_region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY')
+        |SELECT o_year,
+        |  CAST(CAST(sum(CASE WHEN supp_nation = 1 THEN volume END) AS STRING) AS DOUBLE) /
+        |  CAST(CAST(sum(volume) AS STRING) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  /** TPC-H Q13-shaped order-count distribution: customers left-joined
+    * to a filtered orders side (join-condition filter, not WHERE — the
+    * filter must not drop customers), then a second aggregation over
+    * the per-customer counts. Two shuffles by construction (custkey,
+    * then c_count); the first is the big one and AQE coalesces the
+    * tiny second. */
+  def qTpch13(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """WITH c_orders AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM graft_customer c
+        |  LEFT JOIN graft_orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** TPC-H Q14-shaped promo-revenue share: one month of lineitem
+    * against the part dim (broadcast), conditional numerator over the
+    * same decimal revenue term as the denominator. The CASE has no
+    * ELSE, so non-promo rows contribute NULL and the decimal sum skips
+    * them — numerator and denominator come off ONE aggregate pass. */
+  def qTpch14(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT
+        |  CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |        (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4))) END) AS STRING) AS DOUBLE)
+        |    * 100.0 /
+        |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS STRING) AS DOUBLE)
+        |    AS promo_revenue
+        |FROM graft_lineitem l JOIN graft_part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' AND l.l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin)
+  }
+
+  /** TPC-H Q15-shaped top supplier: quarterly per-supplier revenue CTE
+    * consumed twice — once as the join side, once reduced to a scalar
+    * max — the view-reuse shape (the scalar subquery is uncorrelated,
+    * so it plans as a one-row broadcast filter, not a rescan per row).
+    * Revenue is decimal-exact before the double conversion, so the
+    * max-equality filter is safe cross-engine. */
+  def qTpch15(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS STRING) AS DOUBLE) AS total_revenue
+        |  FROM graft_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM graft_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitem rows under 20 %
+    * of their part's average quantity — a correlated scalar-aggregate
+    * subquery Catalyst decorrelates into an aggregate + join on
+    * l_partkey. Quantities are integral doubles, so the per-part avg
+    * (exact integer sum / count) is order-independent and the 0.2×
+    * threshold compare is deterministic cross-engine. */
+  def qTpch17(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM graft_lineitem l JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#11' AND p.p_size <= 2
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM graft_lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q19-shaped OR-of-ANDs join: three disjunctive brand/size/
+    * quantity bands over the part–lineitem join. The join key is
+    * common to all three arms, so Catalyst keeps ONE equi-join and
+    * pushes the arm-local part predicates (brand/size) below it as a
+    * derived disjunction on the build side — the pattern that turns a
+    * "complex OR" into a normal hash join instead of a nested loop. */
+  def qTpch19(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(6,4)))) AS STRING) AS DOUBLE) AS revenue
+        |FROM graft_lineitem l JOIN graft_part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  }
+
+  /** TPC-H Q22-shaped dormant-customer report: above-average-balance
+    * customers with no RECENT orders (every synthetic customer has
+    * some order, so the anti condition carries a correlated date
+    * predicate), grouped by nation. Exercises an uncorrelated scalar
+    * subquery (the decimal-exact average balance) AND a NOT EXISTS
+    * anti join with a non-key conjunct in one plan. */
+  def qTpch22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+        |  CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS totacctbal
+        |FROM graft_customer c
+        |WHERE c.c_nationkey <= 10
+        |  AND c.c_acctbal > (
+        |    SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / count(*)
+        |    FROM graft_customer c2 WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey <= 10)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c.c_nationkey
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   /** Q-interval-join (range join): purchases within one hour AFTER the
     * same user's signup — an inequality band join. Spark plans the
     * equi-part (user_id) as the join key with the time band as a

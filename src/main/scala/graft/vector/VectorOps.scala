@@ -169,6 +169,32 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** kNN-GRAPH CLUSTERING — semantic cluster curation: build the
+    * mutual-kNN graph from the corpus-wide [[qKnnJoin]] edges (keep
+    * (a,b) only when b is in a's top-k AND a is in b's top-k — the
+    * standard symmetrization that stops hub vectors from chaining
+    * unrelated regions together), then connected components via the
+    * same min-label propagation as document dup clustering. The edge
+    * list is k·n rows max — tiny next to the corpus — so the iterative
+    * CC runs on id pairs only; vectors never enter the loop. maxIter
+    * is raised because CC converges in O(component diameter) rounds
+    * and mutual-kNN chains can be path-like; each round is one join on
+    * the edge table. Output: every vector in ≥1 mutual edge, labeled
+    * by its component's min vec_id. */
+  def qKnnClusters(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the k·n edge list is consumed twice by the
+    // mutual-intersect (forward + reversed) — materialize the LSH
+    // join once instead of re-executing it per intersect branch
+    val fwd = qKnnJoin(spark, dir).select(col("q_id").as("a"), col("vec_id").as("b"))
+      .localCheckpoint()
+    val mutual = fwd.intersect(fwd.select(col("b"), col("a")))
+      .filter(col("a") < col("b"))
+    graft.dedup.Dedup.dupClusters(
+        mutual.select(col("a").as("doc_a"), col("b").as("doc_b")), maxIter = 100)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — multi-table sign-LSH:
     * candidates are pairs colliding in AT LEAST ONE of `nTables` bucket
     * tables (each table = `nPlanes` hyperplanes ⇒ 2^nPlanes buckets).

@@ -142,6 +142,33 @@ class PlanSpec extends AnyFunSuite {
       s"no sort-merge anywhere in the curation path:\n$plan")
   }
 
+  test("tpch6: all three predicates reach the parquet scan, no join, no shuffle of rows") {
+    val plan = planOf(graft.ops.Relational.qTpch6(spark, sf))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), s"range predicates not pushed: $pushed")
+    assert(!plan.contains("Join"), s"Q6 is a pure scan+agg:\n$plan")
+  }
+
+  test("tpch17: correlated avg subquery decorrelates, no per-row re-execution") {
+    val plan = planOf(graft.ops.Relational.qTpch17(spark, sf))
+    assert(!plan.contains("ScalarSubquery") || !plan.contains("CartesianProduct"),
+      s"per-part avg must become an aggregate+join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$plan")
+  }
+
+  test("tpch19: disjunctive brand/size/quantity arms keep ONE equi-join") {
+    val plan = planOf(graft.ops.Relational.qTpch19(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-ANDs must not degrade to a nested loop:\n$plan")
+  }
+
+  test("tpch22: NOT EXISTS with date conjunct plans as an anti join") {
+    val plan = planOf(graft.ops.Relational.qTpch22(spark, sf))
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string

@@ -61,6 +61,23 @@ class TextDedupVectorSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("knn clusters: labels are mutual-kNN components, edges symmetric by construction") {
+    val labels = graft.vector.VectorOps.qKnnClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(labels.nonEmpty, "mutual-kNN graph of the corpus must have edges")
+    val byId = labels.toMap
+    // cluster representative is the component's min member → every
+    // cluster_id labels itself, and no label exceeds its member
+    labels.foreach { case (vid, cid) =>
+      assert(cid <= vid, s"label $cid must be the component min, got member $vid")
+      assert(byId(cid) == cid, s"representative $cid must carry its own label")
+    }
+    // mutual edges only: every labeled vector appears in the kNN list
+    // of at least one same-cluster vector (spot-check via group sizes)
+    val sizes = labels.groupBy(_._2).map(_._2.length)
+    assert(sizes.forall(_ >= 2), "a mutual edge implies components of size >= 2")
+  }
+
   test("jaccard bounds and symmetry") {
     // partial case shares exactly one 3-shingle ("a b c") of 5 distinct
     val df = Seq(("a b c d", "a b c d"), ("a b c", "x y z"), ("a b c d e", "a b c x y"))
