@@ -150,6 +150,9 @@ object SparkEntry {
     "q_pack" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPack(s, d)),
     "q_mixture" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qMixture(s, d)),
     "q_tfidf" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qTfidf(s, d)),
+    "q_stratified" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qStratified(s, d)),
+    "q_temperature" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qTemperature(s, d)),
+    "q_quality_gate" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qQualityGate(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -1300,6 +1303,36 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rnk
         |  FROM tf JOIN dfr USING (term))
         |SELECT doc_id, rnk, term, tf, df FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_stratified" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk FROM h)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
+    "q_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |rt AS (SELECT lang, cnt,
+        |  sqrt(CAST((SELECT min(cnt) FROM c) AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate FROM c),
+        |t AS (SELECT lang, rate,
+        |  lpad(lower(to_hex(least(CAST(floor(rate * 4294967296.0) AS BIGINT), 4294967295))), 8, '0') AS thr
+        |  FROM rt),
+        |k AS (SELECT d.lang, t.rate,
+        |  CASE WHEN substring(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        |       THEN 1 ELSE 0 END AS kept
+        |  FROM documents d JOIN t ON d.lang = t.lang)
+        |SELECT lang, max(rate) AS rate, count(*) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_gate" ->
+      """WITH s AS (SELECT source, doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))
+        |    * least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) AS quality
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, quality,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS pr FROM s)
+        |SELECT source, count(*) AS n_kept, min(quality) AS worst_kept
+        |FROM r WHERE pr <= 0.5 GROUP BY source ORDER BY source""".stripMargin,
     "q_media_dedup" ->
       s"""WITH m AS (SELECT media_id, bytes
         |  FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')),

@@ -98,6 +98,72 @@ object TrainPrep {
       .orderBy(col("lang"))
   }
 
+  /** STRATIFIED SAMPLING — exactly `n` documents per source, chosen by
+    * deterministic hash rank (not a rate): the "fixed eval slice per
+    * domain" op. Unlike threshold sampling, the output size is exact
+    * regardless of source skew. Spark plans the rank-filter as
+    * WindowGroupLimit (partial per-partition top-n before the
+    * shuffle), so at 100 TB each source moves only ~n·partitions rows,
+    * not its whole corpus, into the window sort. */
+  def qStratified(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(sampleHash(col("doc_id"), "strat"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** TEMPERATURE RESAMPLING (α = 0.5): per-language keep-rates derived
+    * FROM the data — rate_l = sqrt(cnt_min / cnt_l), the α-temperature
+    * flattening that upsamples rare languages relative to dominant
+    * ones (rarest language keeps everything, p ∝ share^α). α is fixed
+    * at 0.5 so the rate computation is a sqrt of a count ratio — both
+    * IEEE-exact operations, bitwise identical cross-engine, where a
+    * pow() would drift with libm. The double rate becomes an 8-hex
+    * md5 threshold (floor to 2^32 grid, clamped) compared against the
+    * same deterministic sample hash the mixture op uses; the rate
+    * table is lang-count-sized and broadcasts. */
+  def qTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val rates = counts.crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
+      .select(col("lang"),
+        sqrt(col("min_cnt").cast("double") / col("cnt").cast("double")).as("rate"))
+    val thr = lpad(lower(hex(
+      least(floor(col("rate") * lit(4294967296.0)).cast("long"), lit(4294967295L)))), 8, "0")
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("kept", (sampleHash(col("doc_id"), "temp") < thr).cast("long"))
+      .groupBy(col("lang"))
+      .agg(max(col("rate")).as("rate"),
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** QUALITY-PERCENTILE GATE: keep each source's top-half documents by
+    * the quality score (percent_rank ≤ 0.5 over quality desc) — the
+    * per-domain relative filter used when absolute quality thresholds
+    * would wipe out weak domains entirely. percent_rank is
+    * (rank−1)/(n−1) over a total order (quality desc, doc_id), so the
+    * cut is deterministic; the aggregate reports the kept count and
+    * the worst admitted quality per source (min = row selection, no
+    * float summation). */
+  def qQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        (size(array_distinct(t)).cast("double") / size(t)
+          * least(col("n_chars").cast("double") / 200.0, lit(1.0))).as("quality"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("quality")).as("worst_kept"))
+      .orderBy(col("source"))
+  }
+
   /** DISTINCTIVE TERMS (TF-IDF shape): term frequency per document
     * joined against corpus-wide document frequency, top-3 terms per
     * document ranked by (tf desc, df asc, term asc). The ranking is

@@ -59,6 +59,44 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: exactly n per source, ranks dense from 1") {
+    val got = TrainPrep.qStratified(spark, sf, n = 5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"), min(col("rk")).as("lo"), max(col("rk")).as("hi"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 1L && r.getLong(3) == 5L,
+        s"source ${r.getString(0)}: expected ranks 1..5, got $r")
+    }
+  }
+
+  test("temperature resampling: rarest language keeps ~all, dominant is downsampled") {
+    val rows = TrainPrep.qTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val byDocs = rows.sortBy(_._3)
+    val (rarest, dominant) = (byDocs.head, byDocs.last)
+    assert(rarest._2 == 1.0, s"rarest language must keep rate 1.0: $rarest")
+    assert(dominant._2 < 1.0 && dominant._2 > 0.0)
+    // achieved rates track the target within sampling noise on these sizes
+    rows.foreach { case (l, rate, n, kept) =>
+      val achieved = kept.toDouble / n
+      assert(math.abs(achieved - rate) < 0.25, s"$l: target $rate achieved $achieved")
+    }
+  }
+
+  test("quality gate keeps the top half per source (percent_rank cut is exact)") {
+    val docsPerSource = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TrainPrep.qQualityGate(spark, sf).collect().foreach { r =>
+      val (src, kept) = (r.getString(0), r.getLong(1))
+      val n = docsPerSource(src)
+      // percent_rank <= 0.5 admits ceil((n-1)/2)+1 rows for distinct ranks
+      assert(kept >= n / 2 && kept <= n / 2 + 2, s"$src: kept $kept of $n")
+    }
+  }
+
   test("tf-idf ranks are dense per doc and ordered by (tf desc, df asc)") {
     val t = TrainPrep.qTfidf(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
