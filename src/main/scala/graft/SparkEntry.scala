@@ -89,6 +89,7 @@ object SparkEntry {
     "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
     "q_knn_join" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoin(s, d)),
     "q_knn_clusters" -> ((s: SparkSession, d: String) => VectorOps.qKnnClusters(s, d)),
+    "q_semantic_curate" -> ((s: SparkSession, d: String) => VectorOps.qSemanticCurate(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
     "q_sim_pq" -> ((s: SparkSession, d: String) => VectorOps.qSimPq(s, d)),
     "q_sim_pq_refined" -> ((s: SparkSession, d: String) => VectorOps.qSimPqRefined(s, d)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_emb_dup" -> (graft.sources.Fixtures.qEmbDup _),
     "q_emb_clusters" -> (graft.sources.Fixtures.qEmbClusters _),
     "q_media_dedup" -> (graft.sources.Fixtures.qMediaDedup _),
+    "q_media_sim" -> ((s: SparkSession, d: String) => graft.sources.Fixtures.qMediaSim(s, d)),
     "q_ingest_csv" -> (graft.sources.Fixtures.qIngestCsv _),
     "q_sink" -> (graft.ops.Sink.qSink _),
     "q_repetition" -> (graft.text.TextOps.qRepetition _),
@@ -848,6 +850,23 @@ object SparkEntry {
          |  UNION
          |  SELECT rr.u, e2.w FROM reach rr JOIN edges e2 ON rr.w = e2.u)
          |SELECT u AS vec_id, min(w) AS cluster_id FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
+    "q_semantic_curate" ->
+      s"""WITH RECURSIVE $knnChainSql,
+         |knn AS (SELECT q_id, vec_id FROM r WHERE rn <= 3),
+         |m AS (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
+         |  JOIN knn k2 ON k1.q_id = k2.vec_id AND k1.vec_id = k2.q_id
+         |  WHERE k1.q_id < k1.vec_id),
+         |edges AS (SELECT a AS u, b AS w FROM m UNION ALL SELECT b AS u, a AS w FROM m),
+         |reach(u, w) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT rr.u, e2.w FROM reach rr JOIN edges e2 ON rr.w = e2.u),
+         |lab AS (SELECT u AS vec_id, min(w) AS cluster_id FROM reach GROUP BY u),
+         |st AS (SELECT count(*) AS n_in_clusters,
+         |  CAST(sum(CASE WHEN vec_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+         |  FROM lab)
+         |SELECT (SELECT count(*) FROM e) AS n_total, n_in_clusters, n_pruned,
+         |  (SELECT count(*) FROM e) - n_pruned AS n_kept FROM st""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
@@ -1333,6 +1352,15 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS pr FROM s)
         |SELECT source, count(*) AS n_kept, min(quality) AS worst_kept
         |FROM r WHERE pr <= 0.5 GROUP BY source ORDER BY source""".stripMargin,
+    "q_media_sim" ->
+      s"""WITH f AS (SELECT media_id, CAST(features AS DOUBLE[]) AS v
+         |  FROM read_parquet('${graft.sources.Fixtures.mediaFeaturesPath}/*.parquet')),
+         |q AS (SELECT media_id AS q_id, v AS qv FROM f WHERE media_id < 5),
+         |p AS (SELECT q_id, f.media_id, ${cosineSqlFor("qv", "v")} AS sim
+         |  FROM f, q WHERE f.media_id <> q.q_id),
+         |r AS (SELECT q_id, media_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, media_id) AS rn FROM p)
+         |SELECT q_id, rn, media_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_media_dedup" ->
       s"""WITH m AS (SELECT media_id, bytes
         |  FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')),

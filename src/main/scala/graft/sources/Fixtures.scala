@@ -264,6 +264,31 @@ object Fixtures {
       .orderBy(col("vec_id"))
   }
 
+  /** MEDIA SIMILARITY — the multimodal→ANN tie-in: top-k cosine
+    * neighbors over the STORED feature vectors the mapPartitions
+    * extraction wrote at fixture-build time (at scale, a standing
+    * feature table produced by the decode stage; queries never touch
+    * bytes). Float features cast to double (exact) so the distance
+    * math runs the same codegen'd CosineSim as the embedding paths;
+    * the query set broadcasts, the feature table streams — identical
+    * shape to [[graft.vector.VectorOps.qSimTopk]] at any corpus size. */
+  def qMediaSim(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    ensure(spark)
+    import org.apache.spark.sql.expressions.Window
+    val feats = spark.read.parquet(mediaFeaturesPath)
+      .select(col("media_id"), col("features").cast("array<double>").as("v"))
+    val queries = feats.filter(col("media_id") < nQueries)
+      .select(col("media_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("media_id"))
+    feats.crossJoin(broadcast(queries))
+      .filter(col("media_id") =!= col("q_id"))
+      .select(col("q_id"), col("media_id"), graft.vector.VectorOps.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("media_id"), col("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Q-nestsel: nested projection WITHOUT flattening (the reference's
     * literal behavior, `normalize.py:26-29`) — subfield access through
     * the list<struct>, plus the nested column serialized as canonical

@@ -195,6 +195,24 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** SEMANTIC CURATION composite — the vector-space analogue of the
+    * lexical curation chain (etl.Curate): mutual-kNN clusters from
+    * [[qKnnClusters]], keep one canonical vector per cluster (the
+    * min-id representative), prune the rest, and account for the cut.
+    * The keep rule runs on the id-only label table (corpus-scale
+    * vectors never re-enter); output is the one-row corpus audit a
+    * pipeline logs after each curation pass. */
+  def qSemanticCurate(spark: SparkSession, dir: String): DataFrame = {
+    val labels = qKnnClusters(spark, dir)
+    val stats = labels.agg(
+      count(lit(1)).as("n_in_clusters"),
+      sum((col("vec_id") =!= col("cluster_id")).cast("long")).as("n_pruned"))
+    Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_total"))
+      .crossJoin(stats)
+      .select(col("n_total"), col("n_in_clusters"), col("n_pruned"),
+        (col("n_total") - col("n_pruned")).as("n_kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — multi-table sign-LSH:
     * candidates are pairs colliding in AT LEAST ONE of `nTables` bucket
     * tables (each table = `nPlanes` hyperplanes ⇒ 2^nPlanes buckets).
