@@ -28,6 +28,7 @@ object Bench {
         row_number().over(Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
         .count()
       graft.vector.VectorOps.ivfCentroids(spark, sfDir).count()
+      graft.vector.VectorOps.qKnnClusters(spark, sfDir).count()
       graft.sources.Fixtures.ensure(spark)
     } catch { case _: Throwable => () }
     // Two full passes, min per query: single-pass numbers on this VM

@@ -203,28 +203,60 @@ object Dedup {
     * iterations; dup clusters are shallow so this is 2-4 rounds in
     * practice. This is the step that turns pair detection into the
     * dedup deliverable: one canonical doc per duplicate cluster. */
+  /** Materialize a small iteration table AND reset its plan statistics.
+    * `Dataset.localCheckpoint` copies the origin plan's estimated
+    * `sizeInBytes` into the resulting `LogicalRDD` — and join
+    * estimates MULTIPLY child sizes, so inside an iterative join loop
+    * the carried estimate squares every round. By ~iteration 15 the
+    * BigInt behind the estimate has tens of thousands of bits and the
+    * driver spends exponentially growing CPU in `BigInteger.multiply`
+    * during planning (measured: 0.3 s rounds become 80 s by round 22).
+    * Rebuilding the DataFrame from the checkpointed RDD drops the
+    * inherited stats back to defaults, keeping every round's planning
+    * O(1); the Row round-trip is irrelevant on id-pair-sized tables. */
+  private def materializeStatsReset(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint: (a) materializes the upstream pair pipeline
-    // exactly once, (b) truncates lineage so each iteration plans
-    // against materialized blocks instead of a growing DAG. The label
-    // table holds only docs that appear in some pair — tiny relative to
-    // the corpus at any scale.
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u")).distinct().withColumn("label", col("u"))
-      .localCheckpoint()
+    // materialized once: (a) the upstream pair pipeline executes one
+    // time, (b) lineage truncates so each iteration plans against
+    // checkpointed blocks instead of a growing DAG. The label table
+    // holds only docs that appear in some pair — tiny relative to the
+    // corpus at any scale.
+    val (edges, _) = materializeStatsReset(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+    var (labels, labelsRdd) = materializeStatsReset(
+      edges.select(col("u")).distinct().withColumn("label", col("u")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels.withColumnRenamed("u", "v2"), col("v") === col("v2"))
+      // pointer shortcutting folded into the SAME single join: the
+      // current label pointers ride as extra (u → label(u)) edges, so
+      // each round takes min over neighbor labels AND label(label(u)).
+      // Labels only decrease toward the component min and a label is
+      // always a same-component node, so the fixpoint is unchanged —
+      // and where the graph allows it, label information doubles its
+      // reach per round instead of moving one hop. Cost per round
+      // stays one join + aggregate (the pointer edges add |labels|
+      // rows to a ~2k|labels| edge table).
+      val aug = edges.union(labels.select(col("u"), col("label").as("v")))
+      val nbrMin = aug.join(labels.withColumnRenamed("u", "v2"), col("v") === col("v2"))
         .groupBy(col("u")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint()
+      val (next, nextRdd) = materializeStatsReset(
+        labels.join(nbrMin, Seq("u"), "left")
+          .select(col("u"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "u")
         .filter(col("label") =!= col("old")).count()
+      // free the superseded round's checkpoint blocks — `next` is
+      // materialized, nothing references the old labels anymore
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
     }

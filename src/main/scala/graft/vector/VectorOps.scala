@@ -181,19 +181,32 @@ object VectorOps {
     * and mutual-kNN chains can be path-like; each round is one join on
     * the edge table. Output: every vector in ≥1 mutual edge, labeled
     * by its component's min vec_id. */
-  def qKnnClusters(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: the k·n edge list is consumed twice by the
-    // mutual-intersect (forward + reversed) — materialize the LSH
-    // join once instead of re-executing it per intersect branch
-    val fwd = qKnnJoin(spark, dir).select(col("q_id").as("a"), col("vec_id").as("b"))
-      .localCheckpoint()
-    val mutual = fwd.intersect(fwd.select(col("b"), col("a")))
-      .filter(col("a") < col("b"))
-    graft.dedup.Dedup.dupClusters(
-        mutual.select(col("a").as("doc_a"), col("b").as("doc_b")), maxIter = 100)
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-      .orderBy(col("vec_id"))
-  }
+  /** Cluster labels memoized per (session, dir) as a localCheckpointed
+    * table — like [[ivfCentroids]], the mutual-kNN CC is a write-once
+    * batch artifact (a standing label table at 100 TB), so the curation
+    * composite must not re-run the kNN join + CC loop the clustering
+    * query already paid for. */
+  private val knnClusterMemo = TrieMap[(String, String), DataFrame]()
+
+  private def knnClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    knnClusterMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      // localCheckpoint: the k·n edge list is consumed twice by the
+      // mutual-intersect (forward + reversed) — materialize the LSH
+      // join once instead of re-executing it per intersect branch
+      val fwd = qKnnJoin(spark, dir).select(col("q_id").as("a"), col("vec_id").as("b"))
+        .localCheckpoint()
+      val mutual = fwd.intersect(fwd.select(col("b"), col("a")))
+        .filter(col("a") < col("b"))
+      val labels = graft.dedup.Dedup.dupClusters(
+          mutual.select(col("a").as("doc_a"), col("b").as("doc_b")), maxIter = 100)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .localCheckpoint()
+      fwd.unpersist(blocking = false)
+      labels
+    })
+
+  def qKnnClusters(spark: SparkSession, dir: String): DataFrame =
+    knnClusterLabels(spark, dir).orderBy(col("vec_id"))
 
   /** SEMANTIC CURATION composite — the vector-space analogue of the
     * lexical curation chain (etl.Curate): mutual-kNN clusters from
@@ -203,7 +216,7 @@ object VectorOps {
     * vectors never re-enter); output is the one-row corpus audit a
     * pipeline logs after each curation pass. */
   def qSemanticCurate(spark: SparkSession, dir: String): DataFrame = {
-    val labels = qKnnClusters(spark, dir)
+    val labels = knnClusterLabels(spark, dir)
     val stats = labels.agg(
       count(lit(1)).as("n_in_clusters"),
       sum((col("vec_id") =!= col("cluster_id")).cast("long")).as("n_pruned"))
