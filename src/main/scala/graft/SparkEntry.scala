@@ -147,6 +147,8 @@ object SparkEntry {
     "q_sink" -> (graft.ops.Sink.qSink _),
     "q_repetition" -> (graft.text.TextOps.qRepetition _),
     "q_redact" -> (graft.text.TextOps.qRedact _),
+    "q_histogram" -> ((s: SparkSession, d: String) => graft.text.TextOps.qHistogram(s, d)),
+    "q_cooccur" -> ((s: SparkSession, d: String) => graft.text.TextOps.qCooccur(s, d)),
     // -- training-data prep (chunk / pack / mixture / tf-idf) --
     "q_chunk" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qChunk(s, d)),
     "q_pack" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPack(s, d)),
@@ -1283,6 +1285,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text2, '${graft.text.TextOps.emailPattern}')) AS BIGINT) AS n_emails,
         |  md5(regexp_replace(text2, '${graft.text.TextOps.emailPattern}', '<EMAIL>', 'g')) AS redacted_fp
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_histogram" ->
+      """WITH n AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, n_tok - (n_tok % 20) AS bucket, count(*) AS n_docs,
+        |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        |FROM n GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    "q_cooccur" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_transform(string_split(text, ' '),
+        |    (x, i) -> struct_pack(term := x, pos := i))) AS s FROM documents),
+        |e AS (SELECT doc_id, s.term AS term, s.pos AS pos FROM t),
+        |p AS (SELECT a.term AS term_a, b.term AS term_b
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id
+        |   AND b.pos > a.pos AND b.pos <= a.pos + 2)
+        |SELECT term_a, term_b, count(*) AS n FROM p GROUP BY 1, 2
+        |ORDER BY n DESC, term_a, term_b LIMIT 50""".stripMargin,
     "q_chunk" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |n AS (SELECT doc_id, t, len(t) AS n FROM d),

@@ -175,6 +175,46 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** LENGTH HISTOGRAM — corpus profiling: fixed-width token-count
+    * buckets per language (the distribution every pipeline logs before
+    * and after each filter stage to see what a cut actually removed).
+    * Bucket = floor(n/20)·20 in exact integer arithmetic; one narrow
+    * scan + one (lang, bucket) shuffle regardless of corpus size. */
+  def qHistogram(spark: SparkSession, dir: String, width: Int = 20): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", (col("n_tok") - (col("n_tok") % width)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** TERM CO-OCCURRENCE — skip-gram statistics (window ±2), the
+    * counting pass behind word2vec-style embedding training and PMI
+    * collocation mining. Tokens explode with their position, pairs
+    * come from a per-document position band join (equi-key doc_id —
+    * never a cross join; window size bounds the fan-out at 2n pairs
+    * per doc), counts are exact integers so the ranking needs no libm.
+    * Top-50 by (count desc, term pair) is a deterministic total
+    * order. At 100 TB this is the canonical (term,term) shuffle;
+    * vocabulary skew is AQE's skew-join case and stopword pruning
+    * (not applied here) is the standard volume dial. */
+  def qCooccur(spark: SparkSession, dir: String, window: Int = 2, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val a = toks.select(col("doc_id"), col("pos").as("pos_a"), col("term").as("term_a"))
+    val b = toks.select(col("doc_id"), col("pos").as("pos_b"), col("term").as("term_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("pos_b") > col("pos_a") && col("pos_b") <= col("pos_a") + window)
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   /** REPETITION scoring — the boilerplate/degenerate-text signal every
     * LLM quality filter carries: fraction of duplicate word n-grams
     * per document (1 - distinct/total), at n=2 and n=3. Pure per-row
