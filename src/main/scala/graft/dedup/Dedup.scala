@@ -214,7 +214,7 @@ object Dedup {
     * Rebuilding the DataFrame from the checkpointed RDD drops the
     * inherited stats back to defaults, keeping every round's planning
     * O(1); the Row round-trip is irrelevant on id-pair-sized tables. */
-  private def materializeStatsReset(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+  private[graft] def materializeStatsReset(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd
     rdd.localCheckpoint()
     rdd.count()

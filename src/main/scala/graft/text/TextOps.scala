@@ -193,10 +193,11 @@ object TextOps {
 
   /** TERM CO-OCCURRENCE — skip-gram statistics (window ±2), the
     * counting pass behind word2vec-style embedding training and PMI
-    * collocation mining. Tokens explode with their position, pairs
-    * come from a per-document position band join (equi-key doc_id —
-    * never a cross join; window size bounds the fan-out at 2n pairs
-    * per doc), counts are exact integers so the ranking needs no libm.
+    * collocation mining. Tokens explode with their position; each
+    * token then fans out to its `window` forward offsets and pairs
+    * ride a FULL (doc_id, pos) equi-join — O(n·window) work per doc,
+    * never O(n²) pairs; counts are exact integers so the ranking
+    * needs no libm.
     * Top-50 by (count desc, term pair) is a deterministic total
     * order. At 100 TB this is the canonical (term,term) shuffle;
     * vocabulary skew is AQE's skew-join case and stopword pruning
@@ -205,10 +206,16 @@ object TextOps {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("term"))
-    val a = toks.select(col("doc_id"), col("pos").as("pos_a"), col("term").as("term_a"))
-    val b = toks.select(col("doc_id"), col("pos").as("pos_b"), col("term").as("term_b"))
-    a.join(b, Seq("doc_id"))
-      .filter(col("pos_b") > col("pos_a") && col("pos_b") <= col("pos_a") + window)
+    // offset-explode instead of a band filter over the doc_id join:
+    // the left side fans out to exactly `window` rows per token and the
+    // join carries (doc_id, pos) as the FULL equi-key, so each doc
+    // costs O(n·window) comparisons, not O(n²) pairs post-filtered
+    val a = toks.select(col("doc_id"), col("term").as("term_a"),
+        explode(array((1 to window).map(lit): _*)).as("off"),
+        col("pos"))
+      .select(col("doc_id"), (col("pos") + col("off")).as("pos"), col("term_a"))
+    val b = toks.select(col("doc_id"), col("pos"), col("term").as("term_b"))
+    a.join(b, Seq("doc_id", "pos"))
       .groupBy(col("term_a"), col("term_b"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term_a"), col("term_b"))

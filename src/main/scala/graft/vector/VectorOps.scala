@@ -190,18 +190,20 @@ object VectorOps {
 
   private def knnClusterLabels(spark: SparkSession, dir: String): DataFrame =
     knnClusterMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      // localCheckpoint: the k·n edge list is consumed twice by the
-      // mutual-intersect (forward + reversed) — materialize the LSH
-      // join once instead of re-executing it per intersect branch
-      val fwd = qKnnJoin(spark, dir).select(col("q_id").as("a"), col("vec_id").as("b"))
-        .localCheckpoint()
+      // materialized once (RDD checkpoint + stats reset): the k·n edge
+      // list is consumed twice by the mutual-intersect (forward +
+      // reversed) — execute the LSH join one time, and free its blocks
+      // once the label table stands (Dataset.unpersist would be a
+      // no-op on checkpoint blocks; the RDD handle is what frees them)
+      val (fwd, fwdRdd) = graft.dedup.Dedup.materializeStatsReset(
+        qKnnJoin(spark, dir).select(col("q_id").as("a"), col("vec_id").as("b")))
       val mutual = fwd.intersect(fwd.select(col("b"), col("a")))
         .filter(col("a") < col("b"))
-      val labels = graft.dedup.Dedup.dupClusters(
-          mutual.select(col("a").as("doc_a"), col("b").as("doc_b")), maxIter = 100)
-        .select(col("doc_id").as("vec_id"), col("cluster_id"))
-        .localCheckpoint()
-      fwd.unpersist(blocking = false)
+      val (labels, _) = graft.dedup.Dedup.materializeStatsReset(
+        graft.dedup.Dedup.dupClusters(
+            mutual.select(col("a").as("doc_a"), col("b").as("doc_b")), maxIter = 100)
+          .select(col("doc_id").as("vec_id"), col("cluster_id")))
+      fwdRdd.unpersist(blocking = false)
       labels
     })
 

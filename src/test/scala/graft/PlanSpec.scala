@@ -152,9 +152,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("tpch17: correlated avg subquery decorrelates, no per-row re-execution") {
     val plan = planOf(graft.ops.Relational.qTpch17(spark, sf))
-    assert(!plan.contains("ScalarSubquery") || !plan.contains("CartesianProduct"),
+    assert(!plan.contains("ScalarSubquery"),
       s"per-part avg must become an aggregate+join:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested loop:\n$plan")
   }
 
   test("tpch19: disjunctive brand/size/quantity arms keep ONE equi-join") {
