@@ -170,6 +170,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("cooccur: pairs ride the full (doc_id, pos) equi-key, no band filter post-join") {
+    val plan = planOf(graft.text.TextOps.qCooccur(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"co-occurrence must be an equi-join:\n$plan")
+    // the offset-explode design puts pos INTO the join key — a plan
+    // that joins on doc_id alone and range-filters pos afterwards is
+    // the O(n²)-per-doc shape this pins against
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("doc_id")).getOrElse("")
+    assert(joinLine.contains("pos"), s"pos must be part of the join key: $joinLine")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string
