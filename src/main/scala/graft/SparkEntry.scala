@@ -132,6 +132,7 @@ object SparkEntry {
     "q_resample" -> (graft.ops.EventAnalytics.qResample _),
     "q_funnel" -> (graft.ops.EventAnalytics.qFunnel _),
     "q_retention" -> (graft.ops.EventAnalytics.qRetention _),
+    "q_scd2" -> (graft.ops.EventAnalytics.qScd2 _),
     // -- fixture-backed surfaces (multimodal + nested; see sources/Fixtures) --
     "q_media" -> (graft.sources.Fixtures.qMedia _),
     "q_media_frames" -> (graft.sources.Fixtures.qMediaFrames _),
@@ -1134,6 +1135,21 @@ object SparkEntry {
         |  FROM e JOIN c ON e.user_id = c.user_id WHERE date_diff('day', c.c0, e.d) <= 14)
         |SELECT CAST(day_offset AS BIGINT) AS day_offset, count(DISTINCT user_id) AS n_users
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scd2" ->
+      """WITH dim AS (SELECT user_id, ts AS valid_from, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version_no,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type = 'signup'),
+        |f AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.purchase_id,
+        |  strftime(f.p_ts, '%Y-%m-%d %H:%M:%S') AS pts,
+        |  version_no,
+        |  CAST(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS version_value,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM f JOIN dim ON f.user_id = dim.user_id
+        |WHERE f.p_ts >= valid_from AND (valid_to IS NULL OR f.p_ts < valid_to)
+        |ORDER BY purchase_id""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

@@ -76,4 +76,36 @@ object EventAnalytics {
       .agg(count(col("user_id")).as("n_users"))
       .orderBy(col("day_offset"))
   }
+
+  /** SCD2 dimension versioning + point-in-time fact join — the
+    * warehouse-standard "which version of the dimension was current
+    * when this fact happened" chain: signup events become versioned
+    * profile rows with [valid_from, valid_to) intervals via lead()
+    * over a TOTAL order (ts, event_id — duplicate timestamps yield
+    * zero-width intervals that can never match, keeping the join
+    * deterministic), the open version carries valid_to = null, and
+    * purchases join their containing interval. The equi-key is
+    * user_id with the interval band as a post-join filter — same
+    * hash-join shape as the interval join, never a nested loop; each
+    * fact matches EXACTLY one version by interval disjointness. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    val dim = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("valid_from"), col("event_id"), col("value"))
+      .withColumn("version_no", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    facts.join(dim, Seq("user_id"))
+      .filter(col("p_ts") >= col("valid_from")
+        && (col("valid_to").isNull || col("p_ts") < col("valid_to")))
+      .select(col("user_id"), col("purchase_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+        col("version_no"),
+        decToDouble(col("value").cast("decimal(18,2)")).as("version_value"),
+        col("valid_to").isNull.cast("long").as("is_current"))
+      .orderBy(col("purchase_id"))
+  }
 }
