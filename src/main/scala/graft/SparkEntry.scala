@@ -158,6 +158,7 @@ object SparkEntry {
     "q_stratified" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qStratified(s, d)),
     "q_temperature" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qTemperature(s, d)),
     "q_quality_gate" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qQualityGate(s, d)),
+    "q_dist_match" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qDistMatch(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -1395,6 +1396,26 @@ object SparkEntry {
          |r AS (SELECT q_id, media_id, sim,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, media_id) AS rn FROM p)
          |SELECT q_id, rn, media_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_dist_match" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |b AS (SELECT lang, doc_id, n_tok - (n_tok % 20) AS bucket FROM d),
+        |sc AS (SELECT bucket, count(*) AS n_src FROM b WHERE lang = 'en' GROUP BY 1),
+        |tc AS (SELECT bucket, count(*) AS n_tgt FROM b WHERE lang = 'fr' GROUP BY 1),
+        |ra AS (SELECT sc.bucket, sc.n_src, coalesce(tc.n_tgt, 0) AS n_tgt,
+        |  CAST(coalesce(tc.n_tgt, 0) AS DOUBLE) / CAST(sc.n_src AS DOUBLE) AS raw
+        |  FROM sc LEFT JOIN tc ON sc.bucket = tc.bucket),
+        |rt AS (SELECT bucket, n_src, n_tgt, raw / (SELECT max(raw) FROM ra) AS rate FROM ra),
+        |th AS (SELECT bucket, n_src, n_tgt, rate,
+        |  lpad(lower(to_hex(least(CAST(floor(rate * 4294967296.0) AS BIGINT), 4294967295))), 8, '0') AS thr
+        |  FROM rt),
+        |k AS (SELECT th.bucket, th.n_src, th.n_tgt, th.rate,
+        |  CASE WHEN substring(md5('dmatch:' || CAST(b.doc_id AS VARCHAR)), 1, 8) < th.thr
+        |       THEN 1 ELSE 0 END AS kept
+        |  FROM b JOIN th ON b.bucket = th.bucket WHERE b.lang = 'en')
+        |SELECT bucket, max(n_src) AS n_src, max(n_tgt) AS n_tgt, max(rate) AS rate,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_media_dedup" ->
       s"""WITH m AS (SELECT media_id, bytes
         |  FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')),

@@ -164,6 +164,45 @@ object TrainPrep {
       .orderBy(col("source"))
   }
 
+  /** DISTRIBUTION MATCHING — sample the source language's corpus so
+    * its token-length histogram matches the target language's SHAPE
+    * (the curation step behind "make the web scrape look like the
+    * curated set" / domain-transfer mixing). Both corpora bucket into
+    * fixed 20-token bins; each bucket's keep-rate is the target:source
+    * count ratio normalized so the tightest bucket keeps everything:
+    * r_b = (n_tgt_b/n_src_b) / max_b(n_tgt_b/n_src_b) — pure ratios
+    * of exact integer counts, bitwise deterministic cross-engine with
+    * no libm. Rates become 8-hex md5 thresholds (same grid as
+    * temperature sampling) on a broadcast bucket-rate table; source
+    * buckets absent from the target keep nothing. Output audits per
+    * bucket: counts, rate, kept. */
+  def qDistMatch(spark: SparkSession, dir: String,
+      srcLang: String = "en", tgtLang: String = "fr", width: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", col("n_tok") - (col("n_tok") % width))
+    val srcC = docs.filter(col("lang") === srcLang)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_src"))
+    val tgtC = docs.filter(col("lang") === tgtLang)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_tgt"))
+    val ratio = srcC.join(tgtC, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_src"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"),
+        (coalesce(col("n_tgt"), lit(0L)).cast("double") / col("n_src").cast("double")).as("raw"))
+    val rates = ratio.crossJoin(broadcast(ratio.agg(max(col("raw")).as("max_raw"))))
+      .select(col("bucket"), col("n_src"), col("n_tgt"),
+        (col("raw") / col("max_raw")).as("rate"))
+    val thr = lpad(lower(hex(
+      least(floor(col("rate") * lit(4294967296.0)).cast("long"), lit(4294967295L)))), 8, "0")
+    docs.filter(col("lang") === srcLang)
+      .join(broadcast(rates), Seq("bucket"))
+      .withColumn("kept", (sampleHash(col("doc_id"), "dmatch") < thr).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(max(col("n_src")).as("n_src"), max(col("n_tgt")).as("n_tgt"),
+        max(col("rate")).as("rate"), sum(col("kept")).as("n_kept"))
+      .orderBy(col("bucket"))
+  }
+
   /** DISTINCTIVE TERMS (TF-IDF shape): term frequency per document
     * joined against corpus-wide document frequency, top-3 terms per
     * document ranked by (tf desc, df asc, term asc). The ranking is

@@ -97,6 +97,20 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("distribution matching: tightest bucket keeps all, kept shape tracks the target") {
+    val rows = TrainPrep.qDistMatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._4 == 1.0), "the normalizing bucket must keep rate 1.0")
+    rows.foreach { case (bucket, nSrc, nTgt, rate, kept) =>
+      assert(kept <= nSrc)
+      if (nTgt == 0) assert(rate == 0.0 && kept == 0L, s"bucket $bucket absent from target must drop")
+      // achieved rate tracks the per-bucket target within hash noise
+      if (nSrc >= 20) assert(math.abs(kept.toDouble / nSrc - rate) < 0.3,
+        s"bucket $bucket: target $rate achieved ${kept.toDouble / nSrc}")
+    }
+  }
+
   test("tf-idf ranks are dense per doc and ordered by (tf desc, df asc)") {
     val t = TrainPrep.qTfidf(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
