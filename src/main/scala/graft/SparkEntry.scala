@@ -150,6 +150,8 @@ object SparkEntry {
     "q_redact" -> (graft.text.TextOps.qRedact _),
     "q_histogram" -> ((s: SparkSession, d: String) => graft.text.TextOps.qHistogram(s, d)),
     "q_cooccur" -> ((s: SparkSession, d: String) => graft.text.TextOps.qCooccur(s, d)),
+    "q_bigram_lm" -> ((s: SparkSession, d: String) => graft.text.TextOps.qBigramLm(s, d)),
+    "q_inverted" -> ((s: SparkSession, d: String) => graft.text.TextOps.qInvertedIndex(s, d)),
     // -- training-data prep (chunk / pack / mixture / tf-idf) --
     "q_chunk" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qChunk(s, d)),
     "q_pack" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPack(s, d)),
@@ -1318,6 +1320,28 @@ object SparkEntry {
         |   AND b.pos > a.pos AND b.pos <= a.pos + 2)
         |SELECT term_a, term_b, count(*) AS n FROM p GROUP BY 1, 2
         |ORDER BY n DESC, term_a, term_b LIMIT 50""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_transform(string_split(text, ' '),
+        |    (x, i) -> struct_pack(term := x, pos := i))) AS s FROM documents),
+        |e AS (SELECT doc_id, s.term AS term, s.pos AS pos FROM t),
+        |pr AS (SELECT a.term AS w1, b.term AS w2, count(*) AS n
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |h AS (SELECT w1, CAST(sum(n) AS BIGINT) AS head_total FROM pr GROUP BY 1
+        |  HAVING sum(n) >= 50),
+        |r AS (SELECT pr.w1, pr.w2, pr.n, h.head_total,
+        |  CAST(row_number() OVER (PARTITION BY pr.w1 ORDER BY pr.n DESC, pr.w2) AS BIGINT) AS rnk
+        |  FROM pr JOIN h ON pr.w1 = h.w1)
+        |SELECT w1, rnk, w2, n, head_total,
+        |  CAST(n AS DOUBLE) / CAST(head_total AS DOUBLE) AS p
+        |FROM r WHERE rnk <= 3 ORDER BY w1, rnk""".stripMargin,
+    "q_inverted" ->
+      """WITH e AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM e GROUP BY term HAVING count(*) >= 10 ORDER BY term""".stripMargin,
     "q_chunk" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |n AS (SELECT doc_id, t, len(t) AS n FROM d),

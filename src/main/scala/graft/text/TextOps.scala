@@ -222,6 +222,51 @@ object TextOps {
       .limit(k)
   }
 
+  /** BIGRAM LANGUAGE-MODEL TABLE — top-k next words per head word
+    * with conditional probabilities (the count-based LM a pipeline
+    * builds for perplexity-ish scoring and synthetic-data detection).
+    * Adjacent pairs ride the (doc_id, pos+1 = pos) equi-join; the
+    * probability is an exact-integer count ratio (n / head_total), so
+    * the ranking and values are bitwise deterministic. Two shuffles
+    * (pair counts, head totals) + one broadcast-ready vocab join. */
+  def qBigramLm(spark: SparkSession, dir: String, k: Int = 3, minHead: Long = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val a = toks.select(col("doc_id"), (col("pos") + 1).as("pos"), col("term").as("w1"))
+    val b = toks.select(col("doc_id"), col("pos"), col("term").as("w2"))
+    val pairs = a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val heads = pairs.groupBy(col("w1")).agg(sum(col("n")).as("head_total"))
+      .filter(col("head_total") >= minHead)
+    val w = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
+    pairs.join(heads, Seq("w1"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("w1"), col("rnk"), col("w2"), col("n"), col("head_total"),
+        (col("n").cast("double") / col("head_total").cast("double")).as("p"))
+      .orderBy(col("w1"), col("rnk"))
+  }
+
+  /** INVERTED INDEX — term → sorted posting list + document frequency
+    * (the retrieval artifact; also the exact-match side of
+    * decontamination at scale). Postings serialize to a CSV string so
+    * the declared output stays scalar for the compare harness; the
+    * sort inside the aggregate makes the list order deterministic
+    * regardless of partitioning. df ≥ 10 bounds the declared output
+    * to the interesting vocabulary. */
+  def qInvertedIndex(spark: SparkSession, dir: String, minDf: Long = 10): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("term"))
+  }
+
   /** REPETITION scoring — the boilerplate/degenerate-text signal every
     * LLM quality filter carries: fraction of duplicate word n-grams
     * per document (1 - distinct/total), at n=2 and n=3. Pure per-row
