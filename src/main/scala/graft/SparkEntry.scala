@@ -716,8 +716,11 @@ object SparkEntry {
          |  CAST(CAST(sum(CAST(quality AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS sum_quality
          |FROM kept GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_ngram_pairs" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-         |  WHERE doc_id % 100 = 0 AND len(string_split(text,' ')) >= 3),
+      s"""WITH ranked AS (SELECT doc_id, text FROM documents
+         |  ORDER BY md5('ngram:' || CAST(doc_id AS VARCHAR)), doc_id
+         |  LIMIT ${Dedup.NgramSampleK}),
+         |d AS (SELECT doc_id, string_split(text,' ') AS t FROM ranked
+         |  WHERE len(string_split(text,' ')) >= 3),
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
          |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
          |j AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -355,12 +355,20 @@ object Dedup {
     * threshold — the exact (non-LSH) reference answer; O(n²), kept for
     * small-corpus verification and as the oracle-checkable twin of the
     * LSH path. At 100 TB only the LSH variant runs. */
+  /** Fixed-count sample size for the brute-force twin: the cartesian is
+    * O(NgramSampleK²) = constant at EVERY corpus size (a fractional
+    * sample would grow the pair work quadratically with the corpus). */
+  val NgramSampleK = 200
+
   def qNgramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
-    // 1%-of-corpus sample: the brute-force path is O(n²) by design and
-    // only exists as the exact twin of the LSH path — bound its input so
-    // it stays runnable at every scale factor.
+    // Hash-rank top-K sample (deterministic, scale-independent count):
+    // the brute-force path is O(K²) by design and only exists as the
+    // exact twin of the LSH path — its cost is constant at every scale.
+    // TakeOrderedAndProject keeps the selection a bounded-heap scan.
     val docs = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 100 === 0 && size(split(col("text"), " ")) >= ShingleK)
+      .orderBy(md5(concat(lit("ngram:"), col("doc_id").cast("string"))), col("doc_id"))
+      .limit(NgramSampleK)
+      .filter(size(split(col("text"), " ")) >= ShingleK)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))

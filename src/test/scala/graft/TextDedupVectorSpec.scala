@@ -35,6 +35,18 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(n == 8)
   }
 
+  test("ngram brute-force twin input is absolutely bounded (constant at every scale)") {
+    // The declared cartesian twin must stay O(K²) regardless of corpus
+    // size: its input is a hash-rank top-K sample, never a fraction.
+    val docs = Tables.documents(spark, sf)
+      .orderBy(md5(concat(lit("ngram:"), col("doc_id").cast("string"))), col("doc_id"))
+      .limit(Dedup.NgramSampleK)
+    assert(docs.count() <= Dedup.NgramSampleK)
+    // the pairs query itself runs and respects the bound end-to-end
+    val pairs = Dedup.qNgramJaccardPairs(spark, sf, threshold = 0.7)
+    assert(pairs.count() >= 1, "sf0.001 hash-rank sample should contain a planted near-dup pair")
+  }
+
   test("minhash LSH candidates contain every very-high-jaccard pair") {
     // ground truth: brute-force 3-shingle jaccard >= 0.8 over the full corpus
     val docs = Tables.documents(spark, sf)
