@@ -149,13 +149,33 @@ object VectorOps {
     * task); bucket skew is AQE's skew-join case. Vectors whose probed
     * buckets hold fewer than k neighbors return fewer rows — inherent
     * to ANN bucketing, recall rises with planes × probes. */
+  /** Bucket-count dial, AUTO-SIZED from the corpus: per-bucket
+    * candidate volume is quadratic in occupancy, so a FIXED plane
+    * count makes the self-join quadratic in corpus size (measured:
+    * 197× wall at 10× data with 4 planes pinned). Sizing buckets to a
+    * constant target occupancy (n / 2^planes ≈ 50) keeps per-bucket
+    * work constant and total candidates LINEAR in n — the form that
+    * survives 100 TB. Floor of 4 planes pins the oracle: at the
+    * sf0.01/sf0.001 gate scales this yields exactly the 4-plane
+    * literals the DuckDB chain embeds. */
+  def knnPlanesFor(n: Long): Int = {
+    val target = (n / 50L).max(1L)
+    val ceilLog2 = if (target <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(target - 1L)
+    math.max(4, ceilLog2)
+  }
+
+  private val embCountMemo = TrieMap[(String, String), Long]()
+
   def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val planes = hyperplanes(4, 64)
+    val n = embCountMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables.embeddings(spark, dir).count())
+    val nPlanes = knnPlanesFor(n)
+    val planes = hyperplanes(nPlanes, 64)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
     val absDots = array(planes.map(r => abs(dot(col("v"), array(r.map(lit): _*)))): _*)
-    val flipBit = element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+    val flipBit = element_at(array((0 until nPlanes).map(p => lit(1L << p)): _*),
       array_position(absDots, array_min(absDots)).cast("int"))
     val queries = emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
       explode(array(col("bucket"), col("bucket").bitwiseXOR(flipBit))).as("bucket"))
@@ -476,6 +496,37 @@ object VectorOps {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     pqTopk(emb, refinePqCodebooks(emb, ivfCentroids(spark, dir)), nQueries, k)
+  }
+
+  /** ANN RECALL@k as a DECLARED ARTIFACT: recall of each approximate
+    * method (sign-LSH, multi-probe LSH, IVF, PQ) against the exact
+    * brute-force top-k, on the same query set every sim query uses.
+    * This is the recall/cost dial a 100 TB deployment tunes (probes,
+    * planes, codebook size) — emitted as data, not buried in specs.
+    * Expected shape on THIS corpus: it has no real cluster structure
+    * (max pairwise cosine ≈ 0.48), so absolute recalls are low and
+    * multi-probe ≥ single-probe is the meaningful ordering; the specs
+    * drive the same methods over planted-cluster fixtures where the
+    * absolute numbers are structural. Each method's hit count rides a
+    * left-semi join against the exact set — id-only shuffles. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val nQ = 5
+    val exact = qSimTopk(spark, dir, nQ, k).select(col("q_id"), col("vec_id"))
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), lit(k.toLong).as("k"),
+          lit(nQ.toLong).as("n_queries"), col("n_hits"),
+          (col("n_hits").cast("double") / lit((nQ * k).toDouble)).as("recall"))
+    Seq(
+      row("ivf", qSimIvf(spark, dir)),
+      row("lsh", qSimTopkLsh(spark, dir)),
+      row("lsh_mp", qSimTopkLshMultiprobe(spark, dir)),
+      row("pq", qSimPq(spark, dir)))
+      .reduce(_.union(_))
+      .orderBy(col("method"))
   }
 
   /** PQ encode + ADC rank against an arbitrary corpus `(vec_id, v)`
