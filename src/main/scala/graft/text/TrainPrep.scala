@@ -226,4 +226,74 @@ object TrainPrep {
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
       .orderBy(col("doc_id"), col("rnk"))
   }
+
+  /** Subword budgets for the BPE-based prep ops. Subword counts exceed
+    * whitespace counts (~1.5× on this corpus), so the budgets scale
+    * accordingly vs qChunk/qPack's 64/512. */
+  val bpeChunkBudget = 96
+  val bpePackBudget = 768
+
+  /** BPE ENCODE audit: per-document whitespace-token vs subword counts
+    * under the trained merge table — the number every downstream budget
+    * (chunk/pack/histogram) is denominated in. The merge table rides
+    * inside the expression (broadcast-sized model artifact): the scan
+    * is one narrow codegen'd pass, no join, no shuffle. Oracle: DuckDB
+    * joins the reference-encoded vocab fixture (word → n_sub) and
+    * sums — an inner join, so any corpus word missing from the vocab
+    * fails the gate loudly instead of silently dropping. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val m = Bpe.merges(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        graft.functions.BpeEncode.bpeTokenCount(col("text"), m).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SUBWORD-BUDGET CHUNKING: contiguous first-fit bins over the word
+    * stream by cumulative SUBWORD count (chunk boundaries may straddle
+    * a word's budget edge, same contract as [[qPack]]'s bins). The
+    * per-word subword counts come from one narrow expression pass;
+    * the cumulative sum is a per-document window — shuffle on doc_id
+    * only, which at 100 TB is the natural partitioning of a document
+    * corpus (no global sort, no driver state). */
+  def qChunkBpe(spark: SparkSession, dir: String, budget: Int = bpeChunkBudget): DataFrame = {
+    val m = Bpe.merges(spark)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.BpeEncode.bpeWordCounts(col("text"), m))
+          .as(Seq("pos", "n_sub")))
+      .withColumn("cum", sum(col("n_sub")).over(w))
+      .withColumn("chunk_idx", floor((col("cum") - col("n_sub")) / lit(budget.toDouble)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("sum_subwords"),
+        min(col("pos")).cast("long").as("first_word"),
+        max(col("pos")).cast("long").as("last_word"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** SUBWORD-BUDGET PACKING: [[qPack]] re-based on subword counts —
+    * fill fixed-budget bins per source in doc_id order, where the
+    * budget is what the training run actually consumes (subwords),
+    * not whitespace tokens. Same scale shape as qPack: one window per
+    * source partition. */
+  def qPackBpe(spark: SparkSession, dir: String, budget: Int = bpePackBudget): DataFrame = {
+    val m = Bpe.merges(spark)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        graft.functions.BpeEncode.bpeTokenCount(col("text"), m).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(budget.toDouble)))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_subwords"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
 }

@@ -125,4 +125,87 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(t.groupBy(col("doc_id")).agg(max(col("rnk")).as("m"), count(lit(1)).as("c"))
       .filter(col("m") =!= col("c")).count() == 0, "ranks are dense 1..k")
   }
+
+  test("BPE trainer merges most frequent pair first, deterministically") {
+    import graft.text.Bpe
+    // "abab"×3, "ab"×2 → pair (a,b) count 8 beats (b,a) count 3 → merge 1 = (a,b);
+    // then ("ab","ab") count 3 beats nothing else → merge 2 = (ab,ab).
+    val merges = Bpe.train(Seq("abab" -> 3L, "ab" -> 2L), 2)
+    assert(merges == Vector(("a", "b"), ("ab", "ab")))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encode("abab", ranks) == Vector("abab"))
+    assert(Bpe.encode("ababab", ranks) == Vector("abab", "ab"),
+      "lowest-rank merge applies left-to-right, non-overlapping")
+    assert(Bpe.encode("ba", ranks) == Vector("b", "a"), "unknown pairs stay split")
+    assert(Bpe.encode("", ranks).isEmpty)
+    // determinism: identical input → identical merges
+    assert(Bpe.train(Seq("abab" -> 3L, "ab" -> 2L), 2) == merges)
+  }
+
+  test("BpeTokenCount expression equals the reference encoder on every corpus word") {
+    import graft.text.Bpe
+    val m = Bpe.merges(spark)
+    val ranks = m.zipWithIndex.toMap
+    // per-word expected counts, computed driver-side by the reference encoder
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .collect().map(_.getString(0))
+    assert(words.exists(w => Bpe.encode(w, ranks).length >= 2),
+      "the trained table must leave some multi-subword words (non-trivial encode)")
+    // expression total per doc == sum of reference-encoded word counts
+    val got = TrainPrep.qBpeEncode(spark, sf)
+      .select(col("doc_id"), col("n_subwords")).as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect().toMap
+    val expected = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getString(1).split(" ", -1).map(w => Bpe.encode(w, ranks).length.toLong).sum
+      }.toMap
+    assert(got == expected)
+  }
+
+  test("BPE pack: every doc except a bin's straddling tail starts within the budget") {
+    import graft.text.Bpe
+    val m = Bpe.merges(spark)
+    val packed = TrainPrep.qPackBpe(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val detail = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        graft.functions.BpeEncode.bpeTokenCount(col("text"), m).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(TrainPrep.bpePackBudget.toDouble)))
+    // law: a doc STARTS inside its bin's budget window by construction;
+    // assert the derived bin matches the declared aggregation exactly
+    val re = detail.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_subwords"))
+    assert(re.join(packed.select(col("source"), col("bin"), col("n_docs").as("nd"),
+        col("sum_subwords").as("ss")), Seq("source", "bin"))
+      .filter(col("n_docs") =!= col("nd") || col("sum_subwords") =!= col("ss"))
+      .count() == 0)
+    // and every doc's start offset is < budget past its bin base
+    val off = detail.filter(
+      (col("cum") - col("n_tok")) - col("bin") * TrainPrep.bpePackBudget >= TrainPrep.bpePackBudget)
+    assert(off.count() == 0, "no doc starts beyond its bin's subword budget")
+  }
+
+  test("BPE chunks respect the subword budget up to one straddling word") {
+    import graft.text.Bpe
+    val m = Bpe.merges(spark)
+    val ranks = m.zipWithIndex.toMap
+    val maxWordSub = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .collect().map(r => Bpe.encode(r.getString(0), ranks).length).max
+    val chunks = TrainPrep.qChunkBpe(spark, sf)
+    val over = chunks.filter(col("sum_subwords") > TrainPrep.bpeChunkBudget + (maxWordSub - 1))
+    assert(over.count() == 0,
+      s"every chunk fits budget+straddle (max word = $maxWordSub subwords)")
+    // coverage: per-doc word count re-adds to the doc's word count
+    val cover = chunks.groupBy(col("doc_id")).agg(sum(col("n_words")).as("nw"))
+      .join(Tables.documents(spark, sf)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n")), Seq("doc_id"))
+    assert(cover.filter(col("nw") =!= col("n")).count() == 0)
+  }
 }
