@@ -250,6 +250,67 @@ case class StopwordHits(child: Expression, groups: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** POSITIONED k-gram md5 hex digests of a token array, one JVM pass:
+  * element i is md5 of tokens i..i+k-1 joined by a single space — the
+  * anchor stream for exact-substring (verbatim-run) detection, where
+  * gram POSITION must survive (unlike [[WordGrams]], which dedups).
+  * md5 lowercase hex mirrors DuckDB's `md5(array_to_string(...))`
+  * bit-for-bit, so the oracle can re-derive identical anchors. Arrays
+  * shorter than k yield an empty array. */
+case class PositionedGramMd5(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+  override def prettyName: String = "positioned_gram_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](n)
+    var t = 0
+    while (t < n) {
+      toks(t) = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      t += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      val hex = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < d.length) {
+        hex.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+        hex.append(Character.forDigit(d(b) & 0xf, 16))
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(hex.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("positionedGramMd5", this, classOf[PositionedGramMd5].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashes {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -270,4 +331,8 @@ object TextHashes {
   /** Distinct word k-grams of a token-array column, in one pass. */
   def wordGrams(toks: Column, k: Int): Column =
     GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(toks), k))
+
+  /** Positioned k-gram md5 anchors of a token-array column. */
+  def positionedGramMd5(toks: Column, k: Int): Column =
+    GraftSqlBridge.column(PositionedGramMd5(GraftSqlBridge.expression(toks), k))
 }

@@ -47,6 +47,25 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(pairs.count() >= 1, "sf0.001 hash-rank sample should contain a planted near-dup pair")
   }
 
+  test("substring dedup recovers exactly the planted verbatim spans, no cartesian") {
+    val runs = graft.text.SubstringDedup.qSubstringDup(spark, sf)
+    val got = runs.select(col("doc_a"), col("doc_b"), col("max_run"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // planted: (src, src+40) with span 22 + src % 12, for src 0..19
+    val planted = (0 until 20).map(s => ((s.toLong, (s + 40).toLong), (22 + s % 12).toLong)).toMap
+    assert(got.keySet == planted.keySet,
+      s"pair set must be exactly the >=MinRun plants; got ${got.keySet}")
+    planted.foreach { case (k, span) =>
+      assert(got(k) >= span, s"pair $k: max_run ${got(k)} < planted span $span")
+    }
+    // the 12-token plants (docs 60-69 from 20-29) are below MinRun → invisible
+    assert(!got.keySet.exists { case (a, b) => b >= 60 && b < 70 })
+    // anchor equi-join only — no all-pairs fallback anywhere in the plan
+    val plan = runs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "verbatim-run detection must be an anchor equi-join")
+  }
+
   test("minhash LSH candidates contain every very-high-jaccard pair") {
     // ground truth: brute-force 3-shingle jaccard >= 0.8 over the full corpus
     val docs = Tables.documents(spark, sf)
