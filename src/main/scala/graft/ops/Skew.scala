@@ -26,6 +26,27 @@ object Skew {
     val s = small.withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Skew-stress declared query: the zipfian fixture's hot key holds
+    * ~22 % of all fact rows (~7× the 32-partition average), so an
+    * unsalted shuffle join would put 7× the median load on one task.
+    * The salted path scatters it across 32 sub-keys; SkewSpec asserts
+    * the resulting partition histogram is ≤2× median while the
+    * unsalted layout violates it. The dim side carries a MERGE hint:
+    * broadcasting 1,600 rows would of course be the faster plan here —
+    * the point of the declared query is the shuffle-join shape that a
+    * >broadcast-threshold dim forces at 100 TB, exercised for real. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Fixtures.ensure(spark)
+    val fact = spark.read.parquet(graft.sources.Fixtures.skewFactPath)
+    val dim = spark.read.parquet(graft.sources.Fixtures.skewDimPath).hint("merge")
+    saltedJoin(fact, dim, "k", "row_id", 32)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        Exact.decToDouble(sum(Exact.money(col("v")) * Exact.dec(col("weight"), 2)))
+          .as("sum_vw"))
+      .orderBy(col("k"))
+  }
 }
 
 /** Bucketed-table co-location: write both sides bucketed (and sorted)

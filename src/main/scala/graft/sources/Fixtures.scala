@@ -27,13 +27,19 @@ object Fixtures {
   val nftPath = s"$dir/nft.parquet"
   val embDupPath = s"$dir/emb_dup.parquet"
   val csvPath = s"$dir/ingest.csv"
+  val bpeMergesPath = s"$dir/bpe_merges.parquet"
+  val bpeVocabPath = s"$dir/bpe_vocab.parquet"
+  val substrPath = s"$dir/substr.parquet"
+  val skewFactPath = s"$dir/skew_fact.parquet"
+  val skewDimPath = s"$dir/skew_dim.parquet"
 
   private val lock = new Object
 
   /** Write-once guard: the fixture set is complete iff every parquet
     * dir has its _SUCCESS marker. */
   def ensure(spark: SparkSession): Unit = lock.synchronized {
-    val done = Seq(mediaPath, mediaFeaturesPath, nftPath, embDupPath)
+    val done = Seq(mediaPath, mediaFeaturesPath, nftPath, embDupPath,
+        bpeMergesPath, bpeVocabPath, substrPath, skewFactPath, skewDimPath)
       .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
     if (done) return
     implicit val s: SparkSession = spark
@@ -47,6 +53,22 @@ object Fixtures {
     nftFixture(spark).write.mode("overwrite").parquet(nftPath)
     embDupFixture(spark).write.mode("overwrite").parquet(embDupPath)
     writeCsvFixture()
+    // BPE model artifacts: merges trained deterministically from the
+    // gate corpus' word frequencies; the vocab fixture is every distinct
+    // word across the fixed corpora with its reference-encoded subword
+    // count — the DuckDB oracle joins it instead of re-implementing the
+    // merge loop in SQL.
+    import spark.implicits._
+    val bpeMerges = graft.text.Bpe.trainFromCorpus(spark, graft.text.Bpe.trainDir)
+    bpeMerges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right").coalesce(1)
+      .write.mode("overwrite").parquet(bpeMergesPath)
+    graft.text.Bpe.vocabRows(spark, bpeMerges)
+      .toDF("word", "n_sub").coalesce(1)
+      .write.mode("overwrite").parquet(bpeVocabPath)
+    substrFixture(spark).write.mode("overwrite").parquet(substrPath)
+    skewFactFixture(spark).write.mode("overwrite").parquet(skewFactPath)
+    skewDimFixture(spark).write.mode("overwrite").parquet(skewDimPath)
   }
 
   /** Hand-written CSV (not a Spark write) so the raw text exercises
@@ -113,6 +135,66 @@ object Fixtures {
       }
       (i, v)
     }.toDF("vec_id", "embedding")
+  }
+
+  /** ZIPFIAN fact table for the skew-stress join: 40,000 rows over 50
+    * keys with frequency ∝ 1/(k+1) — the hot key 0 holds ~22 % of all
+    * rows (≈7× the 32-partition average), so an unsalted shuffle puts
+    * ~7× the median load on one task. The driver corpus' keys are
+    * uniform; this fixture is what actually EXERCISES
+    * [[graft.ops.Skew.saltedJoin]] rather than just asserting its
+    * equivalence. Values sit on the 2-decimal grid so the oracle's
+    * exact-decimal sums hold cross-engine. */
+  def skewFactFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val nKeys = 50
+    val nRows = 40000
+    // cumulative harmonic thresholds: key j covers row index range
+    // [N·H(j)/H(K), N·H(j+1)/H(K))
+    val h = (1 to nKeys).map(1.0 / _).scanLeft(0.0)(_ + _)
+    val hTot = h.last
+    val bounds = h.map(x => math.round(nRows * x / hTot)).toArray
+    (0 until nRows).map { i =>
+      val k = (bounds.indexWhere(_ > i) - 1).max(0)
+      val v = math.floor((u(i.toLong, 0, "skewv") + 1.0) * 5000.0) / 100.0
+      (i.toLong, k.toLong, v)
+    }.toDF("row_id", "k", "v")
+  }
+
+  /** Small dim side for the skew join: one row per key, weights on the
+    * 2-decimal grid. */
+  def skewDimFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 50).map(k => (k.toLong, 1.0 + k * 0.25)).toDF("k", "weight")
+  }
+
+  /** Documents with PLANTED verbatim spans for exact-substring dedup
+    * ([[graft.text.SubstringDedup]]): 80 docs of sha-derived token
+    * streams (40-token vocab, so accidental 20-gram collisions are
+    * impossible); docs 40–59 carry a 22–33-token span copied verbatim
+    * from docs 0–19 (≥ MinRun → must be detected); docs 60–69 carry a
+    * 12-token span from docs 20–29 (< MinRun → must stay invisible). */
+  def substrFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val nDocs = 80
+    def baseTok(d: Int, p: Int): String = {
+      val x = u(d.toLong * 1024 + p, 0, "substr")
+      "tok" + (((x + 1.0) / 2.0 * 40.0).toInt % 40)
+    }
+    val base: Map[Int, Array[String]] = (0 until nDocs).map { d =>
+      d -> Array.tabulate(120 + (d % 5) * 20)(p => baseTok(d, p))
+    }.toMap
+    (0 until nDocs).map { d =>
+      val t = base(d).clone()
+      if (d >= 40 && d < 60) {
+        val src = d - 40
+        val span = 22 + (src % 12)
+        Array.copy(base(src), 10 + src, t, 30 + src, span)
+      } else if (d >= 60 && d < 70) {
+        Array.copy(base(d - 40), 5, t, 40, 12)
+      }
+      (d.toLong, t.mkString(" "))
+    }.toDF("doc_id", "text")
   }
 
   /** NFT-shaped nested rows (ref `main.py:54-65` schema): identifier,

@@ -46,6 +46,31 @@ class SkewSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("zipfian skew fixture: salted layout balances tasks, unsalted violates 2x-median") {
+    graft.sources.Fixtures.ensure(spark)
+    val fact = spark.read.parquet(graft.sources.Fixtures.skewFactPath)
+    val parts = 32
+    // emulate the join exchange exactly: hash-partition on the join keys
+    // and count rows per resulting partition
+    def partSizes(keys: org.apache.spark.sql.Column*): Seq[Long] = {
+      val df = fact.withColumn("__salt", pmod(hash(col("row_id")), lit(32)))
+      df.repartition(parts, keys: _*)
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .groupBy(col("p")).count()
+        .collect().map(_.getLong(1)).toSeq.sorted
+    }
+    def median(xs: Seq[Long]): Long = xs(xs.size / 2)
+    val salted = partSizes(col("k"), col("__salt"))
+    val unsalted = partSizes(col("k"))
+    assert(salted.max <= 2 * median(salted),
+      s"salted: no task >2x median (max=${salted.max}, median=${median(salted)})")
+    assert(unsalted.max > 2 * median(unsalted),
+      s"fixture must actually stress: unsalted max=${unsalted.max} vs median=${median(unsalted)}")
+    // the declared query keeps the shuffle-join shape (no broadcast escape)
+    val plan = graft.ops.Skew.qSkewJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "q_skew_join must exercise the shuffle join path")
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of rows share one hot key
     val big = spark.range(20000)
