@@ -81,6 +81,8 @@ object SparkEntry {
     "q_simhash_pairs" -> (Dedup.qSimhashPairs _),
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.qDupClusters(s, d)),
     "q_incr_dedup" -> ((s: SparkSession, d: String) => Dedup.qIncrementalDedup(s, d)),
+    "q_substring_dup" -> ((s: SparkSession, d: String) => graft.text.SubstringDedup.qSubstringDup(s, d)),
+    "q_skew_join" -> ((s: SparkSession, d: String) => graft.ops.Skew.qSkewJoin(s, d)),
     "q_curate" -> (graft.etl.Curate.qCurate _),
     // -- similarity search --
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
@@ -92,6 +94,7 @@ object SparkEntry {
     "q_semantic_curate" -> ((s: SparkSession, d: String) => VectorOps.qSemanticCurate(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
     "q_sim_pq" -> ((s: SparkSession, d: String) => VectorOps.qSimPq(s, d)),
+    "q_ann_recall" -> ((s: SparkSession, d: String) => VectorOps.qAnnRecall(s, d)),
     "q_sim_pq_refined" -> ((s: SparkSession, d: String) => VectorOps.qSimPqRefined(s, d)),
     "q_tpch3" -> (Relational.qTpch3 _),
     "q_tpch5" -> (Relational.qTpch5 _),
@@ -161,6 +164,9 @@ object SparkEntry {
     "q_temperature" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qTemperature(s, d)),
     "q_quality_gate" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qQualityGate(s, d)),
     "q_dist_match" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qDistMatch(s, d)),
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qBpeEncode(s, d)),
+    "q_chunk_bpe" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qChunkBpe(s, d)),
+    "q_pack_bpe" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPackBpe(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -319,6 +325,90 @@ object SparkEntry {
        |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
        |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
        |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)""".stripMargin
+
+  /** Connected components over `edges(u, w)` WITHOUT the recursive
+    * transitive closure: the `reach(u, w)` closure is O(Σ component²)
+    * rows — measured 500+ s in DuckDB on the sf0.1 mutual-kNN graph —
+    * while converged min-label propagation is O(E) per round. DuckDB
+    * recursive CTEs cannot aggregate per iteration, so the rounds are
+    * UNROLLED (the kmeans-oracle trick): each round takes the min
+    * label over the closed neighborhood, then pointer-shortcuts
+    * through the current label (`l ← min(l, l(l))`). 24 double-rounds
+    * cover the ~25-step frontier distances the Spark CC loop measured
+    * on this corpus with a wide margin; a non-converged unroll cannot
+    * pass silently — it would hash-mismatch Spark's converged labels
+    * at the gate. Ends in `lab(u, l)`. */
+  private def ccUnrolledSql(rounds: Int): String = {
+    // AS MATERIALIZED on every stage: each round references the prior
+    // one twice (propagate + shortcut), so default CTE inlining would
+    // expand the 24-level chain into 2^24 scans.
+    val sb = new StringBuilder(
+      "lab0 AS MATERIALIZED (SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t)")
+    (1 to rounds).foreach { r =>
+      sb ++= s""",
+        |prop$r AS MATERIALIZED (SELECT u, min(l) AS l FROM (
+        |  SELECT u, l FROM lab${r - 1}
+        |  UNION ALL SELECT e.u, p.l FROM edges e JOIN lab${r - 1} p ON p.u = e.w) GROUP BY u),
+        |lab$r AS MATERIALIZED (SELECT a.u, least(a.l, coalesce(b.l, a.l)) AS l
+        |  FROM prop$r a LEFT JOIN prop$r b ON a.l = b.u)""".stripMargin
+    }
+    sb ++= s""",
+      |lab AS (SELECT u, l FROM lab$rounds)""".stripMargin
+    sb.toString
+  }
+
+  /** Composed recall@3 oracle: exact / LSH / multi-probe / IVF / PQ
+    * chains in one WITH (fresh CTE names per chain; seed-centroid and
+    * PQ-rank fragments shared with their standalone oracles), joined
+    * against the exact top-k per query. */
+  private lazy val annRecallSql: String = {
+    val exactCtes =
+      s"""xq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |xp AS (SELECT q_id, e.vec_id, $cosineSql AS sim FROM e, xq WHERE e.vec_id <> xq.q_id),
+         |xk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM xp) WHERE rn <= 3)""".stripMargin
+    val lshCtes =
+      s"""bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
+         |lq AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 5),
+         |lp AS (SELECT q_id, bk.vec_id, $cosineSql AS sim FROM bk JOIN lq USING (bucket) WHERE bk.vec_id <> lq.q_id),
+         |lk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM lp) WHERE rn <= 3)""".stripMargin
+    val mpCtes =
+      s"""mb AS (SELECT vec_id, v, bucket, ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
+         |  ${planeDotsSql(2)} AS d3, ${planeDotsSql(3)} AS d4 FROM bk WHERE vec_id < 5),
+         |mq0 AS (SELECT vec_id AS q_id, v AS qv, bucket,
+         |  CASE WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) AND abs(d1) <= abs(d4) THEN 1
+         |       WHEN abs(d2) <= abs(d3) AND abs(d2) <= abs(d4) THEN 2
+         |       WHEN abs(d3) <= abs(d4) THEN 4 ELSE 8 END AS flip FROM mb),
+         |mq AS (SELECT q_id, qv, bucket FROM mq0
+         |  UNION ALL SELECT q_id, qv, xor(bucket, flip) AS bucket FROM mq0),
+         |mpp AS (SELECT q_id, bk.vec_id, $cosineSql AS sim FROM bk JOIN mq USING (bucket) WHERE bk.vec_id <> mq.q_id),
+         |mk AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM mpp) WHERE rn <= 3)""".stripMargin
+    val ivfCtes =
+      s"""ic0 AS (SELECT xq.q_id, xq.qv, c_label, ${cosineSqlFor("qv", "cv")} AS csim FROM xq, cent),
+         |ic AS (SELECT q_id, qv, c_label FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY csim DESC, c_label) AS crn FROM ic0) WHERE crn <= 2),
+         |ip AS (SELECT q_id, e.vec_id, ${cosineSqlFor("qv", "v")} AS sim
+         |  FROM e JOIN ic ON e.label = ic.c_label WHERE e.vec_id <> ic.q_id),
+         |ik AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM ip) WHERE rn <= 3)""".stripMargin
+    s"""WITH $pqSeedCtesSql,
+       |$exactCtes,
+       |$lshCtes,
+       |$mpCtes,
+       |$ivfCtes,
+       |${pqRankChainSql("cent")},
+       |pk AS (SELECT q_id, vec_id FROM r WHERE rn <= 3)
+       |SELECT method, CAST(3 AS BIGINT) AS k, CAST(5 AS BIGINT) AS n_queries, n_hits,
+       |  CAST(n_hits AS DOUBLE) / 15.0 AS recall
+       |FROM (
+       |  SELECT 'ivf' AS method, count(*) AS n_hits FROM ik JOIN xk USING (q_id, vec_id)
+       |  UNION ALL SELECT 'lsh', count(*) FROM lk JOIN xk USING (q_id, vec_id)
+       |  UNION ALL SELECT 'lsh_mp', count(*) FROM mk JOIN xk USING (q_id, vec_id)
+       |  UNION ALL SELECT 'pq', count(*) FROM pk JOIN xk USING (q_id, vec_id)
+       |) ORDER BY method""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
@@ -767,7 +857,9 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS p90_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_fuzzy" ->
-      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey % 10 = 0)
+      s"""WITH p AS (SELECT p_partkey, p_name, p_brand FROM part
+        |  ORDER BY md5('fuzzy:' || CAST(p_partkey AS VARCHAR)), p_partkey
+        |  LIMIT ${Advanced.FuzzySampleK})
         |SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
         |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
@@ -848,31 +940,24 @@ object SparkEntry {
       s"""WITH $knnChainSql
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_knn_clusters" ->
-      s"""WITH RECURSIVE $knnChainSql,
-         |knn AS (SELECT q_id, vec_id FROM r WHERE rn <= 3),
-         |m AS (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
+      s"""WITH $knnChainSql,
+         |knn AS MATERIALIZED (SELECT q_id, vec_id FROM r WHERE rn <= 3),
+         |m AS MATERIALIZED (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
          |  JOIN knn k2 ON k1.q_id = k2.vec_id AND k1.vec_id = k2.q_id
          |  WHERE k1.q_id < k1.vec_id),
-         |edges AS (SELECT a AS u, b AS w FROM m UNION ALL SELECT b AS u, a AS w FROM m),
-         |reach(u, w) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-         |  UNION
-         |  SELECT rr.u, e2.w FROM reach rr JOIN edges e2 ON rr.w = e2.u)
-         |SELECT u AS vec_id, min(w) AS cluster_id FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
+         |edges AS MATERIALIZED (SELECT a AS u, b AS w FROM m UNION ALL SELECT b AS u, a AS w FROM m),
+         |${ccUnrolledSql(24)}
+         |SELECT u AS vec_id, l AS cluster_id FROM lab ORDER BY vec_id""".stripMargin,
     "q_semantic_curate" ->
-      s"""WITH RECURSIVE $knnChainSql,
-         |knn AS (SELECT q_id, vec_id FROM r WHERE rn <= 3),
-         |m AS (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
+      s"""WITH $knnChainSql,
+         |knn AS MATERIALIZED (SELECT q_id, vec_id FROM r WHERE rn <= 3),
+         |m AS MATERIALIZED (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
          |  JOIN knn k2 ON k1.q_id = k2.vec_id AND k1.vec_id = k2.q_id
          |  WHERE k1.q_id < k1.vec_id),
-         |edges AS (SELECT a AS u, b AS w FROM m UNION ALL SELECT b AS u, a AS w FROM m),
-         |reach(u, w) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-         |  UNION
-         |  SELECT rr.u, e2.w FROM reach rr JOIN edges e2 ON rr.w = e2.u),
-         |lab AS (SELECT u AS vec_id, min(w) AS cluster_id FROM reach GROUP BY u),
+         |edges AS MATERIALIZED (SELECT a AS u, b AS w FROM m UNION ALL SELECT b AS u, a AS w FROM m),
+         |${ccUnrolledSql(24)},
          |st AS (SELECT count(*) AS n_in_clusters,
-         |  CAST(sum(CASE WHEN vec_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+         |  CAST(sum(CASE WHEN u <> l THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
          |  FROM lab)
          |SELECT (SELECT count(*) FROM e) AS n_total, n_in_clusters, n_pruned,
          |  (SELECT count(*) FROM e) - n_pruned AS n_kept FROM st""".stripMargin,
@@ -892,6 +977,7 @@ object SparkEntry {
          |  FROM e JOIN qc ON e.label = qc.c_label WHERE e.vec_id <> qc.q_id),
          |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_ann_recall" -> annRecallSql,
     "q_kmeans" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
@@ -1354,6 +1440,58 @@ object SparkEntry {
         |  least(64, n - chunk_idx * 48) AS chunk_len,
         |  array_to_string(t[CAST(chunk_idx * 48 + 1 AS BIGINT):CAST(chunk_idx * 48 + 64 AS BIGINT)], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_skew_join" ->
+      s"""SELECT f.k, count(*) AS n,
+        |  CAST(CAST(sum(CAST(f.v AS DECIMAL(12,2)) * CAST(d.weight AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_vw
+        |FROM read_parquet('${graft.sources.Fixtures.skewFactPath}/*.parquet') f
+        |JOIN read_parquet('${graft.sources.Fixtures.skewDimPath}/*.parquet') d USING (k)
+        |GROUP BY f.k ORDER BY f.k""".stripMargin,
+    "q_substring_dup" -> {
+      val l = graft.text.SubstringDedup.MinRun
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM read_parquet('${graft.sources.Fixtures.substrPath}/*.parquet')),
+        |g AS (SELECT doc_id, unnest(range(0, len(t) - $l + 1)) AS pos, t FROM d),
+        |gr AS (SELECT doc_id, pos,
+        |  md5(array_to_string(t[CAST(pos + 1 AS BIGINT):CAST(pos + $l AS BIGINT)], ' ')) AS h FROM g),
+        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, x.pos - y.pos AS diag
+        |  FROM gr x JOIN gr y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |r AS (SELECT doc_a, doc_b, diag, pa,
+        |  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp FROM p),
+        |runs AS (SELECT doc_a, doc_b, CAST(count(*) + ${l - 1} AS BIGINT) AS run_len
+        |  FROM r GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, max(run_len) AS max_run, count(*) AS n_runs
+        |FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_bpe_encode" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(v.n_sub) AS BIGINT) AS n_subwords
+        |FROM w JOIN read_parquet('${graft.sources.Fixtures.bpeVocabPath}/*.parquet') v USING (word)
+        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+    "q_chunk_bpe" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, unnest(t) AS word,
+        |  unnest(range(0, len(t))) AS pos FROM d),
+        |j AS (SELECT w.doc_id, w.pos, v.n_sub
+        |  FROM w JOIN read_parquet('${graft.sources.Fixtures.bpeVocabPath}/*.parquet') v USING (word)),
+        |c AS (SELECT doc_id, pos, n_sub, sum(n_sub) OVER
+        |  (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+        |SELECT doc_id,
+        |  CAST(floor((cum - n_sub) / ${graft.text.TrainPrep.bpeChunkBudget}.0) AS BIGINT) AS chunk_idx,
+        |  count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS sum_subwords,
+        |  CAST(min(pos) AS BIGINT) AS first_word, CAST(max(pos) AS BIGINT) AS last_word
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack_bpe" ->
+      s"""WITH w AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |d AS (SELECT source, doc_id, CAST(sum(v.n_sub) AS BIGINT) AS n_tok
+        |  FROM w JOIN read_parquet('${graft.sources.Fixtures.bpeVocabPath}/*.parquet') v USING (word)
+        |  GROUP BY source, doc_id),
+        |c AS (SELECT source, doc_id, n_tok, sum(n_tok) OVER
+        |  (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT source, CAST(floor((cum - n_tok) / ${graft.text.TrainPrep.bpePackBudget}.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_subwords,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "q_pack" ->
       s"""WITH d AS (SELECT source, doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -292,6 +292,53 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == twin, s"expected $twin, got $got")
   }
 
+  test("dedup state on RocksDB stays FLAT as keys stream past the watermark horizon") {
+    // The 100 TB/day state-posture claim, measured instead of asserted:
+    // drive ~30k distinct keys through dedupFirst in 6 event-time
+    // batches on the RocksDB provider with a 10-minute watermark and
+    // 10-minute time steps. Expired keys must leave the store, so
+    // state row count after each batch stays ~one horizon's worth of
+    // keys — NOT the cumulative key count (a leak there means a
+    // wall-clock-shaped OOM in production).
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.Event]
+      val q = StreamOps.dedupFirst(mem.toDF(), delay = "10 minutes").writeStream
+        .format("memory").queryName("dedup_flat_out").outputMode("append").start()
+      val perBatch = 5000
+      val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      try {
+        (0 until 6).foreach { b =>
+          val t0 = 10L * 60 * 1000 * b // batches advance event time 10 min each
+          mem.addData((0 until perBatch).map { i =>
+            StreamOps.Event(b.toLong * perBatch + i,
+              new java.sql.Timestamp(t0 + (i % 600) * 1000),
+              b.toLong * perBatch + i, // every key distinct: worst case for state growth
+              "a", 1.0)
+          }: _*)
+          q.processAllAvailable()
+          stateRows += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        }
+      } finally q.stop()
+      val total = 6L * perBatch
+      assert(stateRows.last < 3L * perBatch,
+        s"state must hold ~one watermark horizon, not all $total keys: $stateRows")
+      // flat: the last three batches' state sizes are within 2 batches' keys
+      val tail = stateRows.takeRight(3)
+      assert(tail.max - tail.min <= perBatch,
+        s"steady-state state size must be flat across batches: $stateRows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("upsert snapshot sink: latest row per key survives across batches") {
     implicit val sqlCtx = spark.sqlContext
     val path = "target/upsert_snapshot_test"
