@@ -52,6 +52,9 @@ object ScaleGen {
   }
 
   def scale(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    // events.ts is TIMESTAMP(NANOS); read it as int64 nanos (same conf
+    // Tables.events uses) regardless of which session calls us
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cps = broadcast(spark.range(0, copies).toDF("cp"))
     def rep(df: DataFrame): DataFrame = df.crossJoin(cps)
     def off(df: DataFrame, key: String): Long =

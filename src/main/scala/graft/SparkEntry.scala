@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.qDupClusters(s, d)),
     "q_incr_dedup" -> ((s: SparkSession, d: String) => Dedup.qIncrementalDedup(s, d)),
     "q_substring_dup" -> ((s: SparkSession, d: String) => graft.text.SubstringDedup.qSubstringDup(s, d)),
+    "q_substr_corpus" -> ((s: SparkSession, d: String) => graft.text.SubstringDedup.qSubstrCorpus(s, d)),
     "q_skew_join" -> ((s: SparkSession, d: String) => graft.ops.Skew.qSkewJoin(s, d)),
     "q_curate" -> (graft.etl.Curate.qCurate _),
     // -- similarity search --
@@ -1446,6 +1447,21 @@ object SparkEntry {
         |FROM read_parquet('${graft.sources.Fixtures.skewFactPath}/*.parquet') f
         |JOIN read_parquet('${graft.sources.Fixtures.skewDimPath}/*.parquet') d USING (k)
         |GROUP BY f.k ORDER BY f.k""".stripMargin,
+    "q_substr_corpus" -> {
+      val l = graft.text.SubstringDedup.MinRun
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(t) - $l + 1)) AS pos, t FROM d),
+        |gr AS (SELECT doc_id, pos,
+        |  md5(array_to_string(t[CAST(pos + 1 AS BIGINT):CAST(pos + $l AS BIGINT)], ' ')) AS h FROM g),
+        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, x.pos - y.pos AS diag
+        |  FROM gr x JOIN gr y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |r AS (SELECT doc_a, doc_b, diag, pa,
+        |  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp FROM p),
+        |runs AS (SELECT doc_a, doc_b, CAST(count(*) + ${l - 1} AS BIGINT) AS run_len
+        |  FROM r GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, max(run_len) AS max_run, count(*) AS n_runs
+        |FROM runs GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_substring_dup" -> {
       val l = graft.text.SubstringDedup.MinRun
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -67,4 +67,13 @@ object SubstringDedup {
     graft.sources.Fixtures.ensure(spark)
     verbatimRuns(spark.read.parquet(graft.sources.Fixtures.substrPath))
   }
+
+  /** The same detector over the REAL corpus: the driver's near-dup
+    * documents are edit-variants that still share long verbatim spans
+    * (24 pairs at the sf0.01 gate), so this exercises anchor-join
+    * selectivity on natural data, not just plants. */
+  def qSubstrCorpus(spark: SparkSession, dir: String): DataFrame =
+    verbatimRuns(graft.Tables.documents(spark, dir).select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text")))
 }

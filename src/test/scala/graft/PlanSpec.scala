@@ -89,6 +89,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe/substring paths: custom expressions carry the scan, no interpreted lambdas") {
+    val bpe = planOf(graft.text.TrainPrep.qBpeEncode(spark, sf)).toLowerCase
+    assert(!bpe.contains("lambdafunction"), s"BPE counting must be one JVM pass:\n$bpe")
+    assert(bpe.contains("bpe_token_count"), "codegen'd BPE expression must be in the plan")
+    val sub = planOf(graft.text.SubstringDedup.qSubstrCorpus(spark, sf)).toLowerCase
+    assert(!sub.contains("lambdafunction"),
+      s"positioned-gram hashing must be one JVM pass:\n$sub")
+    assert(sub.contains("positioned_gram_md5"))
+    assert(!sub.contains("cartesianproduct") && !sub.contains("broadcastnestedloopjoin"),
+      "substring candidates must come from the anchor equi-join")
+  }
+
   test("knn join: corpus-wide self-join rides the bucket key, never a cross join") {
     val plan = planOf(graft.vector.VectorOps.qKnnJoin(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
