@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * q_knn_join bucket-occupancy quadratic and the q_fuzzy fractional
   *-sample quadratic (see PERF.md round-4 section).
   *
-  * Usage: runMain graft.ProbeScale q_a,q_b[,...]
+  * Usage: runMain graft.ProbeScale q_a,q_b[,...] [dir1,dir2,...]
+  * (default dirs: sf0.1 and the ScaleGen'd sf1)
   */
 object ProbeScale {
   def main(args: Array[String]): Unit = {
@@ -21,7 +22,10 @@ object ProbeScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = args(0).split(",")
-    for (dir <- Seq("/root/testdata/sf0.1", "/root/repo/target/scaledata/sf1"); q <- qs) {
+    val dirs =
+      if (args.length > 1) args(1).split(",").toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/target/scaledata/sf1")
+    for (dir <- dirs; q <- qs) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()
       val t1 = (System.nanoTime() - t0) / 1e9

@@ -156,6 +156,9 @@ object SparkEntry {
     "q_cooccur" -> ((s: SparkSession, d: String) => graft.text.TextOps.qCooccur(s, d)),
     "q_bigram_lm" -> ((s: SparkSession, d: String) => graft.text.TextOps.qBigramLm(s, d)),
     "q_inverted" -> ((s: SparkSession, d: String) => graft.text.TextOps.qInvertedIndex(s, d)),
+    "q_perplexity" -> ((s: SparkSession, d: String) => graft.text.TextOps.qPerplexity(s, d)),
+    "q_cms" -> ((s: SparkSession, d: String) => graft.text.TextOps.qCms(s, d)),
+    "q_pagerank" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qPagerank(s, d)),
     // -- training-data prep (chunk / pack / mixture / tf-idf) --
     "q_chunk" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qChunk(s, d)),
     "q_pack" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPack(s, d)),
@@ -339,6 +342,20 @@ object SparkEntry {
     * on this corpus with a wide margin; a non-converged unroll cannot
     * pass silently — it would hash-mismatch Spark's converged labels
     * at the gate. Ends in `lab(u, l)`. */
+  /** Fixed-point PageRank rounds over `ed(src, dst)` / `dg(src, outdeg)`
+    * starting from `pr0` (see VectorOps.qPagerank): each round is one
+    * integer-division contribution sum + one damped update, all in
+    * BIGINT so the chain matches Spark's loop exactly. Ends in
+    * `pr<rounds>`. */
+  private def prUnrolledSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""in$i AS MATERIALIZED (SELECT ed.dst, CAST(sum(p.pr // p.outdeg) AS BIGINT) AS in_mass
+         |  FROM pr${i - 1} p JOIN ed ON p.vec_id = ed.src GROUP BY 1),
+         |pr$i AS MATERIALIZED (SELECT p.vec_id, p.outdeg, p.n_nodes,
+         |  (15 * (1000000000000 // p.n_nodes)) // 100 + (85 * coalesce(q.in_mass, 0)) // 100 AS pr
+         |  FROM pr${i - 1} p LEFT JOIN in$i q ON p.vec_id = q.dst)""".stripMargin
+    }.mkString(",\n")
+
   private def ccUnrolledSql(rounds: Int): String = {
     // AS MATERIALIZED on every stage: each round references the prior
     // one twice (propagate + shortcut), so default CTE inlining would
@@ -962,6 +979,23 @@ object SparkEntry {
          |  FROM lab)
          |SELECT (SELECT count(*) FROM e) AS n_total, n_in_clusters, n_pruned,
          |  (SELECT count(*) FROM e) - n_pruned AS n_kept FROM st""".stripMargin,
+    // fixed-point integer PageRank (scale 1e12, d=0.85, 5 rounds) over the
+    // mutual-kNN graph — every round is exact integer //-division + sums,
+    // so the unrolled chain reproduces Spark's loop bit-for-bit
+    "q_pagerank" ->
+      s"""WITH $knnChainSql,
+         |knn AS MATERIALIZED (SELECT q_id, vec_id FROM r WHERE rn <= 3),
+         |m AS MATERIALIZED (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
+         |  JOIN knn k2 ON k1.q_id = k2.vec_id AND k1.vec_id = k2.q_id
+         |  WHERE k1.q_id < k1.vec_id),
+         |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM m UNION ALL SELECT b AS src, a AS dst FROM m),
+         |dg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_nodes FROM dg),
+         |pr0 AS MATERIALIZED (SELECT src AS vec_id, outdeg, n_nodes,
+         |  1000000000000 // n_nodes AS pr FROM dg CROSS JOIN nn),
+         |${prUnrolledSql(5)}
+         |SELECT vec_id, pr AS pr_scaled FROM pr5
+         |ORDER BY pr_scaled DESC, vec_id""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x
@@ -1432,6 +1466,57 @@ object SparkEntry {
         |SELECT term, count(*) AS df,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM e GROUP BY term HAVING count(*) >= 10 ORDER BY term""".stripMargin,
+    // fixed-point micro-nat surprisal: floor(1e6·ln + 0.5) as BIGINT, summed
+    // exactly — see TextOps.qPerplexity for the cross-engine ln analysis
+    "q_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_transform(string_split(text, ' '),
+        |    (x, i) -> struct_pack(term := x, pos := i))) AS s FROM documents),
+        |e AS (SELECT doc_id, s.term AS term, s.pos AS pos FROM t),
+        |tr AS (SELECT * FROM e WHERE doc_id % 7 <> 0),
+        |ho AS (SELECT * FROM e WHERE doc_id % 7 = 0),
+        |pr AS (SELECT a.term AS w1, b.term AS w2, count(*) AS n
+        |  FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |h AS (SELECT w1, CAST(sum(n) AS BIGINT) AS head_total FROM pr GROUP BY 1),
+        |v AS (SELECT count(DISTINCT term) AS v FROM tr),
+        |bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        |  FROM ho a JOIN ho b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |sc AS (SELECT bg.doc_id, COALESCE(pr.n, 0) AS n0,
+        |  COALESCE(h.head_total, 0) AS h0, v.v AS v
+        |  FROM bg LEFT JOIN pr ON bg.w1 = pr.w1 AND bg.w2 = pr.w2
+        |  LEFT JOIN h ON bg.w1 = h.w1 CROSS JOIN v),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN n0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CAST(floor(1e6 * ln(CAST(h0 + v AS DOUBLE) / CAST(n0 + 1 AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS nll_unats
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_oov, nll_unats,
+        |  CAST(nll_unats AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_nll_unats
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // d=4 × w=4096 deterministic count-min: bucket = 3 hex chars of
+    // md5("cms{r}:{token}") — Spark parses with conv(), DuckDB with
+    // CAST('0x'||…); same integer either way
+    "q_cms" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_transform(string_split(text, ' '),
+        |    (x, i) -> struct_pack(term := x, pos := i))) AS s FROM documents),
+        |e AS (SELECT doc_id, s.term AS term, s.pos AS pos FROM t),
+        |tok AS (SELECT a.term || ' ' || b.term || ' ' || c.term AS gram
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |rw AS (SELECT unnest(range(0, 4)) AS r),
+        |hx AS (SELECT gram, r,
+        |  CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || gram), 30, 3) AS BIGINT) AS bucket
+        |  FROM tok CROSS JOIN rw),
+        |sk AS (SELECT r, bucket, count(*) AS cnt FROM hx GROUP BY 1, 2),
+        |ex AS (SELECT gram, count(*) AS exact_n FROM tok GROUP BY 1
+        |  ORDER BY exact_n DESC, gram LIMIT 50),
+        |pb AS (SELECT ex.gram, ex.exact_n, rw.r,
+        |  CAST('0x' || substr(md5('cms' || CAST(rw.r AS VARCHAR) || ':' || ex.gram), 30, 3) AS BIGINT) AS bucket
+        |  FROM ex CROSS JOIN rw)
+        |SELECT pb.gram, pb.exact_n, min(sk.cnt) AS cms_n
+        |FROM pb JOIN sk ON pb.r = sk.r AND pb.bucket = sk.bucket
+        |GROUP BY 1, 2 ORDER BY exact_n DESC, gram""".stripMargin,
     "q_chunk" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |n AS (SELECT doc_id, t, len(t) AS n FROM d),

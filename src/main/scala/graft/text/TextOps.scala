@@ -114,6 +114,55 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** COUNT-MIN SKETCH — memory-bounded frequency estimation, the
+    * sketch family's counting member next to HLL (distinct) and the
+    * bounded-heap top-k: d=4 hash rows × w=4096 counters summarize an
+    * unbounded token stream in constant space, estimate(t) = min over
+    * rows of counter[r][h_r(t)] — never an underestimate, overestimate
+    * ≤ εN with ε = e/w at the standard depth/width guarantees.
+    *
+    * Fully DETERMINISTIC (unlike Spark's built-in count_min_sketch,
+    * whose serialized form the oracle can't reproduce): row hashes are
+    * 3 hex chars of md5("cms{r}:{token}") parsed as an integer —
+    * bitwise identical in DuckDB via CAST('0x'||…), so the sketch
+    * table, the estimates, and the declared output all hash-match.
+    *
+    * Scale shape: the build is one explode + one groupBy down to a
+    * CONSTANT-size table (d·w = 16384 rows regardless of corpus);
+    * estimation joins the probe keys against that table broadcast.
+    * The sketched stream is the word-3-gram stream (the corpus
+    * vocabulary is 31 tokens — dense 3-grams give a ~16k-key domain,
+    * so the 4096-bucket rows genuinely collide and the estimates
+    * genuinely overestimate). The declared output compares CMS
+    * estimates against exact counts for the top-50 grams — the
+    * overestimate audit a pipeline logs when it swaps exact counting
+    * for the sketch. */
+  def cmsBucket(key: Column, row: Int): Column =
+    conv(substring(md5(concat(lit(s"cms$row:"), key)), 30, 3), 16, 10).cast("long")
+
+  def qCms(spark: SparkSession, dir: String, d: Int = 4, k: Int = 50): DataFrame = {
+    val t = col("t")
+    val grams = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(t) >= 3)
+      .select(explode(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))).as("gram"))
+    val sketch = grams.select(
+        posexplode(array((0 until d).map(r => cmsBucket(col("gram"), r)): _*)))
+      .groupBy(col("pos").as("row"), col("col").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("gram")).limit(k)
+    val probes = exact.select(col("gram"), col("exact_n"),
+        posexplode(array((0 until d).map(r => cmsBucket(col("gram"), r)): _*)))
+      .select(col("gram"), col("exact_n"), col("pos").as("row"), col("col").as("bucket"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("gram"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_n"))
+      .orderBy(col("exact_n").desc, col("gram"))
+  }
+
   /** Word n-grams of a token array (deduplicated set), parameterized k
     * — decontamination wants longer grams than dedup's 3-shingles. */
   def wordGrams(toks: Column, k: Int): Column =
@@ -247,6 +296,62 @@ object TextOps {
       .select(col("w1"), col("rnk"), col("w2"), col("n"), col("head_total"),
         (col("n").cast("double") / col("head_total").cast("double")).as("p"))
       .orderBy(col("w1"), col("rnk"))
+  }
+
+  /** PERPLEXITY SCORING — held-out documents scored under an add-one-
+    * smoothed bigram LM trained on the rest of the corpus (the
+    * CCNet-style LM quality filter: low perplexity ≈ fluent text, high
+    * ≈ noise/boilerplate; ref analogue: the reference scores pages for
+    * keep/drop, `pipeline/processors/validate.py`). Train/holdout split
+    * is the same deterministic `doc_id % 7` the decontamination op uses.
+    *
+    * Cross-engine determinism: per-bigram surprisal is quantized to
+    * micro-nats — `floor(1e6·ln((h+V)/(n+1)) + 0.5)` as BIGINT — and
+    * summed in exact integer arithmetic. `ln` differs between the JVM
+    * and DuckDB by 1 ulp on ~1e-4 of inputs (measured over 200k domain
+    * samples), but a quantization flip needs the true value within one
+    * ulp of a k+0.5 boundary AND an engine disagreement there — joint
+    * odds ≈ 1e-13 per distinct bigram; the mean is one double division
+    * of exact integers. Perplexity = exp(mean_nll_unats/1e6), left to
+    * the caller so the declared output stays libm-quantization-free.
+    *
+    * Scale shape: the LM is a (w1,w2)-keyed corpus artifact (two
+    * aggregations); scoring is a narrow bigram explode + LEFT equi-join
+    * against it + an integer aggregate — at 100 TB the LM table
+    * partitions by w1 and never broadcasts, vocabulary skew (stopword
+    * heads) is AQE's skew-join case. */
+  def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val train = toks.filter(col("doc_id") % 7 =!= 0)
+    val hold = toks.filter(col("doc_id") % 7 === 0)
+    def bigrams(t: DataFrame) =
+      t.select(col("doc_id"), (col("pos") + 1).as("pos"), col("term").as("w1"))
+        .join(t.select(col("doc_id"), col("pos"), col("term").as("w2")),
+          Seq("doc_id", "pos"))
+    val pairs = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val heads = pairs.groupBy(col("w1")).agg(sum(col("n")).as("head_total"))
+    val vocab = train.agg(countDistinct(col("term")).as("v"))
+    val scored = bigrams(hold).select(col("doc_id"), col("w1"), col("w2"))
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n0"),
+        coalesce(col("head_total"), lit(0L)).as("h0"),
+        col("v"))
+    val surprisal = floor(lit(1e6) *
+      log((col("h0") + col("v")).cast("double") / (col("n0") + 1).cast("double"))
+      + lit(0.5))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n0") === 0, 1L).otherwise(0L)).as("n_oov"),
+        sum(surprisal).as("nll_unats"))
+      .withColumn("mean_nll_unats",
+        col("nll_unats").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
   }
 
   /** INVERTED INDEX — term → sorted posting list + document frequency

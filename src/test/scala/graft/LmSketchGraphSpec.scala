@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+import graft.vector.VectorOps
+
+/** Laws for the round-4 additions: LM perplexity scoring, the
+  * count-min sketch, and PageRank centrality over the mutual-kNN
+  * graph. Oracle queries pin exact values; these specs pin the
+  * properties that must hold at ANY scale. */
+class LmSketchGraphSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sf}
+
+  test("perplexity: holdout split, positive surprisal, oov bounded") {
+    val rows = TextOps.qPerplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 7 == 0, "scored docs must be the holdout split")
+      val nBigrams = r.getLong(1)
+      val nOov = r.getLong(2)
+      val nll = r.getLong(3)
+      assert(nBigrams > 0 && nOov >= 0 && nOov <= nBigrams)
+      // add-one smoothing keeps every probability < 1 → surprisal > 0
+      assert(nll > 0)
+      assert(math.abs(r.getDouble(4) - nll.toDouble / nBigrams) < 1e-9)
+    }
+  }
+
+  test("perplexity: per-doc surprisal stays inside the smoothing bounds") {
+    // Add-one smoothing bounds every bigram's probability: the LEAST
+    // probable event is an unseen continuation of the most frequent
+    // head (p = 1/(maxH+V) → surprisal ln(maxH+V)); the MOST probable
+    // is bounded below ln((h+V)/(n+1)) > 0. So every per-doc mean must
+    // sit in (0, ln(maxH+V)] micro-nats.
+    val perDoc = TextOps.qPerplexity(spark, sf)
+    val maxMean = perDoc.agg(max(col("mean_nll_unats"))).head.getDouble(0)
+    val train = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+    val v = train.agg(countDistinct(col("t"))).head.getLong(0)
+    val maxH = train.groupBy(col("t")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    val ceiling = math.floor(1e6 * math.log((maxH + v).toDouble) + 0.5)
+    assert(maxMean > 0 && maxMean <= ceiling + 1,
+      s"mean surprisal $maxMean outside (0, $ceiling]")
+  }
+
+  test("cms: estimates never underestimate and sketch is constant-size") {
+    val rows = TextOps.qCms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}: ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+  }
+
+  test("pagerank: mass conservation, teleport floor, determinism") {
+    val scale = 1000000000000L
+    val pr = VectorOps.qPagerank(spark, sf)
+    val rows = pr.collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(1)).sum
+    // integer truncation only LEAKS mass: total ≤ SCALE, and the leak
+    // is bounded by ~(outdeg sum + n) ulps per round — far under 0.1%
+    assert(total <= scale, "fixed-point PageRank must never create mass")
+    assert(total >= scale - scale / 1000, s"leak too large: $total")
+    // every node holds at least the damped teleport share
+    val floorPr = (15L * (scale / n)) / 100L
+    rows.foreach(r => assert(r.getLong(1) >= floorPr))
+    // ranking must not be flat: the mutual-kNN graph has hubs
+    assert(rows.map(_.getLong(1)).distinct.length > 1)
+    // bitwise deterministic across a second run
+    val again = VectorOps.qPagerank(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+}
