@@ -194,6 +194,32 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("pos"), s"pos must be part of the join key: $joinLine")
   }
 
+  test("perplexity: LM lookups are equi-joins; only the vocab scalar nested-loops") {
+    val plan = planOf(graft.text.TextOps.qPerplexity(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"LM scoring must never be a cartesian:\n$plan")
+    // every LM lookup carries an equi-key ((doc_id,pos) bigram
+    // assembly, (w1,w2) pair probe, (w1) head probe) — the ONLY
+    // permitted nested-loop is the broadcast of the one-row vocabulary
+    // count. Which equi-joins broadcast vs shuffle is size-based and
+    // may flip with scale; quadratic shapes cannot.
+    val nNlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nNlj <= 1, s"only the vocab scalar may nested-loop ($nNlj):\n$plan")
+  }
+
+  test("cms: constant-size sketch broadcasts; probe side never shuffles the stream") {
+    val plan = planOf(graft.text.TextOps.qCms(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the d*w sketch table must ride a broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in the sketch probe:\n$plan")
+  }
+
+  test("pagerank: contribution rounds are equi-joins on the edge key, no cartesian") {
+    val plan = planOf(graft.vector.VectorOps.qPagerank(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"PageRank rounds must ride the edge equi-join:\n$plan")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string
