@@ -1493,9 +1493,9 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, n_oov, nll_unats,
         |  CAST(nll_unats AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_nll_unats
         |FROM g ORDER BY doc_id""".stripMargin,
-    // d=4 × w=4096 deterministic count-min: bucket = 3 hex chars of
-    // md5("cms{r}:{token}") — Spark parses with conv(), DuckDB with
-    // CAST('0x'||…); same integer either way
+    // d=4 × w=4096 deterministic count-min: ONE md5 per gram, row r's
+    // bucket = hex chars [1+3r, 3+3r) of the digest — Spark parses with
+    // conv(), DuckDB with CAST('0x'||…); same integer either way
     "q_cms" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(list_transform(string_split(text, ' '),
@@ -1505,14 +1505,14 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |  JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
         |rw AS (SELECT unnest(range(0, 4)) AS r),
-        |hx AS (SELECT gram, r,
-        |  CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || gram), 30, 3) AS BIGINT) AS bucket
+        |hx AS (SELECT r,
+        |  CAST('0x' || substr(md5('cms:' || gram), CAST(1 + 3 * r AS INTEGER), 3) AS BIGINT) AS bucket
         |  FROM tok CROSS JOIN rw),
         |sk AS (SELECT r, bucket, count(*) AS cnt FROM hx GROUP BY 1, 2),
         |ex AS (SELECT gram, count(*) AS exact_n FROM tok GROUP BY 1
         |  ORDER BY exact_n DESC, gram LIMIT 50),
         |pb AS (SELECT ex.gram, ex.exact_n, rw.r,
-        |  CAST('0x' || substr(md5('cms' || CAST(rw.r AS VARCHAR) || ':' || ex.gram), 30, 3) AS BIGINT) AS bucket
+        |  CAST('0x' || substr(md5('cms:' || ex.gram), CAST(1 + 3 * rw.r AS INTEGER), 3) AS BIGINT) AS bucket
         |  FROM ex CROSS JOIN rw)
         |SELECT pb.gram, pb.exact_n, min(sk.cnt) AS cms_n
         |FROM pb JOIN sk ON pb.r = sk.r AND pb.bucket = sk.bucket
