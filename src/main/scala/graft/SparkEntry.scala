@@ -766,8 +766,11 @@ object SparkEntry {
         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
         |  FROM t WHERE len(toks) >= 5),
-        |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0),
-        |c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 7 <> 0)
+        |b0 AS (SELECT doc_id, grams FROM g
+        |  ORDER BY md5('decon:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 100),
+        |b AS (SELECT DISTINCT unnest(grams) AS gram FROM b0),
+        |c AS (SELECT doc_id, unnest(grams) AS gram FROM g
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM b0))
         |SELECT doc_id, count(*) AS n_contaminated_grams
         |FROM c JOIN b USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

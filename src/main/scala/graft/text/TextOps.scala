@@ -186,6 +186,17 @@ object TextOps {
     * anti-join pattern as near-dup removal. Here the "benchmark" is
     * the doc_id % 7 == 0 slice of the corpus itself (driver corpus
     * ships no eval table), which guarantees hits. */
+  /** The "benchmark suite" is an ABSOLUTELY-bounded hash-rank sample
+    * of documents, never a fractional split: an eval suite is a
+    * fixed-size artifact, and the suite's distinct grams ride a
+    * broadcast — a `doc_id % 7` split made that broadcast grow
+    * linearly with the corpus (the q_ngram_pairs/q_fuzzy
+    * fractional-sample bug class; the gram set of 1/7 of an sf10
+    * corpus is already tens of MB and would OOM the broadcast long
+    * before 100 TB). With a fixed 100-doc suite the broadcast is
+    * constant-size at every scale and the scan side streams. */
+  val DecontaminateBenchDocs = 100
+
   def qDecontaminate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     // gram construction via the one-pass WordGrams expression (the HOF
     // twin `wordGrams` below is the oracle-mirrored reference form —
@@ -193,9 +204,12 @@ object TextOps {
     val grams = (t: Column) => graft.functions.TextHashes.wordGrams(t, k)
     val docs = Tables.documents(spark, dir)
       .filter(size(tokens(col("text"))) >= k)
-    val benchGrams = docs.filter(col("doc_id") % 7 === 0)
+    val bench = docs
+      .orderBy(md5(concat(lit("decon:"), col("doc_id").cast("string"))), col("doc_id"))
+      .limit(DecontaminateBenchDocs)
+    val benchGrams = bench
       .select(explode(grams(tokens(col("text")))).as("gram")).distinct()
-    docs.filter(col("doc_id") % 7 =!= 0)
+    docs.join(broadcast(bench.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), explode(grams(tokens(col("text")))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col("doc_id"))
