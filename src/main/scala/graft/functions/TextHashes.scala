@@ -140,6 +140,63 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Windowed co-occurrence pair emission in one JVM pass: for every
+  * offset 1..window and position i, emit `t(i) ++ \\u0001 ++ t(i+off)`.
+  * Exactly the pair multiset the (doc_id, pos)-equi-join formulation
+  * produces, without manufacturing and shuffling the positioned token
+  * relation (the join form moved ~2·n rows per doc through an
+  * Exchange; this is a narrow explode straight into the pair
+  * aggregate). The \\u0001 separator sorts below every token byte, so
+  * lexicographic order on the packed pair equals (term_a, term_b)
+  * tuple order — top-k tie-breaks survive the packing. */
+case class TokenPairs(child: Expression, window: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+  override def prettyName: String = "token_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var t = 0
+    while (t < n) {
+      toks(t) = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      t += 1
+    }
+    var total = 0
+    var off = 1
+    while (off <= window) { total += Math.max(0, n - off); off += 1 }
+    val out = new Array[Any](total)
+    val sb = new java.lang.StringBuilder(48)
+    var o = 0
+    off = 1
+    while (off <= window) {
+      var i = 0
+      val last = n - off
+      while (i < last) {
+        sb.setLength(0)
+        sb.append(toks(i)).append('\u0001').append(toks(i + off))
+        out(o) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        o += 1
+        i += 1
+      }
+      off += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenPairs", this, classOf[TokenPairs].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word k-grams of a TOKEN array in one JVM pass (hash-set
   * dedup, no per-element expression interpretation) — semantically
   * identical to the HOF form the DuckDB oracle uses
@@ -335,4 +392,9 @@ object TextHashes {
   /** Positioned k-gram md5 anchors of a token-array column. */
   def positionedGramMd5(toks: Column, k: Int): Column =
     GraftSqlBridge.column(PositionedGramMd5(GraftSqlBridge.expression(toks), k))
+
+  /** Windowed co-occurrence pairs of a token-array column, in one pass
+    * (see [[TokenPairs]]). */
+  def tokenPairs(toks: Column, window: Int): Column =
+    GraftSqlBridge.column(TokenPairs(GraftSqlBridge.expression(toks), window))
 }

@@ -272,23 +272,25 @@ object TextOps {
     * vocabulary skew is AQE's skew-join case and stopword pruning
     * (not applied here) is the standard volume dial. */
   def qCooccur(spark: SparkSession, dir: String, window: Int = 2, k: Int = 50): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("term"))
-    // offset-explode instead of a band filter over the doc_id join:
-    // the left side fans out to exactly `window` rows per token and the
-    // join carries (doc_id, pos) as the FULL equi-key, so each doc
-    // costs O(n·window) comparisons, not O(n²) pairs post-filtered
-    val a = toks.select(col("doc_id"), col("term").as("term_a"),
-        explode(array((1 to window).map(lit): _*)).as("off"),
-        col("pos"))
-      .select(col("doc_id"), (col("pos") + col("off")).as("pos"), col("term_a"))
-    val b = toks.select(col("doc_id"), col("pos"), col("term").as("term_b"))
-    a.join(b, Seq("doc_id", "pos"))
-      .groupBy(col("term_a"), col("term_b"))
+    // one-pass codegen'd pair emission (TokenPairs) — the r4 rewrite of
+    // the offset-explode + (doc_id, pos) equi-join form: the join moved
+    // ~2n positioned rows per doc through an Exchange before the pair
+    // aggregate (34 s at sf10); emitting packed "a\u0001b" pairs
+    // directly from the token array goes scan → explode → one partial-
+    // aggregated (pair) shuffle. The \u0001 separator sorts below every
+    // token byte, so top-k order on the packed string equals the
+    // (n desc, term_a, term_b) order the oracle's join form uses.
+    Tables.documents(spark, dir)
+      .select(explode(
+        graft.functions.TextHashes.tokenPairs(tokens(col("text")), window)).as("pair"))
+      .groupBy(col("pair"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("term_a"), col("term_b"))
+      .orderBy(col("n").desc, col("pair"))
       .limit(k)
+      .select(substring_index(col("pair"), "\u0001", 1).as("term_a"),
+        substring_index(col("pair"), "\u0001", -1).as("term_b"),
+        col("n"))
+      .orderBy(col("n").desc, col("term_a"), col("term_b"))
   }
 
   /** BIGRAM LANGUAGE-MODEL TABLE — top-k next words per head word
@@ -300,13 +302,16 @@ object TextOps {
     * (pair counts, head totals) + one broadcast-ready vocab join. */
   def qBigramLm(spark: SparkSession, dir: String, k: Int = 3, minHead: Long = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("term"))
-    val a = toks.select(col("doc_id"), (col("pos") + 1).as("pos"), col("term").as("w1"))
-    val b = toks.select(col("doc_id"), col("pos"), col("term").as("w2"))
-    val pairs = a.join(b, Seq("doc_id", "pos"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    // adjacent pairs are TokenPairs(window=1) — one narrow pass into
+    // the pair aggregate instead of the positioned (doc_id, pos+1=pos)
+    // self-join (the same r4 rewrite as qCooccur); the w1/w2 split
+    // happens on the AGGREGATED pair table, vocabulary-sized
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(
+        graft.functions.TextHashes.tokenPairs(tokens(col("text")), 1)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .select(substring_index(col("pair"), "\u0001", 1).as("w1"),
+        substring_index(col("pair"), "\u0001", -1).as("w2"), col("n"))
     val heads = pairs.groupBy(col("w1")).agg(sum(col("n")).as("head_total"))
       .filter(col("head_total") >= minHead)
     val w = Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))
@@ -341,21 +346,23 @@ object TextOps {
     * partitions by w1 and never broadcasts, vocabulary skew (stopword
     * heads) is AQE's skew-join case. */
   def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("term"))
-    val train = toks.filter(col("doc_id") % 7 =!= 0)
-    val hold = toks.filter(col("doc_id") % 7 === 0)
-    def bigrams(t: DataFrame) =
-      t.select(col("doc_id"), (col("pos") + 1).as("pos"), col("term").as("w1"))
-        .join(t.select(col("doc_id"), col("pos"), col("term").as("w2")),
-          Seq("doc_id", "pos"))
-    val pairs = bigrams(train).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n"))
-    val heads = pairs.groupBy(col("w1")).agg(sum(col("n")).as("head_total"))
-    val vocab = train.agg(countDistinct(col("term")).as("v"))
-    val scored = bigrams(hold).select(col("doc_id"), col("w1"), col("w2"))
-      .join(pairs, Seq("w1", "w2"), "left")
+    // adjacent bigrams via TokenPairs(window=1) (the qCooccur rewrite):
+    // the LM probe joins on the packed pair string, one key instead of
+    // two; the w1 head key splits off the pair only where needed
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val hold = docs.filter(col("doc_id") % 7 === 0)
+    def bigrams(t: DataFrame) = t.select(col("doc_id"), explode(
+      graft.functions.TextHashes.tokenPairs(tokens(col("text")), 1)).as("pair"))
+    val pairs = bigrams(train).groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val heads = pairs
+      .select(substring_index(col("pair"), "\u0001", 1).as("w1"), col("n"))
+      .groupBy(col("w1")).agg(sum(col("n")).as("head_total"))
+    val vocab = train.select(explode(tokens(col("text"))).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    val scored = bigrams(hold)
+      .join(pairs, Seq("pair"), "left")
+      .withColumn("w1", substring_index(col("pair"), "\u0001", 1))
       .join(heads, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),

@@ -57,6 +57,28 @@ class LmSketchGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenPairs emits exactly the positioned-join pair multiset") {
+    // the one-pass expression must reproduce the (doc_id, pos+off=pos)
+    // equi-join formulation bit-for-bit — the oracle SQL still uses
+    // the join form, so this equality IS the correctness bridge
+    import spark.implicits._
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val a = toks.select(col("doc_id"), col("term").as("term_a"),
+        explode(array(lit(1), lit(2))).as("off"), col("pos"))
+      .select(col("doc_id"), (col("pos") + col("off")).as("pos"), col("term_a"))
+    val b = toks.select(col("doc_id"), col("pos"), col("term").as("term_b"))
+    val joined = a.join(b, Seq("doc_id", "pos"))
+      .select(concat(col("term_a"), lit("\u0001"), col("term_b")).as("pair"))
+      .as[String].collect().sorted.toSeq
+    val onePass = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextHashes.tokenPairs(
+        TextOps.tokens(col("text")), 2)).as("pair"))
+      .as[String].collect().sorted.toSeq
+    assert(joined.nonEmpty && joined == onePass)
+  }
+
   test("pagerank: mass conservation, teleport floor, determinism") {
     val scale = 1000000000000L
     val pr = VectorOps.qPagerank(spark, sf)

@@ -182,16 +182,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("cooccur: pairs ride the full (doc_id, pos) equi-key, no band filter post-join") {
+  test("cooccur: one-pass pair emission — no join at all, single pair aggregate") {
+    // r4 rewrite: the TokenPairs expression emits the windowed pair
+    // multiset per row, so the positioned token relation (and its
+    // (doc_id, pos) equi-join + Exchange) no longer exists. Any join
+    // reappearing here is a regression to the shuffle-heavy form.
     val plan = planOf(graft.text.TextOps.qCooccur(spark, sf))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"co-occurrence must be an equi-join:\n$plan")
-    // the offset-explode design puts pos INTO the join key — a plan
-    // that joins on doc_id alone and range-filters pos afterwards is
-    // the O(n²)-per-doc shape this pins against
-    val joinLine = plan.linesIterator
-      .find(l => l.contains("Join") && l.contains("doc_id")).getOrElse("")
-    assert(joinLine.contains("pos"), s"pos must be part of the join key: $joinLine")
+    assert(!plan.contains("Join"), s"co-occurrence must not join anything:\n$plan")
+    assert(plan.contains("token_pairs"), s"expected the TokenPairs expression:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
   }
 
   test("perplexity: LM lookups are equi-joins; only the vocab scalar nested-loops") {
