@@ -171,6 +171,8 @@ object SparkEntry {
     "q_bpe_encode" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qBpeEncode(s, d)),
     "q_chunk_bpe" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qChunkBpe(s, d)),
     "q_pack_bpe" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPackBpe(s, d)),
+    "q_bpe_train" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qBpeTrain(s, d)),
+    "q_snapshot_diff" -> ((s: SparkSession, d: String) => graft.etl.Snapshot.qSnapshotDiff(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -1572,6 +1574,47 @@ object SparkEntry {
         |  CAST(sum(v.n_sub) AS BIGINT) AS n_subwords
         |FROM w JOIN read_parquet('${graft.sources.Fixtures.bpeVocabPath}/*.parquet') v USING (word)
         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+    // Full SQL replay of BPE training, generated per round: the current
+    // tokenization is a doubled-separator symbol string (' a  b  c '),
+    // so `replace(w, ' a  b ', ' ab ')` is exactly the
+    // leftmost-non-overlapping merge (consecutive occurrences share one
+    // space of the double gap, so both sides keep the invariant).
+    // MATERIALIZED stops DuckDB inlining the chained CTEs (w_r
+    // references m_r three times — inlined, the tree grows 4^K).
+    "q_bpe_train" -> {
+      val ctes = Seq.newBuilder[String]
+      val sels = Seq.newBuilder[String]
+      ctes += ("v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word)")
+      ctes += "w0 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS w, cnt FROM v0)"
+      for (r <- 1 to graft.text.TrainPrep.bpeTrainRounds) {
+        val p = r - 1
+        ctes += (s"m$r AS MATERIALIZED (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c " +
+          s"FROM (SELECT unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b, cnt " +
+          s"FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM w$p) WHERE len(s) > 1) " +
+          s"GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)")
+        ctes += (s"w$r AS MATERIALIZED (SELECT replace(w, ' ' || (SELECT a FROM m$r) || '  ' || (SELECT b FROM m$r) || ' ', " +
+          s"' ' || (SELECT a FROM m$r) || (SELECT b FROM m$r) || ' ') AS w, cnt FROM w$p)")
+        sels += s"SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs, c AS freq FROM m$r"
+      }
+      "WITH " + ctes.result().mkString(",\n") + "\n" +
+        sels.result().mkString(" UNION ALL ") + " ORDER BY rank"
+    },
+    "q_snapshot_diff" ->
+      s"""WITH v2 AS (
+        |  SELECT doc_id, source, CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + ${graft.etl.Snapshot.addedIdOffset}, source, 'new ' || text
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |a AS (SELECT doc_id, source AS src1, md5(text) AS fp1 FROM documents),
+        |b AS (SELECT doc_id, source AS src2, md5(text) AS fp2 FROM v2),
+        |st AS (SELECT coalesce(src1, src2) AS source, doc_id,
+        |  CASE WHEN fp1 IS NULL THEN 'added' WHEN fp2 IS NULL THEN 'removed'
+        |       WHEN fp1 <> fp2 THEN 'changed' ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT source, status, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM st GROUP BY source, status ORDER BY source, status""".stripMargin,
     "q_chunk_bpe" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |w AS (SELECT doc_id, unnest(t) AS word,

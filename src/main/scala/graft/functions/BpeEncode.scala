@@ -108,9 +108,48 @@ case class BpeWordCounts(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** TRAINING-side tokenization state: split a word to characters, then
+  * apply the carried merges sequentially in rank order (merge 0
+  * everywhere, then merge 1, ...) — exactly how the vocabulary evolves
+  * during BPE training, and exactly what round k's pair counting must
+  * see. Distinct from encode's lowest-rank-first greedy loop
+  * ([[BpeBase.countWord]]): training replays history, encode uses the
+  * finished rank table. Carried merges are a broadcast-sized model
+  * artifact riding in the expression; the pass is narrow (no shuffle,
+  * no join). */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply_merges"
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApplyMerges", this, classOf[BpeApplyMerges].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    var syms = word.map(_.toString).toVector
+    var i = 0
+    while (i < merges.length && syms.length > 1) {
+      syms = Bpe.mergePair(syms, merges(i)._1, merges(i)._2)
+      i += 1
+    }
+    new GenericArrayData(syms.map(s => UTF8String.fromString(s)).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeEncode {
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeTokenCount(GraftSqlBridge.expression(text), merges))
   def bpeWordCounts(text: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeWordCounts(GraftSqlBridge.expression(text), merges))
+  def bpeApplyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeApplyMerges(GraftSqlBridge.expression(word), merges))
 }

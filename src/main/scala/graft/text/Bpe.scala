@@ -119,6 +119,60 @@ object Bpe {
     train(wc, nMerges)
   }
 
+  /** DISTRIBUTED BPE TRAINING — the scale path for learning the merge
+    * table itself, where [[trainFromCorpus]] is the driver-side twin
+    * for broadcast-sized vocabularies. The corpus is touched ONCE (the
+    * word-frequency aggregate — the only corpus-scale pass); training
+    * then runs entirely on the |vocab|-sized word table: each round
+    * re-derives the current tokenization with [[graft.functions.BpeApplyMerges]]
+    * (a narrow codegen'd pass replaying the k learned merges), counts
+    * adjacent symbol pairs weighted by word frequency (map-side-combined
+    * shuffle on the pair key), and takes the argmax via
+    * TakeOrderedAndProject — one 1-row driver action per round, the
+    * Lloyd/CC coordination pattern. Work is O(|vocab| · K²) total,
+    * independent of corpus size after the first aggregate; ties break
+    * (-freq, lhs, rhs) so the learned table is a pure function of the
+    * corpus, bit-identical to [[train]] and to the DuckDB oracle's
+    * staged-CTE replay. */
+  def trainDistributed(spark: SparkSession, dir: String,
+      nMerges: Int = NumMerges): Vector[(String, String, Long)] = {
+    val vocab = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val learned = Vector.newBuilder[(String, String, Long)]
+      var sofar = Vector.empty[(String, String)]
+      var k = 0
+      var exhausted = false
+      while (k < nMerges && !exhausted) {
+        val sy = graft.functions.BpeEncode.bpeApplyMerges(col("word"), sofar)
+        val top = vocab
+          .select(col("cnt"), sy.as("sy"))
+          .filter(size(col("sy")) > 1)
+          .select(col("cnt"), explode(zip_with(
+            slice(col("sy"), lit(1), size(col("sy")) - 1),
+            slice(col("sy"), lit(2), size(col("sy")) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val r = top(0)
+          val a: String = r.getString(0)
+          val b: String = r.getString(1)
+          val c: Long = r.getLong(2)
+          learned += ((a, b, c))
+          sofar = sofar :+ ((a, b))
+          k += 1
+        }
+      }
+      learned.result()
+    } finally vocab.unpersist()
+  }
+
   /** (word, n_sub) rows for every distinct word across the fixed
     * corpora — the oracle-side join table. */
   def vocabRows(spark: SparkSession, merges: Vector[(String, String)]): Seq[(String, Long)] = {

@@ -250,6 +250,29 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Rounds the DECLARED training query learns: enough to exercise
+    * multi-character merge chaining (rounds 6+ consume earlier merge
+    * outputs on this corpus), small enough that the oracle's
+    * staged-CTE replay — 2 CTEs per round — stays cheap in DuckDB. */
+  val bpeTrainRounds = 10
+
+  /** BPE TRAIN (declared): learn the first [[bpeTrainRounds]] merges
+    * of the tokenizer FROM the corpus, distributively — see
+    * [[Bpe.trainDistributed]] for the scale shape (one corpus-scale
+    * aggregate, then vocab-sized rounds). Output is the model artifact
+    * itself: (rank, lhs, rhs, freq). The oracle replays training in
+    * pure SQL: per round, a pair-count CTE over the current
+    * tokenization and a leftmost-non-overlapping merge via string
+    * replace on a doubled-separator symbol encoding — fully
+    * independent re-derivation from the raw corpus, no fixture. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Bpe.trainDistributed(spark, dir, bpeTrainRounds)
+      .zipWithIndex
+      .map { case ((a, b, c), i) => ((i + 1).toLong, a, b, c) }
+      .toDF("rank", "lhs", "rhs", "freq")
+  }
+
   /** SUBWORD-BUDGET CHUNKING: contiguous first-fit bins over the word
     * stream by cumulative SUBWORD count (chunk boundaries may straddle
     * a word's budget edge, same contract as [[qPack]]'s bins). The

@@ -220,6 +220,18 @@ class PlanSpec extends AnyFunSuite {
       s"PageRank rounds must ride the edge equi-join:\n$plan")
   }
 
+  test("snapshot diff: one equi-join on the key, bodies never shuffle") {
+    val plan = planOf(graft.etl.Snapshot.qSnapshotDiff(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff must be an equi-join on doc_id:\n$plan")
+    // the join's exchanged columns are (doc_id, source, fp) — the md5
+    // projection happens below the Exchange, so `text` never shuffles
+    val exch = plan.linesIterator.filter(_.contains("Exchange hashpartitioning(doc_id"))
+    assert(exch.nonEmpty, s"expected a doc_id-keyed exchange:\n$plan")
+    assert(!exch.exists(_.contains("text#")),
+      "document bodies must be fingerprinted below the shuffle")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string

@@ -221,4 +221,22 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(st.getLong(0) == 500)
     assert(st.getLong(1) > 500 * 9) // every doc has >= 10 tokens
   }
+
+  test("snapshot diff reconciles: every doc in exactly one status, counts close") {
+    import graft.etl.Snapshot
+    val v1 = Tables.documents(spark, sf)
+    val v2df = Snapshot.v2(spark, sf)
+    val byStatus = Snapshot.diff(v1, v2df)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n1 = v1.count(); val n2 = v2df.count()
+    // v1 = removed + changed + unchanged; v2 = added + changed + unchanged
+    assert(byStatus("removed") + byStatus("changed") + byStatus("unchanged") == n1)
+    assert(byStatus("added") + byStatus("changed") + byStatus("unchanged") == n2)
+    // the planted modulos decide each class exactly
+    assert(byStatus("removed") == v1.filter(col("doc_id") % 17 === 3).count())
+    assert(byStatus("changed") ==
+      v1.filter(col("doc_id") % 17 =!= 3 && col("doc_id") % 13 === 1).count())
+    assert(byStatus("added") == v1.filter(col("doc_id") % 29 === 0).count())
+  }
 }

@@ -142,6 +142,24 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(Bpe.train(Seq("abab" -> 3L, "ab" -> 2L), 2) == merges)
   }
 
+  test("distributed BPE training is bit-identical to the sequential trainer") {
+    import graft.text.Bpe
+    val k = TrainPrep.bpeTrainRounds
+    val dist = Bpe.trainDistributed(spark, sf, k)
+    val wc = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seq = Bpe.train(wc, k)
+    assert(dist.map(m => (m._1, m._2)) == seq,
+      "per-round argmax over distributed pair counts must replay the driver-side trainer")
+    assert(dist.sliding(2).forall { s => s.length < 2 || s(0)._3 >= s(1)._3 },
+      "BPE merge frequencies are non-increasing (each round's argmax bounds the next)")
+    // declared query shape: dense 1-based ranks, K rows on this corpus
+    val q = TrainPrep.qBpeTrain(spark, sf).collect()
+    assert(q.length == k && q.map(_.getLong(0)).toSeq == (1L to k.toLong))
+  }
+
   test("BpeTokenCount expression equals the reference encoder on every corpus word") {
     import graft.text.Bpe
     val m = Bpe.merges(spark)
