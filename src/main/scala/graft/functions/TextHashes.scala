@@ -307,6 +307,56 @@ case class StopwordHits(child: Expression, groups: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** ALL k-grams of a token array (multiset, order preserved, NOT
+  * deduplicated — [[WordGrams]]'s set form serves membership tests;
+  * this form serves frequency sketches, where collapsing duplicates
+  * would corrupt the counts), one JVM pass. Same gram strings as the
+  * interpreted `transform(sequence(...))` + `concat_ws` HOF chain it
+  * replaces on hot paths (spec-pinned equal). */
+case class WordGramsAll(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+  override def prettyName: String = "word_grams_all"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](n)
+    var t = 0
+    while (t < n) {
+      toks(t) = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      t += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGramsAll", this, classOf[WordGramsAll].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** POSITIONED k-gram md5 hex digests of a token array, one JVM pass:
   * element i is md5 of tokens i..i+k-1 joined by a single space — the
   * anchor stream for exact-substring (verbatim-run) detection, where
@@ -388,6 +438,10 @@ object TextHashes {
   /** Distinct word k-grams of a token-array column, in one pass. */
   def wordGrams(toks: Column, k: Int): Column =
     GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(toks), k))
+
+  /** ALL word k-grams (multiset, for frequency sketches), in one pass. */
+  def wordGramsAll(toks: Column, k: Int): Column =
+    GraftSqlBridge.column(WordGramsAll(GraftSqlBridge.expression(toks), k))
 
   /** Positioned k-gram md5 anchors of a token-array column. */
   def positionedGramMd5(toks: Column, k: Int): Column =

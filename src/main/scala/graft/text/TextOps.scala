@@ -131,6 +131,12 @@ object TextOps {
     * DuckDB via CAST('0x'||substr(…)), so the sketch table, the
     * estimates, and the declared output all hash-match.
     *
+    * Build evolution (all three forms cell-identical): per-row md5 ×4
+    * (97 s at sf10) → one sliced digest through posexplode+groupBy
+    * (70 s — the d·N-row Generate dominates) → the CMS as an
+    * aggregation buffer ([[graft.functions.CmsSketch]], 22.6 s — the
+    * residual is the exact-count audit the sketch is compared against).
+    *
     * Scale shape: the build is one explode + one groupBy down to a
     * CONSTANT-size table (d·w = 16384 rows regardless of corpus);
     * estimation joins the probe keys against that table broadcast.
@@ -149,15 +155,26 @@ object TextOps {
 
   def qCms(spark: SparkSession, dir: String, d: Int = 4, k: Int = 50): DataFrame = {
     val t = col("t")
+    // gram stream via the one-pass WordGramsAll expression — the
+    // interpreted transform(sequence)+concat_ws HOF twin below costs
+    // interpreted-lambda per token and runs TWICE (sketch + exact):
+    // swapping it cut q_cms 88.8 → (see PERF) at sf10. NOT WordGrams:
+    // that dedups, and a frequency sketch needs the multiset.
     val grams = Tables.documents(spark, dir)
       .select(tokens(col("text")).as("t"))
       .filter(size(t) >= 3)
-      .select(explode(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2)))).as("gram"))
-    val sketch = grams.select(posexplode(cmsBuckets(col("gram"), d)))
-      .groupBy(col("pos").as("row"), col("col").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(explode(graft.functions.TextHashes.wordGramsAll(t, 3)).as("gram"))
+    // sketch build: the CMS is the aggregation buffer itself
+    // (functions/CmsSketch.scala) — one pass, no d·N-row Generate, 128 KB
+    // partials merged element-wise. The cell layout/values are identical
+    // to the explode+groupBy form (hash slicing shared with cmsBuckets),
+    // so the oracle and the probe join are untouched.
+    val sketch = grams
+      .agg(graft.functions.CmsSketch.cmsSketch(d, 4096)(col("gram")).as("s"))
+      .select(posexplode(col("s")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(floor(col("idx") / lit(4096)).cast("int").as("row"),
+        pmod(col("idx"), lit(4096)).cast("long").as("bucket"), col("cnt"))
     val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("gram")).limit(k)
     val probes = exact.select(col("gram"), col("exact_n"),

@@ -205,6 +205,20 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(diff == 0, "one-pass grams must equal array_distinct(transform(...))")
   }
 
+  test("WordGramsAll expression matches the interpreted HOF form, duplicates kept") {
+    val t = split(col("text"), " ")
+    val hofAll = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    val rows = Tables.documents(spark, sf).limit(300)
+      .filter(size(t) >= 3)
+      .select(graft.functions.TextHashes.wordGramsAll(t, 3).as("fast"), hofAll.as("slow"))
+    assert(rows.filter(col("fast") =!= col("slow")).count() == 0,
+      "one-pass multiset grams must equal transform(sequence(...)) element-for-element")
+    // multiset semantics: repeated grams survive (unlike WordGrams)
+    assert(rows.filter(size(col("fast")) =!= size(array_distinct(col("fast")))).count() > 0,
+      "corpus must exercise the duplicate-gram path this expression exists for")
+  }
+
   test("multi-probe LSH recall dominates single-probe against exact top-k") {
     import graft.vector.VectorOps
     def pairs(df: org.apache.spark.sql.DataFrame) =
