@@ -149,6 +149,136 @@ case class L2SqRange(left: Expression, right: Expression, start: Int, len: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment in ONE narrow pass: the centroid matrix
+  * (k·dim doubles — the MODEL, broadcast-sized at every corpus scale,
+  * exactly like Spark MLlib's collected+broadcast Lloyd step) rides
+  * inside the expression the way the BPE merge table does. Replaces a
+  * k-way crossJoin followed by a shuffled argmin-groupBy KEYED BY THE
+  * FULL VECTOR — that form moved k·N rows each carrying the 512-byte
+  * embedding through an array-keyed hash aggregate per Lloyd round.
+  *
+  * Bitwise contract: per centroid the distance is the same sequential
+  * (x-y)² left fold as [[L2SqRange]] (= the HOF twin = DuckDB's
+  * list_sum), and centroids are visited in ascending label order with
+  * strict less-than — identical tie semantics to
+  * `min(struct(dist, label))`. Null/length-mismatch poisons to null,
+  * mirroring the fold. */
+case class NearestCentroid(child: Expression, labels: Array[Int],
+    cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      xs(i) = x.getDouble(i)
+      i += 1
+    }
+    var bestD = Double.PositiveInfinity
+    var bestL = -1
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      if (cv.length != n) return null
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val d = xs(j) - cv(j)
+        acc += d * d
+        j += 1
+      }
+      if (acc < bestD) { bestD = acc; bestL = labels(c) }
+      c += 1
+    }
+    if (bestL < 0) null else java.lang.Integer.valueOf(bestL)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.nullSafeEval($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Integer) r).intValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All 8 PQ-subspace argmins in one narrow pass (array<int>, element s
+  * = nearest sub-centroid label within dims [s·subDim, (s+1)·subDim)) —
+  * the expression form of the corpus×codebook crossJoin + 8
+  * struct-min aggregates keyed by the full vector. Same per-subspace
+  * distance fold and `min(struct(dist, label))` tie semantics as
+  * [[NearestCentroid]]. */
+case class SubspaceArgmins(child: Expression, labels: Array[Int],
+    cents: Array[Array[Double]], subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "subspace_argmins"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n % subDim != 0) return null
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      xs(i) = x.getDouble(i)
+      i += 1
+    }
+    val nSub = n / subDim
+    val out = new Array[Any](nSub)
+    var s = 0
+    while (s < nSub) {
+      val off = s * subDim
+      var bestD = Double.PositiveInfinity
+      var bestL = -1
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        if (cv.length != n) return null
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          val d = xs(off + j) - cv(off + j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < bestD) { bestD = acc; bestL = labels(c) }
+        c += 1
+      }
+      out(s) = bestL
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subspaceArgmins", this, classOf[SubspaceArgmins].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = $ref.nullSafeEval($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorMath {
   import org.apache.spark.sql.GraftSqlBridge
 
@@ -171,4 +301,20 @@ object VectorMath {
   def l2sqRange(a: Column, b: Column, start: Int, len: Int): Column =
     GraftSqlBridge.column(L2SqRange(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), start, len))
+
+  /** Argmin-centroid label of a double-array column; `cents` sorted by
+    * label ascending (tie semantics of `min(struct(dist, label))`). */
+  def nearestCentroid(v: Column, cents: Seq[(Int, Array[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    GraftSqlBridge.column(NearestCentroid(GraftSqlBridge.expression(v),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+
+  /** Per-subspace argmin labels (array<int>), subspaces of `subDim`
+    * dims; `cents` sorted by label ascending. */
+  def subspaceArgmins(v: Column, cents: Seq[(Int, Array[Double])], subDim: Int): Column = {
+    val sorted = cents.sortBy(_._1)
+    GraftSqlBridge.column(SubspaceArgmins(GraftSqlBridge.expression(v),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray, subDim))
+  }
 }

@@ -404,7 +404,10 @@ object VectorOps {
   def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  private def elementMeans(assigned: DataFrame): DataFrame = {
+  /** posexplode → (cluster, pos) groupBy → collect_list form of the
+    * element means — the reference semantics the [[graft.functions.ScaledMeans]]
+    * aggregate is spec-pinned against (bitwise, VectorMathSpec). */
+  def elementMeansExplode(assigned: DataFrame): DataFrame = {
     import graft.ops.Exact._
     assigned.select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), col("pos"))
@@ -414,13 +417,39 @@ object VectorOps {
       .select(col("cluster").as("c_label"), transform(col("pm"), p => p.getField("m")).as("cv"))
   }
 
-  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+  /** Exact element means as ONE aggregate (no N·dim Generate): buffer
+    * is k·(dim+1) longs, identical values to [[elementMeansExplode]]. */
+  private def elementMeans(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cluster"))
+      .agg(graft.functions.ScaledMeans.scaledMeans(0, -1)(col("v")).as("cv"))
+      .select(col("cluster").as("c_label"), col("cv"))
+
+  /** Relational twin of the [[graft.functions.NearestCentroid]]
+    * expression path — spec-pinned equal (VectorMathSpec). The
+    * crossJoin+argmin-groupBy form shuffles k·N rows each carrying the
+    * full vector as a GROUPING KEY; the expression form is a narrow
+    * map. Kept as the reference semantics (min(struct(dist, label))). */
+  def assignJoin(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"),
         struct(l2sq(col("v"), col("cv")).as("dist"), col("c_label").as("cl")).as("dc"))
       .groupBy(col("vec_id"), col("v"))
       .agg(min(col("dc")).as("m"))
       .select(col("vec_id"), col("v"), col("m.cl").as("cluster"))
+
+  /** Collect a (c_label, cv) relation as the in-expression model
+    * (k·dim doubles — broadcast-sized at any corpus scale). */
+  private def centRows(centroids: DataFrame): Seq[(Int, Array[Double])] =
+    centroids.select(col("c_label").cast("int"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+
+  /** Lloyd assignment via the codegen'd argmin expression: the
+    * centroids (k·dim doubles — the model) collect to the driver and
+    * ride the expression, MLlib-style; the corpus never widens or
+    * shuffles. */
+  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("v"),
+      graft.functions.VectorMath.nearestCentroid(col("v"), centRows(centroids)).as("cluster"))
 
   /** Deterministic Lloyd refinement completing the IVF story: seed
     * centroids are the per-label element means ([[ivfCentroids]]), then
@@ -443,7 +472,12 @@ object VectorOps {
     var centroids = ivfCentroids(spark, dir)
     var assigned: DataFrame = null
     (1 to iters).foreach { _ =>
-      assigned = assign(emb, centroids).localCheckpoint()
+      // no checkpoint on `assigned`: assignment is a narrow expression
+      // map (re-running it costs one scan), and each round's lineage is
+      // already flat because the centroid model is COLLECTED into the
+      // expression — rounds chain through k·dim doubles on the driver,
+      // not through Spark plans (the r3 stats-blowup class can't occur).
+      assigned = assign(emb, centroids)
       centroids = elementMeans(assigned).localCheckpoint()
     }
     assigned.groupBy(col("cluster"))
@@ -487,21 +521,18 @@ object VectorOps {
     // 8 argmins, materialized once — identical results to the
     // step-by-step fold at 1/8th the shuffle rounds (the oracle pins
     // the equivalence bit-for-bit).
-    val assigned = emb.crossJoin(broadcast(seed))
-      .select(Seq(col("vec_id"), col("v")) ++ (0 until 8).map(s =>
-        struct(subDist(col("v"), col("cv"), s).as("d"), col("c_label").as("l")).as(s"dc$s")): _*)
-      .groupBy(col("vec_id"), col("v"))
-      .agg(min(col("dc0")).getField("l").as("c0"),
-        (1 until 8).map(s => min(col(s"dc$s")).getField("l").as(s"c$s")): _*)
+    // All 8 subspace argmins in one narrow expression pass (no
+    // corpus×codebook crossJoin, no vector-keyed groupBy), then each
+    // subspace's means as one ScaledMeans aggregate (no slice explode)
+    // — both spec-pinned bitwise to the relational forms they replace.
+    val assigned = emb.select(col("vec_id"), col("v"),
+        graft.functions.VectorMath.subspaceArgmins(col("v"), centRows(seed), 8).as("cs"))
       .localCheckpoint()
     val subMeans = (0 until 8).map { s =>
-      assigned.select(col(s"c$s").as("cluster"), posexplode(slice(col("v"), 8 * s + 1, 8)))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(graft.ops.Exact.scaledMean(col("col")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster").as("c_label"),
-          transform(col("pm"), p => p.getField("m")).as(s"sub$s"))
+      assigned
+        .groupBy(element_at(col("cs"), s + 1).as("cluster"))
+        .agg(graft.functions.ScaledMeans.scaledMeans(8 * s, 8)(col("v")).as(s"sub$s"))
+        .select(col("cluster").as("c_label"), col(s"sub$s"))
     }
     subMeans.foldLeft(seed)((cb, sm) => cb.join(sm, Seq("c_label"), "left"))
       .select(col("c_label"), concat((0 until 8).map(s =>

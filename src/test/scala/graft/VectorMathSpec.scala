@@ -84,4 +84,57 @@ class VectorMathSpec extends AnyFunSuite {
     assert(java.lang.Double.doubleToRawLongBits(c.getDouble(0)) ==
       java.lang.Double.doubleToRawLongBits(c.getDouble(1)))
   }
+
+  test("ScaledMeans aggregate == posexplode/scaledMean chain, bitwise") {
+    val full = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned = VectorOps.assignJoin(full, VectorOps.ivfCentroids(spark, sf))
+      .select(col("cluster"), col("v"))
+    val viaAgg = assigned.groupBy(col("cluster"))
+      .agg(graft.functions.ScaledMeans.scaledMeans(0, -1)(col("v")).as("cv_agg"))
+      .select(col("cluster").as("c_label"), col("cv_agg"))
+    val viaExplode = VectorOps.elementMeansExplode(assigned)
+      .select(col("c_label"), col("cv").as("cv_exp"))
+    val joined = viaAgg.join(viaExplode, Seq("c_label"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("cv_agg") =!= col("cv_exp")).count() == 0,
+      "aggregate means must replay sum(round(x*1e9)::long)::double/1e9/count exactly")
+  }
+
+  test("SubspaceArgmins expression == per-subspace struct-min twin (HOF distances)") {
+    val full = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = VectorOps.ivfCentroids(spark, sf)
+    val cents = cent.select(col("c_label").cast("int"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val viaExpr = full.select(col("vec_id"),
+      graft.functions.VectorMath.subspaceArgmins(col("v"), cents, 8).as("cs"))
+    val viaJoin = full.crossJoin(broadcast(cent))
+      .select(Seq(col("vec_id")) ++ (0 until 8).map(s =>
+        struct(VectorOps.subDistHof(col("v"), col("cv"), s).as("d"),
+          col("c_label").as("l")).as(s"dc$s")): _*)
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc0")).getField("l").as("t0"),
+        (1 until 8).map(s => min(col(s"dc$s")).getField("l").as(s"t$s")): _*)
+    val joined = viaExpr.join(viaJoin, Seq("vec_id"))
+    val mismatches = (0 until 8).map(s =>
+      joined.filter(element_at(col("cs"), s + 1) =!= col(s"t$s")).count()).sum
+    assert(mismatches == 0, "all 8 subspace argmins must match the struct-min form")
+  }
+
+  test("nearest-centroid expression == crossJoin argmin twin on the full corpus") {
+    val full = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = VectorOps.ivfCentroids(spark, sf)
+    val cents = cent.select(col("c_label"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val viaExpr = full.select(col("vec_id"),
+      graft.functions.VectorMath.nearestCentroid(col("v"), cents).as("c_expr"))
+    val viaJoin = VectorOps.assignJoin(full, cent)
+      .select(col("vec_id"), col("cluster").as("c_twin"))
+    assert(viaExpr.join(viaJoin, Seq("vec_id"))
+      .filter(col("c_expr") =!= col("c_twin")).count() == 0,
+      "expression argmin must replay min(struct(dist, label)) exactly")
+    assert(viaExpr.count() == full.count())
+  }
 }
