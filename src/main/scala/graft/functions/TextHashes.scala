@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact k-shingle-set jaccard of two TOKEN arrays, evaluated as one
   * JVM pass per row (two hash sets, no per-element expression-tree
@@ -307,6 +308,80 @@ case class StopwordHits(child: Expression, groups: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Whole language-ID decision in ONE pass over the raw text: CJK
+  * code-point scan, whitespace tokenization, per-group stopword
+  * counting, and the priority argmax — a single expression because the
+  * Column-composed form re-evaluates its [[StopwordHits]] subtree at
+  * EVERY `when`-branch reference (subexpression elimination does not
+  * hoist into conditionally-evaluated CASE branches): ~10 redundant
+  * tokenize+scan walks per row, measured 20 s at sf10 for a per-row
+  * kernel. Decision semantics identical to the composed form
+  * ([[graft.text.TextOps.langGuessComposed]], spec-pinned): zh on any
+  * char in [0x4e00, 0x9fff], then en ≥ all & > 0, es ≥ rest & > 0,
+  * de ≥ fr & > 0, fr > 0, else "und". */
+case class LangGuess(child: Expression, groups: Seq[Seq[String]],
+    labels: Seq[String]) extends UnaryExpression {
+  require(groups.size == 4 && labels.size == 4,
+    "decision chain is the fixed en/es/de/fr priority argmax")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "lang_guess"
+
+  @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    groups.zipWithIndex.foreach { case (ws, g) =>
+      ws.distinct.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(g) else prev :+ g)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff)
+        return UTF8String.fromString("zh")
+      i += 1
+    }
+    val counts = new Array[Int](groups.size)
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        val gs = lookup.get(text.substring(start, i))
+        if (gs != null) {
+          var j = 0
+          while (j < gs.length) { counts(gs(j)) += 1; j += 1 }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val en = counts(0); val es = counts(1); val de = counts(2); val fr = counts(3)
+    val lang =
+      if (en >= es && en >= de && en >= fr && en > 0) labels(0)
+      else if (es >= de && es >= fr && es > 0) labels(1)
+      else if (de >= fr && de > 0) labels(2)
+      else if (fr > 0) labels(3)
+      else "und"
+    UTF8String.fromString(lang)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langGuess", this, classOf[LangGuess].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ALL k-grams of a token array (multiset, order preserved, NOT
   * deduplicated — [[WordGrams]]'s set form serves membership tests;
   * this form serves frequency sketches, where collapsing duplicates
@@ -446,6 +521,10 @@ object TextHashes {
   /** Positioned k-gram md5 anchors of a token-array column. */
   def positionedGramMd5(toks: Column, k: Int): Column =
     GraftSqlBridge.column(PositionedGramMd5(GraftSqlBridge.expression(toks), k))
+
+  /** One-pass language-ID decision over a raw text column. */
+  def langGuess(text: Column, groups: Seq[Seq[String]], labels: Seq[String]): Column =
+    GraftSqlBridge.column(LangGuess(GraftSqlBridge.expression(text), groups, labels))
 
   /** Windowed co-occurrence pairs of a token-array column, in one pass
     * (see [[TokenPairs]]). */

@@ -75,16 +75,25 @@ object TextOps {
     * argmax of per-language stopword hits with a fixed precedence order
     * (deterministic tie-break), 'und' when nothing hits. The declared
     * query emits the (actual lang × guess) confusion matrix. */
-  def langGuess(text: Column): Column = {
+  private val langGroups = Seq(
+    stopEn,
+    Seq("el", "la", "de", "que", "y", "los"),
+    Seq("der", "die", "und", "das", "ist", "ein"),
+    Seq("le", "la", "et", "les", "des", "un"))
+  private val langLabels = Seq("en", "es", "de", "fr")
+
+  /** Language ID as ONE expression pass ([[graft.functions.LangGuess]]).
+    * The Column-composed twin below re-evaluates its StopwordHits
+    * subtree at every when-branch reference (CSE does not hoist into
+    * CASE branches) — ~10 tokenize+scan walks per row, 20 s at sf10.
+    * Twin kept, spec-pinned equal; the oracle SQL is unchanged. */
+  def langGuess(text: Column): Column =
+    graft.functions.TextHashes.langGuess(text, langGroups, langLabels)
+
+  /** Column-composed reference form (the decision the oracle mirrors). */
+  def langGuessComposed(text: Column): Column = {
     val t = tokens(text)
-    // one JVM pass for all four language groups (StopwordHits) instead
-    // of four interpreted filter() walks — identical counts, same
-    // oracle SQL
-    val hits = graft.functions.TextHashes.stopwordHits(t, Seq(
-      stopEn,
-      Seq("el", "la", "de", "que", "y", "los"),
-      Seq("der", "die", "und", "das", "ist", "ein"),
-      Seq("le", "la", "et", "les", "des", "un")))
+    val hits = graft.functions.TextHashes.stopwordHits(t, langGroups)
     val en = hits.getItem(0)
     val es = hits.getItem(1)
     val de = hits.getItem(2)

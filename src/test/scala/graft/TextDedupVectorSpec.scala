@@ -22,6 +22,21 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(got == Seq("en", "es", "de", "zh", "und"))
   }
 
+  test("one-pass LangGuess expression == Column-composed decision on the full corpus") {
+    val diff = Tables.documents(spark, sf)
+      .select(TextOps.langGuess(col("text")).as("fast"),
+        TextOps.langGuessComposed(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, "single-pass decision must replay the when-chain exactly")
+    // edge rows the corpus may not cover: ties, zh embedded mid-text, empty
+    val edge = Seq("", " ", "el der", "la et", "text 中 text", "the la und le")
+      .toDF("text")
+      .select(TextOps.langGuess(col("text")).as("fast"),
+        TextOps.langGuessComposed(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(edge == 0)
+  }
+
   test("fingerprint is whitespace/case-insensitive, content-sensitive") {
     val fps = Seq("Hello  World", "hello world", " hello world ", "hello worlds")
       .toDF("t").select(TextOps.fingerprint(col("t"))).as[String].collect()
