@@ -159,6 +159,7 @@ object SparkEntry {
     "q_perplexity" -> ((s: SparkSession, d: String) => graft.text.TextOps.qPerplexity(s, d)),
     "q_cms" -> ((s: SparkSession, d: String) => graft.text.TextOps.qCms(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qPagerank(s, d)),
+    "q_triangles" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qTriangles(s, d)),
     // -- training-data prep (chunk / pack / mixture / tf-idf) --
     "q_chunk" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qChunk(s, d)),
     "q_pack" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPack(s, d)),
@@ -1001,6 +1002,30 @@ object SparkEntry {
          |${prUnrolledSql(5)}
          |SELECT vec_id, pr AS pr_scaled FROM pr5
          |ORDER BY pr_scaled DESC, vec_id""".stripMargin,
+    // Triangle counting mirrors the degree-ordered orientation exactly:
+    // direct each canonical edge from its (deg, id)-smaller endpoint,
+    // enumerate wedges at the apex, close against the canonical list.
+    "q_triangles" ->
+      s"""WITH $knnChainSql,
+         |knn AS MATERIALIZED (SELECT q_id, vec_id FROM r WHERE rn <= 3),
+         |m AS MATERIALIZED (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
+         |  JOIN knn k2 ON k1.q_id = k2.vec_id AND k1.vec_id = k2.q_id
+         |  WHERE k1.q_id < k1.vec_id),
+         |dg AS MATERIALIZED (SELECT v, count(*) AS deg
+         |  FROM (SELECT a AS v FROM m UNION ALL SELECT b AS v FROM m) GROUP BY v),
+         |oe AS MATERIALIZED (SELECT
+         |  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS src,
+         |  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS dst
+         |  FROM m JOIN dg da ON m.a = da.v JOIN dg db ON m.b = db.v),
+         |w AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+         |  FROM oe o1 JOIN oe o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+         |t AS MATERIALIZED (SELECT src, x, y FROM w JOIN m ON w.x = m.a AND w.y = m.b),
+         |tn AS (SELECT v, count(*) AS n_tri FROM
+         |  (SELECT src AS v FROM t UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)
+         |  GROUP BY v)
+         |SELECT v AS vec_id, n_tri, deg,
+         |  2.0 * n_tri / (deg * (deg - 1)) AS clustering_coeff
+         |FROM tn JOIN dg USING (v) ORDER BY vec_id""".stripMargin,
     "q_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |ex AS (SELECT label, ii.i - 1 AS pos, v[ii.i] AS x

@@ -292,6 +292,46 @@ object VectorOps {
       .orderBy(col("pr_scaled").desc, col("vec_id"))
   }
 
+  /** TRIANGLE COUNTING over the mutual-kNN graph — the local-density
+    * signal next to PageRank's global one (a node's triangles measure
+    * how interconnected its semantic neighborhood is; the clustering
+    * coefficient is the classic tightness score). Implemented with the
+    * DEGREE-ORDERED ORIENTATION that makes triangle counting tractable
+    * at scale: each undirected edge is directed from its
+    * (degree, id)-smaller endpoint to the larger, so every wedge is
+    * enumerated exactly once at its lowest-degree apex — out-degrees
+    * are bounded by O(√|E|) on any graph, which caps the wedge
+    * self-join fan-out (the naive all-wedges join explodes on hubs).
+    * Closure is an equi-join back to the canonical edge list; per-node
+    * counts shuffle only node ids. Output per triangle-bearing node:
+    * triangle count, degree, clustering coefficient
+    * 2·T / (deg·(deg−1)) (same double expression both engines). */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val m = knnMutualEdges(spark, dir) // canonical a < b
+    val deg = m.select(col("a").as("v")).union(m.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = m
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"))
+    val o2 = oriented.select(col("src"), col("dst").as("dst2"))
+    val wedges = oriented.join(o2, Seq("src")).filter(col("dst") < col("dst2"))
+      .select(col("src"), col("dst").as("x"), col("dst2").as("y"))
+    val tri = wedges.join(m, col("x") === col("a") && col("y") === col("b"))
+      .select(col("src"), col("x"), col("y"))
+    tri.select(col("src").as("v"))
+      .union(tri.select(col("x").as("v")))
+      .union(tri.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+      .join(deg, Seq("v"))
+      .select(col("v").as("vec_id"), col("n_tri"), col("deg"),
+        (lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1))).as("clustering_coeff"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SEMANTIC CURATION composite — the vector-space analogue of the
     * lexical curation chain (etl.Curate): mutual-kNN clusters from
     * [[qKnnClusters]], keep one canonical vector per cluster (the

@@ -100,4 +100,21 @@ class LmSketchGraphSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("triangles: degree-ordered count == unoriented 3-way-join twin") {
+    val m = VectorOps.knnMutualEdges(spark, sf).select(col("a"), col("b"))
+    // brute-force twin: every id-ordered vertex triple with all 3 edges
+    // present in the canonical a<b list (counts each triangle once)
+    val e1 = m.select(col("a").as("u"), col("b").as("v1"))
+    val e2 = m.select(col("a").as("v1"), col("b").as("w"))
+    val e3 = m.select(col("a").as("u"), col("b").as("w"))
+    val naive = e1.join(e2, Seq("v1")).join(e3, Seq("u", "w")).count()
+    val got = VectorOps.qTriangles(spark, sf)
+    val triSum = got.agg(sum(col("n_tri"))).head().getLong(0)
+    assert(triSum == 3 * naive,
+      s"per-node counts must sum to 3x the ${naive} distinct triangles")
+    // coefficient bounds: 0 < coeff <= 1 for every emitted node
+    assert(got.filter(col("clustering_coeff") <= 0 || col("clustering_coeff") > 1)
+      .count() == 0)
+  }
 }
