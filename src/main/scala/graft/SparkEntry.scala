@@ -156,6 +156,7 @@ object SparkEntry {
     "q_cooccur" -> ((s: SparkSession, d: String) => graft.text.TextOps.qCooccur(s, d)),
     "q_bigram_lm" -> ((s: SparkSession, d: String) => graft.text.TextOps.qBigramLm(s, d)),
     "q_inverted" -> ((s: SparkSession, d: String) => graft.text.TextOps.qInvertedIndex(s, d)),
+    "q_phrase_search" -> ((s: SparkSession, d: String) => graft.text.TextOps.qPhraseSearch(s, d)),
     "q_perplexity" -> ((s: SparkSession, d: String) => graft.text.TextOps.qPerplexity(s, d)),
     "q_cms" -> ((s: SparkSession, d: String) => graft.text.TextOps.qCms(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qPagerank(s, d)),
@@ -1496,6 +1497,22 @@ object SparkEntry {
         |SELECT term, count(*) AS df,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM e GROUP BY term HAVING count(*) >= 10 ORDER BY term""".stripMargin,
+    "q_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |ph AS (SELECT DISTINCT t[1] || ' ' || t[2] || ' ' || t[3] AS phrase,
+        |  t[1] AS w0, t[2] AS w1, t[3] AS w2
+        |  FROM (SELECT * FROM d ORDER BY doc_id LIMIT 5)),
+        |pos AS (SELECT doc_id, unnest(t) AS term,
+        |  unnest(range(0, len(t))) AS pos FROM d),
+        |m0 AS (SELECT phrase, doc_id, pos FROM pos JOIN ph ON term = w0),
+        |m1 AS (SELECT phrase, doc_id, pos - 1 AS pos FROM pos JOIN ph ON term = w1),
+        |m2 AS (SELECT phrase, doc_id, pos - 2 AS pos FROM pos JOIN ph ON term = w2),
+        |h AS (SELECT m0.phrase, m0.doc_id, m0.pos FROM m0
+        |  JOIN m1 USING (phrase, doc_id, pos) JOIN m2 USING (phrase, doc_id, pos))
+        |SELECT phrase, count(*) AS n_matches, count(DISTINCT doc_id) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM h GROUP BY phrase ORDER BY phrase""".stripMargin,
     // fixed-point micro-nat surprisal: floor(1e6·ln + 0.5) as BIGINT, summed
     // exactly — see TextOps.qPerplexity for the cross-engine ln analysis
     "q_perplexity" ->

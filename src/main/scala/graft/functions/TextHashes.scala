@@ -432,6 +432,59 @@ case class WordGramsAll(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Token-boundary-aligned occurrence counts of a FIXED set of phrases
+  * in raw text, one pass (array<bigint>, element i = token positions
+  * where the word window equals phrase i) — the phrase-match kernel
+  * behind [[graft.text.TextOps.qPhraseSearch]]. A k-token window IS a
+  * space-delimited substring of the text, so each phrase reduces to
+  * `indexOf` scans with boundary checks (preceding char space-or-start,
+  * following char space-or-end) — no tokenization, no allocation, no
+  * posexplode (the position-join form ran 3 corpus-scale Generates for
+  * 16.4 s at sf10). The phrase set is a tiny runtime-collected
+  * artifact riding the expression, like the BPE merge table and the
+  * Lloyd centroids. */
+case class PhraseCounts(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "phrase_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.length
+    val counts = new Array[Long](phrases.size)
+    var p = 0
+    while (p < phrases.length) {
+      val ph = phrases(p)
+      val m = ph.length
+      var from = 0
+      var c = 0L
+      while (from >= 0 && from + m <= n) {
+        val at = text.indexOf(ph, from)
+        if (at < 0) from = -1
+        else {
+          val okL = at == 0 || text.charAt(at - 1) == ' '
+          val okR = at + m == n || text.charAt(at + m) == ' '
+          if (okL && okR) c += 1L
+          from = at + 1
+        }
+      }
+      counts(p) = c
+      p += 1
+    }
+    new GenericArrayData(counts.map(c => java.lang.Long.valueOf(c)).toArray[Any])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseCounts", this, classOf[PhraseCounts].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** POSITIONED k-gram md5 hex digests of a token array, one JVM pass:
   * element i is md5 of tokens i..i+k-1 joined by a single space — the
   * anchor stream for exact-substring (verbatim-run) detection, where
@@ -525,6 +578,10 @@ object TextHashes {
   /** One-pass language-ID decision over a raw text column. */
   def langGuess(text: Column, groups: Seq[Seq[String]], labels: Seq[String]): Column =
     GraftSqlBridge.column(LangGuess(GraftSqlBridge.expression(text), groups, labels))
+
+  /** Per-phrase token-aligned occurrence counts over raw text, one pass. */
+  def phraseCounts(text: Column, phrases: Seq[String]): Column =
+    GraftSqlBridge.column(PhraseCounts(GraftSqlBridge.expression(text), phrases))
 
   /** Windowed co-occurrence pairs of a token-array column, in one pass
     * (see [[TokenPairs]]). */

@@ -220,6 +220,22 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(diff == 0, "one-pass grams must equal array_distinct(transform(...))")
   }
 
+  test("PhraseCounts: token-boundary aligned, overlapping, never mid-token") {
+    val phrases = Seq("a b c", "a a")
+    val got = Seq(
+      "a b c x",        // match at start
+      "x a b c",        // match at end
+      "xa b c",         // mid-token prefix: NO match
+      "a b cx",         // mid-token suffix: NO match
+      "a b c a b c",    // two occurrences
+      "a a a")          // overlapping token windows of "a a": 2
+      .toDF("text")
+      .select(graft.functions.TextHashes.phraseCounts(col("text"), phrases).as("c"))
+      .collect().map(r => r.getSeq[Long](0).toList).toList
+    assert(got == List(List(1L, 0L), List(1L, 0L), List(0L, 0L),
+      List(0L, 0L), List(2L, 0L), List(0L, 2L)))
+  }
+
   test("WordGramsAll expression matches the interpreted HOF form, duplicates kept") {
     val t = split(col("text"), " ")
     val hofAll = transform(sequence(lit(1), size(t) - 2),
