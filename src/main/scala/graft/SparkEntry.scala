@@ -131,6 +131,7 @@ object SparkEntry {
     "q_ingest_json" -> (Advanced.qIngestJson _),
     "q_pivot" -> (Advanced.qPivot _),
     "q_unpivot" -> (Advanced.qUnpivot _),
+    "q_profile" -> (Advanced.qProfile _),
     "q_asof" -> (graft.ops.AsofJoin.qAsof _),
     // -- event-telemetry analytics --
     "q_resample" -> (graft.ops.EventAnalytics.qResample _),
@@ -916,6 +917,25 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(val AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_val,
         |  count(*) AS n
         |FROM m GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure""".stripMargin,
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+        str("o_orderstatus"), str("o_orderpriority"), str("o_orderdate"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q_asof" ->
       """WITH p AS (SELECT user_id, ts AS pts, max(event_id) AS last_purchase_id,
         |  CAST(CAST(max(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS last_purchase_value

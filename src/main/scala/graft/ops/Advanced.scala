@@ -223,6 +223,41 @@ object Advanced {
       .agg(dsum(col("val"), 4).as("sum_val"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("measure"))
 
+  /** COLUMN PROFILER — the data-quality audit a pipeline runs on every
+    * ingest: per column, row/null/distinct counts and min/max (numeric
+    * columns in the `*_num` slots, string/date columns as canonical
+    * strings — dates serialize 'yyyy-MM-dd' identically cross-engine).
+    * Shape: one aggregate PER COLUMN, unioned — each scan prunes to
+    * exactly its column (vectorized parquet reads one column stream),
+    * so the profiles parallelize instead of forcing one scan through a
+    * multi-distinct Expand (which multiplies every row by the number
+    * of distinct aggregates — the non-scaling form). Exact
+    * count(distinct) is the audit contract here; a monitoring-grade
+    * profiler would swap in HLL (the approx_distinct path q_agg_distinct
+    * already exercises). */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(spark, dir)
+    val nullStr = lit(null).cast("string")
+    val nullNum = lit(null).cast("double")
+    def base(c: String) = t.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(c).isNull.cast("long")).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"),
+      min(col(c)).as("mn"), max(col(c)).as("mx"))
+    def num(c: String) = base(c).select(lit(c).as("column"),
+      col("n_rows"), col("n_nulls"), col("n_distinct"),
+      col("mn").cast("double").as("min_num"), col("mx").cast("double").as("max_num"),
+      nullStr.as("min_str"), nullStr.as("max_str"))
+    def str(c: String) = base(c).select(lit(c).as("column"),
+      col("n_rows"), col("n_nulls"), col("n_distinct"),
+      nullNum.as("min_num"), nullNum.as("max_num"),
+      col("mn").cast("string").as("min_str"), col("mx").cast("string").as("max_str"))
+    Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+      str("o_orderstatus"), str("o_orderpriority"), str("o_orderdate"))
+      .reduce(_.union(_))
+      .orderBy(col("column"))
+  }
+
   /** Q-ingest-json: schema-on-read with corrupt-row tolerance — the
     * reference's per-row error-skip (`pipeline/collectors/nft.py:76-77`)
     * as PERMISSIVE from_json: bad payloads yield null, flagged not

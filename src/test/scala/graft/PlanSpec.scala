@@ -232,6 +232,17 @@ class PlanSpec extends AnyFunSuite {
       "document bodies must be fingerprinted below the shuffle")
   }
 
+  test("profile: each per-column aggregate scan prunes to exactly its column") {
+    val plan = planOf(graft.ops.Advanced.qProfile(spark, sf))
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size >= 6, s"expected one pruned scan per profiled column:\n$plan")
+    // no scan reads more than one column (struct<...> with a single field)
+    schemas.foreach { s =>
+      val struct = s.substring(s.indexOf("ReadSchema: "))
+      assert(!struct.contains(","), s"profile scan must read a single column: $struct")
+    }
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string
