@@ -142,6 +142,18 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(Bpe.train(Seq("abab" -> 3L, "ab" -> 2L), 2) == merges)
   }
 
+  test("BPE decode round-trip: subwords reassemble every corpus word exactly") {
+    import graft.text.Bpe
+    val ranks = Bpe.merges(spark).zipWithIndex.toMap
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .collect().map(_.getString(0))
+    words.foreach { w =>
+      assert(Bpe.encode(w, ranks).mkString("") == w,
+        s"lossy tokenization of '$w'")
+    }
+  }
+
   test("distributed BPE training is bit-identical to the sequential trainer") {
     import graft.text.Bpe
     val k = TrainPrep.bpeTrainRounds
