@@ -60,8 +60,18 @@ object ScaleGen {
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
     def shifted(c: String, o: Long) = (col(c) + col("cp") * lit(o)).cast("long").as(c)
-    def write(df: DataFrame, name: String, files: Int): Unit =
-      df.coalesce(files).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // File counts scale with the copy factor: a scaled corpus written
+    // as 1-2 big single-row-group files is UNSPLITTABLE — Spark assigns
+    // a parquet row group to one task, so every narrow kernel pass at
+    // sf10 ran single-threaded no matter what maxPartitionBytes said
+    // (root cause of the inflated "linear text kernel" sf10 numbers
+    // before the round-4 regeneration; a real 100 TB corpus is
+    // thousands of files). Target ≈ baseFiles per 4 copies, capped at
+    // 64 (2 tasks per local[32] core).
+    def write(df: DataFrame, name: String, baseFiles: Int): Unit = {
+      val n = math.max(baseFiles, math.min(64, baseFiles * copies / 4))
+      df.repartition(n).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
 
     // fixed dims
     write(spark.read.parquet(s"$src/region.parquet"), "region", 1)

@@ -1604,7 +1604,7 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT doc_id, unnest(range(0, len(t) - $l + 1)) AS pos, t FROM d),
         |gr AS (SELECT doc_id, pos,
-        |  md5(array_to_string(t[CAST(pos + 1 AS BIGINT):CAST(pos + $l AS BIGINT)], ' ')) AS h FROM g),
+        |  CAST(('0x' || substr(md5(array_to_string(t[CAST(pos + 1 AS BIGINT):CAST(pos + $l AS BIGINT)], ' ')), 1, 15)) AS BIGINT) AS h FROM g),
         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, x.pos - y.pos AS diag
         |  FROM gr x JOIN gr y ON x.h = y.h AND x.doc_id < y.doc_id),
         |r AS (SELECT doc_a, doc_b, diag, pa,
@@ -1620,7 +1620,7 @@ object SparkEntry {
         |  FROM read_parquet('${graft.sources.Fixtures.substrPath}/*.parquet')),
         |g AS (SELECT doc_id, unnest(range(0, len(t) - $l + 1)) AS pos, t FROM d),
         |gr AS (SELECT doc_id, pos,
-        |  md5(array_to_string(t[CAST(pos + 1 AS BIGINT):CAST(pos + $l AS BIGINT)], ' ')) AS h FROM g),
+        |  CAST(('0x' || substr(md5(array_to_string(t[CAST(pos + 1 AS BIGINT):CAST(pos + $l AS BIGINT)], ' ')), 1, 15)) AS BIGINT) AS h FROM g),
         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, x.pos - y.pos AS diag
         |  FROM gr x JOIN gr y ON x.h = y.h AND x.doc_id < y.doc_id),
         |r AS (SELECT doc_a, doc_b, diag, pa,

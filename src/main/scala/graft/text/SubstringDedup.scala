@@ -40,10 +40,16 @@ object SubstringDedup {
     * (`doc_id`, `text`). Output: one row per unordered doc pair with
     * the longest shared run and the number of maximal shared runs. */
   def verbatimRuns(docs: DataFrame, l: Int = MinRun): DataFrame = {
+    // 60-bit md5-prefix anchors (PositionedGramHash60): longs shuffle
+    // instead of 40-byte hex strings, and the digest streams token
+    // bytes with no per-gram string build. Materialized ONCE — the
+    // self-join's two sides otherwise re-run the whole gram+digest
+    // pass each (2×16 s of the query's 27 s at sf10).
     val grams = docs
       .select(col("doc_id"),
-        posexplode(TextHashes.positionedGramMd5(split(col("text"), " "), l))
+        posexplode(TextHashes.positionedGramHash60(split(col("text"), " "), l))
           .as(Seq("pos", "h")))
+      .localCheckpoint()
     val a = grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
     val b = grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h"))
     val pairs = a.join(b, Seq("h"))

@@ -220,6 +220,17 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(diff == 0, "one-pass grams must equal array_distinct(transform(...))")
   }
 
+  test("PositionedGramHash60 == 15-hex-char prefix of the md5 string anchors") {
+    val t = split(col("text"), " ")
+    val rows = Tables.documents(spark, sf).limit(100)
+      .select(graft.functions.TextHashes.positionedGramHash60(t, 20).as("h60"),
+        transform(graft.functions.TextHashes.positionedGramMd5(t, 20),
+          h => conv(substring(h, 1, 15), 16, 10).cast("long")).as("href"))
+    assert(rows.filter(col("h60") =!= col("href")).count() == 0,
+      "long anchors must be the exact 60-bit md5 prefix the oracle parses")
+    assert(rows.filter(size(col("h60")) > 0).count() > 0)
+  }
+
   test("PhraseCounts: token-boundary aligned, overlapping, never mid-token") {
     val phrases = Seq("a b c", "a a")
     val got = Seq(
