@@ -93,10 +93,20 @@ class PlanSpec extends AnyFunSuite {
     val bpe = planOf(graft.text.TrainPrep.qBpeEncode(spark, sf)).toLowerCase
     assert(!bpe.contains("lambdafunction"), s"BPE counting must be one JVM pass:\n$bpe")
     assert(bpe.contains("bpe_token_count"), "codegen'd BPE expression must be in the plan")
+    // the anchor pass is materialized (localCheckpoint) inside
+    // verbatimRuns, so assert its shape on the pre-checkpoint fragment
+    // and the join shape on the full query separately
+    val gram = planOf(Tables.documents(spark, sf).select(
+      org.apache.spark.sql.functions.posexplode(
+        graft.functions.TextHashes.positionedGramHash60(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "), 20)))).toLowerCase
+    assert(gram.contains("positioned_gram_hash60"),
+      s"codegen'd 60-bit anchor expression must carry the scan:\n$gram")
+    assert(!gram.contains("lambdafunction"),
+      s"positioned-gram hashing must be one JVM pass:\n$gram")
     val sub = planOf(graft.text.SubstringDedup.qSubstrCorpus(spark, sf)).toLowerCase
-    assert(!sub.contains("lambdafunction"),
-      s"positioned-gram hashing must be one JVM pass:\n$sub")
-    assert(sub.contains("positioned_gram_md5"))
+    assert(!sub.contains("lambdafunction"))
     assert(!sub.contains("cartesianproduct") && !sub.contains("broadcastnestedloopjoin"),
       "substring candidates must come from the anchor equi-join")
   }
