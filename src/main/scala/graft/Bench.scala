@@ -42,10 +42,16 @@ object Bench {
     val p1 = once()
     val p2 = once()
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the 139-query JSON line compact enough that
+    // log-capture truncation can't eat the tail (r3's record lost 63
+    // per-query entries to it)
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // Opt-in throughput mode (NOT the driver's gate): with
     // SPARK_GRAFT_PARALLEL=n, also run the whole suite through an
     // n-thread pool — queries share the session and the scheduler
