@@ -37,6 +37,7 @@ object SparkEntry {
     "q_join_anti" -> (Relational.qJoinAnti _),
     "q_agg" -> (Relational.qAgg _),
     "q_agg_distinct" -> (Relational.qAggDistinct _),
+    "q_hll_audit" -> (Relational.qHllAudit _),
     "q_rollup" -> (Relational.qRollup _),
     "q_sort_limit" -> (Relational.qSortLimit _),
     "q_topk_group" -> (Relational.qTopkGroup _),
@@ -493,6 +494,41 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Deterministic md5-register HLL replay: integer-exact hash/register/
+    // rank/harmonic-sum steps, identical IEEE literals for the final
+    // estimate — see Relational.qHllAudit scaladoc
+    "q_hll_audit" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag, 'part' AS col_name,
+        |    CAST(('0x' || substr(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(l_partkey AS BIGINT) AS v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag AS flag, 'order' AS col_name,
+        |    CAST(('0x' || substr(md5('hll:' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(l_orderkey AS BIGINT) AS v
+        |  FROM lineitem),
+        |regs AS (
+        |  SELECT flag, col_name, h & 127 AS idx,
+        |    MAX(54 - length(ltrim(bin(h >> 7), '0'))) AS rmax
+        |  FROM h GROUP BY flag, col_name, idx),
+        |z AS (
+        |  SELECT flag, col_name,
+        |    SUM(CAST(1 AS BIGINT) << CAST(54 - rmax AS INTEGER))
+        |      + (128 - COUNT(*)) * (CAST(1 AS BIGINT) << 54) AS z
+        |  FROM regs GROUP BY flag, col_name),
+        |exact AS (
+        |  SELECT flag, col_name, count(DISTINCT v) AS n_exact
+        |  FROM h GROUP BY flag, col_name),
+        |est AS (
+        |  SELECT z.flag, z.col_name, exact.n_exact,
+        |    (CAST('0.7213' AS DOUBLE) / (1.0 + CAST('1.079' AS DOUBLE) / 128.0) * 16384.0)
+        |      * (18014398509481984.0 / CAST(z.z AS DOUBLE)) AS n_est
+        |  FROM z JOIN exact ON z.flag = exact.flag AND z.col_name = exact.col_name)
+        |SELECT flag, col_name, n_exact, n_est,
+        |  CAST(floor(abs(n_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS err_ppm
+        |FROM est ORDER BY flag, col_name""".stripMargin,
     "q_rollup" ->
       s"""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
          |  coalesce(l_linestatus, '(all)') AS linestatus,

@@ -175,6 +175,61 @@ object Relational {
       .agg(approx_count_distinct(col("l_suppkey"), 0.01).as("n_supp_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic HyperLogLog audit (declared + oracle-checked, unlike
+    * [[approxDistinct]] whose engine-native sketch is not comparable):
+    * our own md5-register HLL, m=128 registers, raw estimator, vs the
+    * exact distinct count per (l_returnflag × {l_partkey, l_orderkey}).
+    *
+    * Every step is integer-exact in both engines: 60-bit md5 hash
+    * (first 15 hex chars), register = h & 127, rank ρ = 54 − bitlen
+    * (h >> 7) with bitlen via `bin()`/`ltrim` (ρ = 54 when the 53-bit
+    * suffix is 0), harmonic sum as the scaled integer Σ 2^(54−ρmax)
+    * (≤ 2^61, no float accumulation order hazard). The only IEEE-double
+    * ops are the final α·m²·2^54 / Z and the error ratio — identical
+    * literals and op order in both engines, so the DOUBLE output
+    * hash-matches bit-for-bit.
+    *
+    * 100 TB: the sketch side shuffles ≤ 128 register rows per
+    * (group, column) after map-side partial MAX — constant state, one
+    * pass, no distinct expansion; the exact side (two-phase distinct)
+    * is the cost being audited. err_ppm documents the m=128 raw-regime
+    * accuracy (~9 % SE) against ground truth at every scale. Extension
+    * beyond the reference surface (same family as [[qAggDistinct]]),
+    * following Flajolet et al., "HyperLogLog" (AofA 2007). */
+  def qHllAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def hashed(c: String, tag: String): DataFrame =
+      li.select(
+        col("l_returnflag").as("flag"), lit(tag).as("col_name"),
+        conv(substring(md5(concat(lit("hll:"), col(c).cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col(c).cast("long").as("v"))
+    val hashes = hashed("l_partkey", "part").union(hashed("l_orderkey", "order"))
+    val regs = hashes
+      .select(col("flag"), col("col_name"),
+        col("h").bitwiseAND(lit(127L)).as("idx"),
+        (lit(54) - length(ltrim(bin(shiftright(col("h"), 7)), "0"))).as("rho"))
+      .groupBy(col("flag"), col("col_name"), col("idx"))
+      .agg(max(col("rho")).as("rmax"))
+    val z = regs.groupBy(col("flag"), col("col_name"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - rmax AS INT))")).as("zsum"),
+        count(lit(1)).as("nreg"))
+      .select(col("flag"), col("col_name"),
+        (col("zsum") + (lit(128L) - col("nreg")) * lit(1L << 54)).as("z"))
+    val exact = hashes.groupBy(col("flag"), col("col_name"))
+      .agg(countDistinct(col("v")).as("n_exact"))
+    // α_m for m=128 and 2^54, as compile-time double constants; the
+    // oracle SQL spells out the same literal arithmetic
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / 128.0) * 16384.0
+    val est = lit(alphaM2) * (lit(18014398509481984.0) / col("z").cast("double"))
+    val exD = col("n_exact").cast("double")
+    z.join(exact, Seq("flag", "col_name"))
+      .select(col("flag"), col("col_name"), col("n_exact"),
+        est.as("n_est"),
+        floor(abs(est - exD) / exD * lit(1000000.0) + lit(0.5)).cast("long").as("err_ppm"))
+      .orderBy(col("flag"), col("col_name"))
+  }
+
   /** Q-rollup: hierarchical subtotals. Group keys are coalesced to a
     * sentinel so the oracle compare never depends on engine NULL-ordering
     * defaults (Spark: NULLS FIRST asc; DuckDB: NULLS LAST). */

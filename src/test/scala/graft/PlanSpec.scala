@@ -25,6 +25,16 @@ class PlanSpec extends AnyFunSuite {
       s"projection not pruned: $readSchema")
   }
 
+  test("hll audit: codegen'd register math, hash aggregates, pruned scans") {
+    val plan = planOf(Relational.qHllAudit(spark, sf))
+    assert(!plan.contains("lambdafunction"),
+      s"register math must stay in codegen'd builtins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan must prune to key + flag columns: $readSchema")
+  }
+
   test("filter: range + null predicates pushed to the parquet scan") {
     val plan = planOf(Relational.qFilter(spark, sf))
     val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")

@@ -59,6 +59,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(m("intersect") + m("except") == y96.distinct().count())
   }
 
+  test("hll audit: exact side true, estimate within the m=128 error regime") {
+    val rows = Relational.qHllAudit(spark, sf).collect()
+    assert(rows.length == 6) // 3 flags x {order, part}
+    val li = Tables.lineitem(spark, sf)
+    val truth = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("p"), r.getAs[Long]("o"))).toMap
+    rows.foreach { r =>
+      val (p, o) = truth(r.getAs[String]("flag"))
+      val expected = if (r.getAs[String]("col_name") == "part") p else o
+      assert(r.getAs[Long]("n_exact") == expected)
+      // raw estimator at m=128: 9.2% SE asymptotically, biased high below
+      // 2.5m distinct — 30% covers the sf0.001 part column's raw regime
+      assert(r.getAs[Long]("err_ppm") < 300000L,
+        s"estimate off by ${r.getAs[Long]("err_ppm")} ppm: $r")
+    }
+  }
+
   test("approx distinct within 5% of exact") {
     val exact = Relational.qAggDistinct(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_supp")).toMap
