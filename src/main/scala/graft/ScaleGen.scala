@@ -56,7 +56,14 @@ object ScaleGen {
     // Tables.events uses) regardless of which session calls us
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val cps = broadcast(spark.range(0, copies).toDF("cp"))
-    def rep(df: DataFrame): DataFrame = df.crossJoin(cps)
+    // The replication map stage inherits the SOURCE's split count: a
+    // 17 MB source coalesces into 1-2 input splits, so at 1000 copies a
+    // single task generated and spill-merged the entire 40+ GB shuffle
+    // (observed: one copyFileStreamNIO merge pinned for >30 min at
+    // sf100). Spreading the source across the cluster first costs a
+    // source-sized (tiny) shuffle and buys full-width parallelism in
+    // the expensive replicate+shift+write stage.
+    def rep(df: DataFrame): DataFrame = df.repartition(32).crossJoin(cps)
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
     def shifted(c: String, o: Long) = (col(c) + col("cp") * lit(o)).cast("long").as(c)
