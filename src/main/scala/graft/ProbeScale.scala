@@ -18,6 +18,12 @@ object ProbeScale {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // Deliberately NOT raising AQE initialPartitionNum for big scale
+      // dirs: measured at sf100, 256 initial partitions made the
+      // spill-bound queries ~60% SLOWER (q_tpch18 159->252 s, q_knn_join
+      // 49->158 s) — this box has one disk, so more shuffle partitions
+      // just multiply random IO. On a real cluster the same dial is the
+      // right one (shuffle capacity scales with executors).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

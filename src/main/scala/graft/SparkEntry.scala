@@ -1637,12 +1637,15 @@ object SparkEntry {
         |GROUP BY f.k ORDER BY f.k""".stripMargin,
     "q_substr_corpus" -> {
       val l = graft.text.SubstringDedup.MinRun
+      val cap = graft.text.SubstringDedup.HotAnchorCap
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT doc_id, unnest(range(0, len(t) - $l + 1)) AS pos, t FROM d),
-        |gr AS (SELECT doc_id, pos,
+        |gr AS MATERIALIZED (SELECT doc_id, pos,
         |  CAST(('0x' || substr(md5(array_to_string(t[CAST(pos + 1 AS BIGINT):CAST(pos + $l AS BIGINT)], ' ')), 1, 15)) AS BIGINT) AS h FROM g),
+        |hot AS (SELECT h FROM gr GROUP BY h HAVING count(*) > $cap),
+        |cold AS MATERIALIZED (SELECT gr.* FROM gr ANTI JOIN hot USING (h)),
         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, x.pos - y.pos AS diag
-        |  FROM gr x JOIN gr y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |  FROM cold x JOIN cold y ON x.h = y.h AND x.doc_id < y.doc_id),
         |r AS (SELECT doc_a, doc_b, diag, pa,
         |  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp FROM p),
         |runs AS (SELECT doc_a, doc_b, CAST(count(*) + ${l - 1} AS BIGINT) AS run_len
@@ -1652,13 +1655,16 @@ object SparkEntry {
     },
     "q_substring_dup" -> {
       val l = graft.text.SubstringDedup.MinRun
+      val cap = graft.text.SubstringDedup.HotAnchorCap
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
         |  FROM read_parquet('${graft.sources.Fixtures.substrPath}/*.parquet')),
         |g AS (SELECT doc_id, unnest(range(0, len(t) - $l + 1)) AS pos, t FROM d),
-        |gr AS (SELECT doc_id, pos,
+        |gr AS MATERIALIZED (SELECT doc_id, pos,
         |  CAST(('0x' || substr(md5(array_to_string(t[CAST(pos + 1 AS BIGINT):CAST(pos + $l AS BIGINT)], ' ')), 1, 15)) AS BIGINT) AS h FROM g),
+        |hot AS (SELECT h FROM gr GROUP BY h HAVING count(*) > $cap),
+        |cold AS MATERIALIZED (SELECT gr.* FROM gr ANTI JOIN hot USING (h)),
         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, x.pos - y.pos AS diag
-        |  FROM gr x JOIN gr y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |  FROM cold x JOIN cold y ON x.h = y.h AND x.doc_id < y.doc_id),
         |r AS (SELECT doc_a, doc_b, diag, pa,
         |  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp FROM p),
         |runs AS (SELECT doc_a, doc_b, CAST(count(*) + ${l - 1} AS BIGINT) AS run_len

@@ -11,12 +11,15 @@ import graft.functions.TextHashes
   * copies (licenses, boilerplate, plagiarized spans) that jaccard-level
   * near-dup detection under-weighs when documents are long.
   *
-  * Algorithm (anchor equi-join — NEVER all-pairs):
+  * Algorithm (anchor grouping — NEVER all-pairs):
   *  1. hash every positioned L-token gram of every document
   *     ([[graft.functions.PositionedGramMd5]], one codegen'd pass);
-  *  2. self-equi-join on the gram hash — only documents sharing a
-  *     verbatim L-run ever meet, so candidate volume is bound by true
-  *     match density, not corpus size²;
+  *  2. group by gram hash (one shuffle) and emit pairs within each
+  *     2..cap-occurrence group — only documents sharing a verbatim
+  *     L-run ever meet, so candidate volume is bound by true match
+  *     density, not corpus size²; anchors hotter than
+  *     [[HotAnchorCap]] (boilerplate) are dropped with hard-bounded
+  *     aggregation state ([[graft.functions.CappedCollect]]);
   *  3. stitch runs: anchors of one shared span land on one DIAGONAL
   *     (pos_a − pos_b constant); consecutive positions along a diagonal
   *     group by the classic `pos − row_number()` gap trick, and a run of
@@ -36,26 +39,52 @@ object SubstringDedup {
   /** Minimum verbatim run length (tokens) the declared query reports. */
   val MinRun = 20
 
+  /** Stop-anchor cap: grams seen at more than this many positions are
+    * dropped before the self-join. Measured necessity, not hygiene: at
+    * sf100 exactly 30 boilerplate anchors held 33M of 228M pair mass
+    * (their occupancy grows linearly with the corpus, so their pair
+    * volume grows QUADRATICALLY — 0.33M at sf10, 100x at 10x data,
+    * the whole super-linear term of the query). Dropping them is the
+    * standard suffix-anchor trade (boilerplate shared by hundreds of
+    * docs is not plagiarism signal); the oracle SQL applies the same
+    * HAVING bound, so parity holds at every scale. No anchor reaches
+    * the cap at the sf0.01/sf0.1 gate corpora — declared outputs there
+    * are byte-identical with or without it. */
+  val HotAnchorCap = 50
+
   /** Verbatim runs of ≥ `l` tokens across documents of `docs`
     * (`doc_id`, `text`). Output: one row per unordered doc pair with
     * the longest shared run and the number of maximal shared runs. */
   def verbatimRuns(docs: DataFrame, l: Int = MinRun): DataFrame = {
     // 60-bit md5-prefix anchors (PositionedGramHash60): longs shuffle
     // instead of 40-byte hex strings, and the digest streams token
-    // bytes with no per-gram string build. Materialized ONCE — the
-    // self-join's two sides otherwise re-run the whole gram+digest
-    // pass each (2×16 s of the query's 27 s at sf10).
+    // bytes with no per-gram string build.
     val grams = docs
       .select(col("doc_id"),
         posexplode(TextHashes.positionedGramHash60(split(col("text"), " "), l))
           .as(Seq("pos", "h")))
-      .localCheckpoint()
-    val a = grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
-    val b = grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h"))
-    val pairs = a.join(b, Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
-        (col("pa") - col("pb")).as("diag"))
+    // ONE shuffle of the gram relation, grouped by anchor. The earlier
+    // self-join formulation shuffled it three times (stop-anchor count
+    // pass + both join sides) and moved the ~95% singleton anchors
+    // through every one of them; grouping emits pairs only from groups
+    // of 2..cap occurrences, so singletons generate nothing and the
+    // stop-anchor cap (see [[HotAnchorCap]]) is the same filter.
+    // [[graft.functions.CappedCollect]] hard-bounds per-group state at
+    // cap+1 packed longs no matter how hot the anchor — a buffer of
+    // length cap+1 means "over cap", which the size filter drops.
+    import graft.functions.CappedCollect.{cappedCollect, PosBits, PosMask}
+    val groups = grams
+      .groupBy(col("h"))
+      .agg(cappedCollect(HotAnchorCap)(col("doc_id"), col("pos")).as("xs"))
+      .filter(size(col("xs")).between(2, HotAnchorCap))
+    val pairs = groups
+      .select(explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(col("xs")).as("y"))
+      .filter(shiftright(col("x"), PosBits) < shiftright(col("y"), PosBits))
+      .select(shiftright(col("x"), PosBits).as("doc_a"),
+        shiftright(col("y"), PosBits).as("doc_b"),
+        col("x").bitwiseAND(lit(PosMask)).as("pa"),
+        (col("x").bitwiseAND(lit(PosMask)) - col("y").bitwiseAND(lit(PosMask))).as("diag"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pa"))
     pairs
       .withColumn("grp", col("pa") - row_number().over(w))
