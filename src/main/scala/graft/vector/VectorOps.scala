@@ -180,13 +180,21 @@ object VectorOps {
       array_position(absDots, array_min(absDots)).cast("int"))
     val queries = emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
       explode(array(col("bucket"), col("bucket").bitwiseXOR(flipBit))).as("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    // Grouped top-k via the bounded-heap aggregate, not a window: the
+    // candidate relation is ~2·occupancy rows per vector (≈500M at
+    // sf100) and row_number sorted ALL of it through one q_id shuffle;
+    // the partial heap truncates to k rows per (q_id, partition) before
+    // the exchange. Tie order (sim desc, vec_id asc) matches the
+    // window form bit-for-bit (TopKAggSpec law).
+    val topk = graft.functions.TopKAgg.topK(k)
     emb.join(queries, Seq("bucket")) // corpus-sized both sides: equi-join, NOT broadcast
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("sim"), col("vec_id"), lit(0)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id1").as("vec_id"), col("col.sortKey").as("sim"))
       .orderBy(col("q_id"), col("rn"))
   }
 
