@@ -125,6 +125,10 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(graft.vector.VectorOps.qKnnJoin(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"kNN candidates must come from a bucket equi-join:\n$plan")
+    // top-k must ride the bounded-heap aggregate (partial buffers truncate
+    // to k rows pre-exchange), NOT a window sort over all candidates
+    assert(!plan.contains("Window"),
+      s"kNN top-k must be the TopKAgg aggregate, not a window sort:\n$plan")
   }
 
   test("tpch2: correlated scalar subquery decorrelates to aggregate+join") {
