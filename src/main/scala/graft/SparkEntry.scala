@@ -195,6 +195,19 @@ object SparkEntry {
       s"CASE WHEN 2*list_sum(list_transform($hs, h -> (strpos('0123456789abcdef', h[${b + 1}:${b + 1}]) - 1) % 2)) > len($hs) THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** 64-bit SimHash as a DuckDB expression over a per-token md5 list
+    * column — mirrors dedup.Dedup.simhash64 / functions.Simhash64 bit
+    * for bit: bit b = majority of bit (b div 16) of hex digit
+    * (b mod 16). Bit 63's weight is written as (-q-1) because the
+    * INT64-min literal doesn't parse as a unit. */
+  private def simhash64Sql(hs: String): String =
+    (0 until 64).map { b =>
+      val p = b % 16
+      val k = b / 16
+      val w = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN 2*list_sum(list_transform($hs, h -> ((strpos('0123456789abcdef', h[${p + 1}:${p + 1}]) - 1) >> $k) & 1)) > len($hs) THEN $w ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   /** Sign-LSH bucket id over a DOUBLE[] column — same ±1 hyperplane
     * literals the Spark plan embeds (vector.VectorOps.hyperplanes). */
   private def lshBucketSqlFor(v: String, planes: Seq[Seq[Double]]): String =
@@ -987,8 +1000,8 @@ object SparkEntry {
          |FROM t ORDER BY doc_id LIMIT 300""".stripMargin,
     "q_simhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), tk -> md5(tk)) AS hs
-         |  FROM documents WHERE doc_id % 50 = 0),
-         |s AS (SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS sh FROM t)
+         |  FROM documents),
+         |s AS (SELECT doc_id, CAST(${simhash64Sql("hs")} AS BIGINT) AS sh FROM t)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          |FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3

@@ -161,6 +161,25 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Interpreted twin of [[graft.functions.Simhash64]]: bit b
+    * (0 ≤ b < 64) carries the majority vote of bit (b div 16) of hex
+    * digit (b mod 16) across per-token md5 hashes — four bits mined
+    * from each of the first 16 hex digits. Oracle-mirrorable with
+    * string ops; equivalence to the one-pass expression is pinned in
+    * TextDedupVectorSpec. */
+  def simhash64(toks: Column): Column = {
+    val hs = transform(toks, t => md5(t))
+    val hex = lit("0123456789abcdef")
+    (0 until 64).map { b =>
+      val p = b % 16
+      val k = b / 16
+      val ones = aggregate(hs, lit(0L),
+        (acc, h) => acc +
+          shiftright(instr(hex, substring(h, p + 1, 1)) - 1, k).bitwiseAND(lit(1)))
+      when(ones * 2 > size(hs), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Per-doc SimHash values on a 1-in-10 sample (the per-doc signature
     * itself is the oracle-checked artifact). */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -170,18 +189,27 @@ object Dedup {
       .orderBy(col("doc_id"))
       .limit(300)
 
-  /** SimHash near-dup pairs: hamming distance (bit_count of xor) ≤ 3 on
-    * a 1-in-50 sample. Scale-safe shape: the 16-bit hash splits into 4
-    * bands of 4 bits; by pigeonhole any pair within hamming 3 agrees on
-    * at least one whole band, so candidates come from an equi-join on
-    * (band_idx, band_bits) — no cross join at any scale. A pair may
-    * collide in several bands, hence the distinct before output. */
+  /** CORPUS-WIDE SimHash near-dup pairs: hamming distance (bit_count
+    * of xor) ≤ 3 over the 64-bit production fingerprint — the
+    * fingerprint width and threshold deployed for web-scale verbatim
+    * dedup. Scale-safe shape: the hash splits into 4 bands of 16 bits;
+    * by pigeonhole any pair within hamming 3 agrees on at least one
+    * whole band, so candidates come from an equi-join on
+    * (band_idx, band_bits) — no cross join at any scale. 16-bit bands
+    * give a 65536-value key space per band, so accidental
+    * (dissimilar-doc) candidates stay rare as the corpus grows; the
+    * previous 16-bit hash's 4-bit bands had a 16-value key space,
+    * making candidate pairs grow as n²/64 — measured super-linear at
+    * the sf100 probe, and its hamming ≤ 3 "pairs" on a 16-bit space
+    * were mostly accidental collisions, not near-dups. (At ≫10⁸ docs
+    * the band width should grow with log₂ n; 16 bits is the published
+    * sweet spot for ~10⁸.) A true near-dup pair may collide in several
+    * bands, hence the distinct before output. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id"), TextHashes.simhash16(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
     val banded = s.select(col("doc_id"), col("sh"), posexplode(
-        array((0 until 4).map(b => shiftright(col("sh"), b * 4).bitwiseAND(lit(15L))): _*)))
+        array((0 until 4).map(b => shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_bits")
     val a = banded.select(col("band_idx"), col("band_bits"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))

@@ -141,6 +141,71 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a TOKEN array in one JVM pass — the production
+  * fingerprint for banded near-dup pair generation (Charikar simhash
+  * as deployed for web-scale dedup: 64-bit fingerprints, hamming ≤ 3).
+  * Bit b (0 ≤ b < 64) carries the majority vote, across per-token md5
+  * hashes, of bit (b div 16) of hex digit (b mod 16) — four bits from
+  * each of the first 16 hex digits, so the DuckDB oracle can mirror it
+  * with string ops:
+  *   bit b = 1 iff 2 * Σ_t ((hexval(md5(t)[p+1]) >> k) & 1) > |tokens|
+  *   where p = b mod 16, k = b div 16.
+  * The 16-bit [[Simhash16]] stays as the compact declared signature
+  * artifact; THIS hash exists because banding needs entropy: 4-bit
+  * bands of a 16-bit hash give a 16-value key space per band, so
+  * accidental candidate pairs grow as n²/64 regardless of similarity —
+  * measured super-linear at the third scaling decade. 16-bit bands of
+  * this hash shrink the accidental-collision constant 4096×. Empty
+  * token arrays yield 0.
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash64", this, classOf[Simhash64].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((Long) $ref.nullSafeEval($c)).longValue();")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](64)
+    val md = MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(t).getBytes)
+        var p = 0
+        while (p < 16) {
+          val byte = d(p >> 1) & 0xff
+          val nibble = if ((p & 1) == 0) byte >> 4 else byte & 0xf
+          var k = 0
+          while (k < 4) {
+            ones(p + (k << 4)) += (nibble >> k) & 1
+            k += 1
+          }
+          p += 1
+        }
+      }
+      t += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * ones(b) > n) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Windowed co-occurrence pair emission in one JVM pass: for every
   * offset 1..window and position i, emit `t(i) ++ \\u0001 ++ t(i+off)`.
   * Exactly the pair multiset the (doc_id, pos)-equi-join formulation
@@ -617,6 +682,10 @@ object TextHashes {
   /** 16-bit SimHash of a token-array column. */
   def simhash16(toks: Column): Column =
     GraftSqlBridge.column(Simhash16(GraftSqlBridge.expression(toks)))
+
+  /** 64-bit SimHash of a token-array column (the banding fingerprint). */
+  def simhash64(toks: Column): Column =
+    GraftSqlBridge.column(Simhash64(GraftSqlBridge.expression(toks)))
 
   /** Per-group stopword occurrence counts (array<int>, one slot per
     * group) of a token-array column, in one pass. */

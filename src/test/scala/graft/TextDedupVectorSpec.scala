@@ -180,6 +180,15 @@ class TextDedupVectorSpec extends AnyFunSuite {
     assert(diff == 0, "JVM-loop simhash must equal the interpreted HOF form")
   }
 
+  test("Simhash64 expression matches the interpreted md5-nibble form") {
+    val diff = Tables.documents(spark, sf).limit(200)
+      .select(
+        graft.functions.TextHashes.simhash64(split(col("text"), " ")).as("fast"),
+        Dedup.simhash64(split(col("text"), " ")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0, "JVM-loop simhash64 must equal the interpreted HOF form")
+  }
+
   test("StopwordHits expression matches the interpreted per-group filter form") {
     val groups = Seq(
       Seq("the", "a", "of", "to", "and", "in", "is"),
@@ -196,9 +205,9 @@ class TextDedupVectorSpec extends AnyFunSuite {
   }
 
   test("banded simhash pairs match the cross-join exact twin") {
-    val s = Tables.documents(spark, sf).filter(col("doc_id") % 50 === 0)
+    val s = Tables.documents(spark, sf)
       .select(col("doc_id"),
-        graft.functions.TextHashes.simhash16(split(col("text"), " ")).as("sh"))
+        graft.functions.TextHashes.simhash64(split(col("text"), " ")).as("sh"))
     val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
