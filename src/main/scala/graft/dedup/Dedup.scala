@@ -189,27 +189,43 @@ object Dedup {
       .orderBy(col("doc_id"))
       .limit(300)
 
+  /** 64-bit simhash block layout for the hamming ≤ 3 block-triple
+    * scheme: 6 blocks (11,11,11,11,10,10 bits) as (shift, width). */
+  private val shBlocks: Seq[(Int, Int)] = {
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
   /** CORPUS-WIDE SimHash near-dup pairs: hamming distance (bit_count
     * of xor) ≤ 3 over the 64-bit production fingerprint — the
     * fingerprint width and threshold deployed for web-scale verbatim
-    * dedup. Scale-safe shape: the hash splits into 4 bands of 16 bits;
-    * by pigeonhole any pair within hamming 3 agrees on at least one
-    * whole band, so candidates come from an equi-join on
-    * (band_idx, band_bits) — no cross join at any scale. 16-bit bands
-    * give a 65536-value key space per band, so accidental
-    * (dissimilar-doc) candidates stay rare as the corpus grows; the
-    * previous 16-bit hash's 4-bit bands had a 16-value key space,
-    * making candidate pairs grow as n²/64 — measured super-linear at
-    * the sf100 probe, and its hamming ≤ 3 "pairs" on a 16-bit space
-    * were mostly accidental collisions, not near-dups. (At ≫10⁸ docs
-    * the band width should grow with log₂ n; 16 bits is the published
-    * sweet spot for ~10⁸.) A true near-dup pair may collide in several
-    * bands, hence the distinct before output. */
+    * dedup. Scale-safe shape (the published block-permutation design
+    * for 64-bit/hamming-3): split the hash into 6 blocks of 11/10
+    * bits; 3 bit errors can corrupt at most 3 blocks, so by pigeonhole
+    * any pair within hamming 3 agrees on all blocks of at least one of
+    * the C(6,3) = 20 block TRIPLES. Candidates come from an equi-join
+    * on (triple_idx, triple_bits) with ~32-bit compound keys — no
+    * cross join at any scale, and accidental (dissimilar-doc)
+    * candidates shrink as n²/2³²·20. Measured on the ScaleGen ladder:
+    * single-16-bit-band keys gave 310 M candidate pairs at sf10 (the
+    * synthetic fingerprints cluster); block-triples give 4.4 M with a
+    * max bucket of 123. (The earlier 16-bit hash with 4-bit bands was
+    * worse still — n²/64 growth, measured super-linear at the sf100
+    * probe, and its "pairs" were mostly accidental collisions.) A true
+    * near-dup pair matches several triples, hence the distinct before
+    * output; identical-fingerprint dup families inherently emit
+    * C(family,2) pairs — that is the query's job (pair listing); use
+    * dup-cluster queries for the keep-one contract. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.documents(spark, dir)
       .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
-    val banded = s.select(col("doc_id"), col("sh"), posexplode(
-        array((0 until 4).map(b => shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+    val tripleKeys = shBlocks.combinations(3).toSeq.map { blks =>
+      blks.foldLeft(lit(0L)) { case (acc, (shift, width)) =>
+        (acc * (1L << width)) +
+          shiftright(col("sh"), shift).bitwiseAND(lit((1L << width) - 1))
+      }
+    }
+    val banded = s.select(col("doc_id"), col("sh"), posexplode(array(tripleKeys: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_bits")
     val a = banded.select(col("band_idx"), col("band_bits"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
