@@ -177,6 +177,7 @@ object SparkEntry {
     "q_pack_bpe" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPackBpe(s, d)),
     "q_bpe_train" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qBpeTrain(s, d)),
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => graft.etl.Snapshot.qSnapshotDiff(s, d)),
+    "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -1756,6 +1757,17 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_subwords,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "q_shard" ->
+      """WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |h AS (SELECT doc_id, n_tok, k,
+        |  CAST(('0x' || substr(k, 1, 15)) AS BIGINT) % 8 AS shard FROM s)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos,
+        |  n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "q_pack" ->
       s"""WITH d AS (SELECT source, doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -319,4 +319,31 @@ object TrainPrep {
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("source"), col("bin"))
   }
+
+  /** Deterministic GLOBAL SHUFFLE into training shards: every document
+    * gets a reproducible pseudo-random position — `shard` is a 60-bit
+    * md5 key mod `nShards`, `pos` the key's rank within its shard,
+    * `cum_tokens` the running token total at that position (the batch
+    * boundary bookkeeping a loader needs). This is the write path of a
+    * training run: the corpus lands as `nShards` independently sorted
+    * streams whose order is a fixed permutation — reproducible across
+    * engines, retries and cluster sizes because nothing calls rand().
+    * Scale shape: one narrow hash projection, one exchange on `shard`,
+    * one per-shard sort — exactly the
+    * repartition(shard).sortWithinPartitions(key) pattern a 100 TB
+    * shard-writer runs; at that scale `nShards` is thousands, so the
+    * per-shard sort is the parallelism, not a bottleneck. */
+  def qShard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val order = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(order).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"), col("cum_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
 }

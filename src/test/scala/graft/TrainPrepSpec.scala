@@ -238,4 +238,30 @@ class TrainPrepSpec extends AnyFunSuite {
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n")), Seq("doc_id"))
     assert(cover.filter(col("nw") =!= col("n")).count() == 0)
   }
+
+  test("sharding is a permutation: every doc once, dense positions, exact running totals") {
+    val sharded = TrainPrep.qShard(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    // permutation: every doc exactly once
+    assert(sharded.count() == nDocs)
+    assert(sharded.select(col("doc_id")).distinct().count() == nDocs)
+    // positions are dense 1..count(shard)
+    val perShard = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        count_distinct(col("pos")).as("np"),
+        max(col("cum_tokens")).as("cum_hi"), sum(col("n_tok")).as("tok_sum"))
+    assert(perShard.filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+      col("np") =!= col("n")).count() == 0, "pos must be dense 1..n per shard")
+    // running total ends at the shard's token sum
+    assert(perShard.filter(col("cum_hi") =!= col("tok_sum")).count() == 0)
+    // deterministic and partition-invariant: a re-run over a
+    // repartitioned input yields the identical assignment
+    val again = TrainPrep.qShard(spark, sf)
+    assert(sharded.exceptAll(again).count() == 0 && again.exceptAll(sharded).count() == 0)
+    // hash balance: no shard hoards the corpus (loose 3x-mean cap at
+    // fixture scale; tightens as n grows)
+    val sizes = perShard.select(col("n")).collect().map(_.getLong(0))
+    assert(sizes.max <= 3 * (nDocs.toDouble / sizes.length).ceil.toLong,
+      s"shard sizes too skewed: ${sizes.mkString(",")}")
+  }
 }
