@@ -51,7 +51,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's log-tail capture truncated the per-query map two
+    // rounds running (r3: 76/139 survived, r4: 98/141). The stdout line
+    // keeps the driver contract; the SAME record also goes to a file
+    // (default target/bench.json, SPARK_GRAFT_BENCH_OUT to override) so
+    // the full 141-entry map always survives — the round report embeds
+    // this file verbatim.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"bench.json write failed: $e") }
     // Opt-in throughput mode (NOT the driver's gate): with
     // SPARK_GRAFT_PARALLEL=n, also run the whole suite through an
     // n-thread pool — queries share the session and the scheduler

@@ -999,14 +999,33 @@ object SparkEntry {
          |  FROM documents WHERE doc_id % 10 = 0)
          |SELECT doc_id, CAST(${simhashSql("hs")} AS BIGINT) AS simhash
          |FROM t ORDER BY doc_id LIMIT 300""".stripMargin,
-    "q_simhash_pairs" ->
+    "q_simhash_pairs" -> {
+      // Mirror the Spark side's C(6,3)=20 block-triple equi-join instead
+      // of an O(n²) cross self-join: exact for hamming ≤ 3 by pigeonhole
+      // (3 bit errors corrupt ≤ 3 of the 6 blocks, so some triple agrees),
+      // and — unlike the cross join — this SQL stays runnable if the
+      // oracle is pointed at a ScaleGen dir (the r4 form would explode at
+      // 500k docs). Compound key = triple_idx·2³³ + packed 31–33 bits.
+      val blocks = { // same (shift, width) layout as Dedup.shBlocks
+        val widths = Seq(11, 11, 11, 11, 10, 10)
+        widths.scanLeft(0)(_ + _).zip(widths)
+      }
+      val tripleKeys = blocks.combinations(3).toSeq.zipWithIndex.map { case (blks, idx) =>
+        val key = blks.foldLeft("CAST(0 AS BIGINT)") { case (acc, (shift, width)) =>
+          s"(($acc) * ${1L << width} + ((sh >> $shift) & ${(1L << width) - 1}))"
+        }
+        s"($key + ${idx.toLong << 33})"
+      }.mkString(", ")
       s"""WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), tk -> md5(tk)) AS hs
          |  FROM documents),
-         |s AS (SELECT doc_id, CAST(${simhash64Sql("hs")} AS BIGINT) AS sh FROM t)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |s AS (SELECT doc_id, CAST(${simhash64Sql("hs")} AS BIGINT) AS sh FROM t),
+         |bd AS (SELECT doc_id, sh, unnest([$tripleKeys]) AS bk FROM s)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-         |FROM s a, s b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |FROM bd a JOIN bd b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_sim_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
@@ -1465,17 +1484,15 @@ object SparkEntry {
         |  min(byte_entropy) AS min_entropy, max(byte_entropy) AS max_entropy
         |FROM read_parquet('${graft.sources.Fixtures.mediaFeaturesPath}/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
+    // q_media_resize: the Spark side re-runs the REAL image pipeline at
+    // query time (ImageIO decode → nearest-neighbor resample → PNG
+    // re-encode); DuckDB can't decode PNG, so the oracle reads the
+    // fixture-time reference parquet written by the same code path —
+    // byte hashes must match, and pixel correctness is pinned in
+    // MultimodalSpec against planted rasters (the q_media_sim pattern).
     "q_media_resize" ->
-      s"""SELECT media_id, kind,
-        |  CASE WHEN meta.width IS NOT NULL AND meta.height IS NOT NULL
-        |            AND greatest(meta.width, meta.height) > 96
-        |       THEN CAST(trunc(meta.width * (CAST(96 AS DOUBLE) / greatest(meta.width, meta.height))) AS INTEGER)
-        |       ELSE meta.width END AS width,
-        |  CASE WHEN meta.width IS NOT NULL AND meta.height IS NOT NULL
-        |            AND greatest(meta.width, meta.height) > 96
-        |       THEN CAST(trunc(meta.height * (CAST(96 AS DOUBLE) / greatest(meta.width, meta.height))) AS INTEGER)
-        |       ELSE meta.height END AS height
-        |FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')
+      s"""SELECT media_id, kind, width, height, n_bytes, content_md5
+        |FROM read_parquet('${graft.sources.Fixtures.mediaResizedPath}/*.parquet')
         |ORDER BY media_id""".stripMargin,
     "q_nestsel" ->
       s"""SELECT CAST(identifier AS BIGINT) AS identifier, collection,

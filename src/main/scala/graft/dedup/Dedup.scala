@@ -152,7 +152,10 @@ object Dedup {
     * distance. Interpreted reference form; production paths use
     * [[graft.functions.Simhash16]] (equivalence pinned by spec). */
   def simhash16(toks: Column): Column = {
-    val hs = transform(toks, t => md5(t))
+    // null tokens are dropped up front (vote AND denominator) so this
+    // form agrees with the one-pass expression on hand-built arrays;
+    // split() inputs never contain nulls, so the filter is free there
+    val hs = transform(filter(toks, t => t.isNotNull), t => md5(t))
     val hex = lit("0123456789abcdef")
     (0 until 16).map { b =>
       val ones = aggregate(hs, lit(0L),
@@ -168,7 +171,8 @@ object Dedup {
     * string ops; equivalence to the one-pass expression is pinned in
     * TextDedupVectorSpec. */
   def simhash64(toks: Column): Column = {
-    val hs = transform(toks, t => md5(t))
+    // null tokens dropped up front — same contract as Simhash64 / simhash16
+    val hs = transform(filter(toks, t => t.isNotNull), t => md5(t))
     val hex = lit("0123456789abcdef")
     (0 until 64).map { b =>
       val p = b % 16

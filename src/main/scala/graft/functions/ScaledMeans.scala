@@ -38,7 +38,15 @@ object ScaledMeans {
     override def reduce(buf0: Array[Long], v: Seq[Double]): Array[Long] = {
       if (v == null) return buf0
       val w = if (len < 0) v.length else len
+      if (v.length < start + w)
+        throw new IllegalArgumentException(
+          s"scaledMeans(start=$start, len=$len): vector has ${v.length} elements, " +
+            s"needs at least ${start + w}")
       val buf = if (buf0.isEmpty) new Array[Long](w + 1) else buf0
+      if (buf.length != w + 1)
+        throw new IllegalArgumentException(
+          s"scaledMeans: ragged vector column — buffer width ${buf.length - 1} " +
+            s"fixed by an earlier row, this row has $w summable elements")
       buf(0) += 1L
       var i = 0
       while (i < w) {
@@ -51,6 +59,10 @@ object ScaledMeans {
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       if (a.isEmpty) return b
       if (b.isEmpty) return a
+      if (a.length != b.length)
+        throw new IllegalArgumentException(
+          s"scaledMeans: ragged vector column — partial buffers of width " +
+            s"${a.length - 1} and ${b.length - 1} cannot merge")
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a

@@ -113,9 +113,15 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     val ones = new Array[Int](16)
     val md = MessageDigest.getInstance("MD5")
+    // null elements are ignored ENTIRELY — skipped in both the vote and
+    // the majority denominator — matching the null-filtering interpreted
+    // twin (split() inputs are null-free, so the forms only diverge on
+    // hand-built arrays)
+    var nn = 0
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
+        nn += 1
         md.reset()
         val d = md.digest(arr.getUTF8String(t).getBytes)
         var b = 0
@@ -131,7 +137,7 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     var sh = 0L
     var b = 0
     while (b < 16) {
-      if (2 * ones(b) > n) sh |= 1L << b
+      if (2 * ones(b) > nn) sh |= 1L << b
       b += 1
     }
     sh
@@ -174,9 +180,13 @@ case class Simhash64(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     val ones = new Array[Int](64)
     val md = MessageDigest.getInstance("MD5")
+    // null elements are ignored entirely (vote AND denominator) — same
+    // contract as Simhash16 and the null-filtering interpreted twin
+    var nn = 0
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
+        nn += 1
         md.reset()
         val d = md.digest(arr.getUTF8String(t).getBytes)
         var p = 0
@@ -196,7 +206,7 @@ case class Simhash64(child: Expression) extends UnaryExpression {
     var sh = 0L
     var b = 0
     while (b < 64) {
-      if (2 * ones(b) > n) sh |= 1L << b
+      if (2 * ones(b) > nn) sh |= 1L << b
       b += 1
     }
     sh
@@ -214,7 +224,17 @@ case class Simhash64(child: Expression) extends UnaryExpression {
   * Exchange; this is a narrow explode straight into the pair
   * aggregate). The \\u0001 separator sorts below every token byte, so
   * lexicographic order on the packed pair equals (term_a, term_b)
-  * tuple order — top-k tie-breaks survive the packing. */
+  * tuple order — top-k tie-breaks survive the packing.
+  *
+  * Contract: tokens must not contain \\u0001 (a token that did would
+  * mis-split via substring_index downstream and silently corrupt pair
+  * keys) — enforced here with a loud per-token check, not assumed.
+  * Memory: the full per-doc pair array (≈ window·n entries) is built in
+  * one row before explode; callers feed natural documents (≤ ~10⁴
+  * tokens → ≤ ~10⁵ pairs/row). Do NOT point this at re-packed
+  * mega-rows like CappedCollect's 2²¹-token packs — that is a
+  * multi-million-element single-row allocation; pair-count those
+  * upstream of packing. */
 case class TokenPairs(child: Expression, window: Int) extends UnaryExpression {
 
   override def dataType: DataType =
@@ -228,7 +248,12 @@ case class TokenPairs(child: Expression, window: Int) extends UnaryExpression {
     val toks = new Array[String](n)
     var t = 0
     while (t < n) {
-      toks(t) = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      val s = if (arr.isNullAt(t)) "" else arr.getUTF8String(t).toString
+      if (s.indexOf('\u0001') >= 0)
+        throw new IllegalArgumentException(
+          "token_pairs: token contains the \\u0001 pair separator — " +
+            "packed pair keys would corrupt; clean the tokenizer output")
+      toks(t) = s
       t += 1
     }
     var total = 0
