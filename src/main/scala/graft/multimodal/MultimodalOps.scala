@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -11,13 +16,18 @@ import org.apache.spark.sql.types._
   * — the Scala analogue of `mapInPandas`: one iterator per partition,
   * executor-local batching, no driver involvement).
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment — see [[StubCodec]]) with deterministic fakes; everything
-  * Spark-side is real: schema, lazy binary scan, partition-parallel
-  * execution, feature schema, explode-shaped frame sampling.
+  * The IMAGE path is REAL: fixture rows carry genuine PNG bytes
+  * (ImageIO-encoded), and decode / pixel features / entropy / resize
+  * run over true decoded pixels via [[ImageCodec]] (`javax.imageio`
+  * ships in every JDK — PNG/JPEG/BMP/GIF). Audio and video stay behind
+  * the declared deterministic [[StubCodec]] boundary: no audio/video
+  * codec exists in the JDK, so those calls are the swap point for
+  * javacv/ffmpeg in production — the distributed plumbing around them
+  * (schema, lazy binary scan, partition-parallel batches, explode-shaped
+  * frame fan-out) is identical either way.
   *
   * Scale notes: binaries ride the columnar scan untouched until the
-  * map stage (no shuffle); feature extraction is embarrassingly
+  * map stage (no shuffle); decode + feature extraction is embarrassingly
   * parallel; `repartition` only to rebalance skewed media sizes.
   */
 object MultimodalOps {
@@ -40,12 +50,155 @@ object MultimodalOps {
     byte_entropy: Double, features: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, offset_ms: Int, frame_bytes: Array[Byte])
 
-  /** STUB codec boundary — swap for real decoders (javacv/ffmpeg/ImageIO)
-    * in production. Deterministic fakes so tests and the driver can
-    * exercise the distributed plumbing end-to-end. */
+  /** REAL image codec over `javax.imageio` — decodes true pixels,
+    * computes pixel-space features, and re-encodes resizes as PNG.
+    * Every computation accumulates INTEGER pixel sums (exact longs)
+    * before one final float division, so features are bit-deterministic
+    * across partitionings and runs; PNG encode is deterministic too
+    * (fixed raster → fixed deflate stream), which DeterminismSpec and
+    * the q_media_resize oracle both rely on. */
+  object ImageCodec {
+    // never spill decode scratch to disk-backed stream caches: a per-task
+    // ImageIO tmp file would serialize decodes at scale
+    ImageIO.setUseCache(false)
+
+    /** Deterministic synthetic image: pixel (x, y) of image `id` is a
+      * fixed modular function of (id, x, y) — bright, structured, and
+      * exactly recomputable in specs. */
+    def syntheticImage(id: Long, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, syntheticRgb(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** The planted-pixel formula, exposed so specs can assert decoded
+      * pixels equal it exactly. */
+    def syntheticRgb(id: Long, x: Int, y: Int): Int = {
+      val r = ((x * 7 + y * 13 + id * 31) % 256).toInt
+      val g = ((x * 3 + y * 5 + id * 17) % 256).toInt
+      val b = ((x * 11 + y * 2 + id * 43) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(1 << 12)
+      if (!ImageIO.write(img, "png", bos))
+        throw new IllegalStateException("no PNG writer available")
+      bos.toByteArray
+    }
+
+    /** Decode or fail LOUDLY — an image-kind row whose bytes don't
+      * decode is corrupt data, not a row to silently skip. */
+    def decode(bytes: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"image bytes (${bytes.length} B) do not decode via ImageIO")
+      img
+    }
+
+    /** Integer ITU-R 601 luma (0..255): (299 r + 587 g + 114 b) / 1000 —
+      * integer arithmetic end to end. */
+    def luma(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+
+    /** Shannon entropy (bits) of the 256-bin luma histogram — a real
+      * pixel-space quality signal (flat images → 0, textured → high). */
+    def entropy(img: BufferedImage): Double = {
+      val counts = new Array[Long](256)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { counts(luma(img.getRGB(x, y))) += 1; x += 1 }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      var e = 0.0
+      var i = 0
+      while (i < 256) {
+        if (counts(i) > 0) { val p = counts(i) / n; e -= p * math.log(p) / math.log(2) }
+        i += 1
+      }
+      e
+    }
+
+    /** 8-dim pixel feature vector: mean R, G, B, luma (each /255), then
+      * the four quadrant luma means (/255) — the cheap perceptual
+      * signature the similarity/dedup queries embed. Integer sums per
+      * channel/quadrant, one float division each at the end. */
+    def features(img: BufferedImage): Array[Float] = {
+      val w = img.getWidth; val h = img.getHeight
+      var sr, sg, sb, sl = 0L
+      val qs = new Array[Long](4)
+      val qn = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          val l = luma(rgb)
+          sl += l
+          val q = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+          qs(q) += l; qn(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val out = new Array[Float](8)
+      if (n > 0) {
+        out(0) = (sr.toDouble / n / 255.0).toFloat
+        out(1) = (sg.toDouble / n / 255.0).toFloat
+        out(2) = (sb.toDouble / n / 255.0).toFloat
+        out(3) = (sl.toDouble / n / 255.0).toFloat
+        var q = 0
+        while (q < 4) {
+          if (qn(q) > 0) out(4 + q) = (qs(q).toDouble / qn(q) / 255.0).toFloat
+          q += 1
+        }
+      }
+      out
+    }
+
+    /** Nearest-neighbor resample with explicit integer source mapping
+      * (src = dst * srcDim / dstDim) — no Graphics2D rendering pipeline,
+      * so the output raster is exactly specified and spec-assertable. */
+    def resizeNearest(img: BufferedImage, nw: Int, nh: Int): BufferedImage = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < nh) {
+        val sy = (y.toLong * h / nh).toInt
+        var x = 0
+        while (x < nw) {
+          out.setRGB(x, y, img.getRGB((x.toLong * w / nw).toInt, sy) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** STUB codec boundary for AUDIO and VIDEO only (the JDK has no
+    * audio/video codec; swap for javacv/ffmpeg in production).
+    * Deterministic fakes so tests and the driver can exercise the
+    * distributed plumbing end-to-end. Image calls never come here. */
   object StubCodec {
-    /** STUB: a real implementation decodes pixels/samples; this derives
-      * a deterministic 8-dim feature vector from the raw bytes. */
+    /** STUB: a real implementation decodes samples; this derives a
+      * deterministic 8-dim feature vector from the raw bytes. */
     def extractFeatures(bytes: Array[Byte]): Array[Float] = {
       val out = new Array[Float](8)
       var i = 0
@@ -78,38 +231,56 @@ object MultimodalOps {
     }
   }
 
-  /** Deterministic synthetic media table (sha-derived bytes) — the test
-    * corpus has no binary table, so the fixture is generated. */
+  /** Deterministic synthetic media table. IMAGE rows carry REAL PNG
+    * bytes (ImageIO-encoded deterministic rasters); audio/video rows
+    * keep sha-derived opaque payloads behind the stub boundary. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val kind = Seq("image", "audio", "video")(((i % 3) + 3 % 3).toInt % 3)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val bytes = (0 until 16).flatMap(j => md.digest(s"$i:$j".getBytes("UTF-8"))).toArray
-      val meta = kind match {
-        case "image" => MediaMeta(Some(64 + (i % 4).toInt * 32), Some(64), None, None, Some("png"))
-        case "audio" => MediaMeta(None, None, Some(16000), Some(2000 + (i % 5).toInt * 500), Some("wav"))
-        case _ => MediaMeta(Some(128), Some(72), None, Some(4000 + (i % 3).toInt * 1000), Some("mp4"))
+      kind match {
+        case "image" =>
+          val w = 64 + (i % 4).toInt * 32
+          val h = 64
+          val bytes = ImageCodec.encodePng(ImageCodec.syntheticImage(i, w, h))
+          MediaRow(i, kind, bytes, MediaMeta(Some(w), Some(h), None, None, Some("png")))
+        case _ =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val bytes = (0 until 16).flatMap(j => md.digest(s"$i:$j".getBytes("UTF-8"))).toArray
+          val meta =
+            if (kind == "audio")
+              MediaMeta(None, None, Some(16000), Some(2000 + (i % 5).toInt * 500), Some("wav"))
+            else
+              MediaMeta(Some(128), Some(72), None, Some(4000 + (i % 3).toInt * 1000), Some("mp4"))
+          MediaRow(i, kind, bytes, meta)
       }
-      MediaRow(i, kind, bytes, meta)
     }
   }
 
   /** Feature extraction: per-partition batch map (mapInPandas-shaped) —
-    * each task walks its partition's binaries once, no shuffle. */
+    * each task walks its partition's binaries once, no shuffle. Images
+    * decode to real pixels ([[ImageCodec]]); audio/video go through the
+    * stub boundary. */
   def extractFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
         val b = Option(m.bytes).getOrElse(Array.emptyByteArray)
-        MediaFeatures(m.media_id, m.kind, b.length.toLong,
-          StubCodec.entropy(b), StubCodec.extractFeatures(b))
+        if (m.kind == "image" && b.nonEmpty) {
+          val img = ImageCodec.decode(b)
+          MediaFeatures(m.media_id, m.kind, b.length.toLong,
+            ImageCodec.entropy(img), ImageCodec.features(img))
+        } else {
+          MediaFeatures(m.media_id, m.kind, b.length.toLong,
+            StubCodec.entropy(b), StubCodec.extractFeatures(b))
+        }
       }
     }
   }
 
   /** Frame sampling for video rows: one output row per sampled frame
-    * (UDTF/explode-shaped fan-out, stays partition-local). */
+    * (UDTF/explode-shaped fan-out, stays partition-local). Video only —
+    * stub boundary (no JDK video codec). */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int)(
       implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
@@ -120,18 +291,33 @@ object MultimodalOps {
     }
   }
 
-  /** Resize: metadata-level transform (a real impl would re-encode
-    * bytes; the stub rewrites the typed meta struct and passes bytes
-    * through — the plumbing a real codec would use). */
+  /** Resize. IMAGES do the real thing: decode → nearest-neighbor
+    * resample to max dimension `maxDim` (aspect preserved, truncating
+    * scale, matching the metadata arithmetic) → re-encode PNG; bytes
+    * AND meta both change. Audio passes through; video (no JDK codec)
+    * gets the metadata-level transform — the documented stub half. */
   def resize(media: Dataset[MediaRow], maxDim: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    media.map { m =>
-      (m.meta.width, m.meta.height) match {
-        case (Some(w), Some(h)) if math.max(w, h) > maxDim =>
-          val scale = maxDim.toDouble / math.max(w, h)
-          m.copy(meta = m.meta.copy(width = Some((w * scale).toInt), height = Some((h * scale).toInt)))
-        case _ => m
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind == "image" && m.bytes != null && m.bytes.nonEmpty) {
+          val img = ImageCodec.decode(m.bytes)
+          val w = img.getWidth; val h = img.getHeight
+          if (math.max(w, h) > maxDim) {
+            val scale = maxDim.toDouble / math.max(w, h)
+            val out = ImageCodec.resizeNearest(img,
+              math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            m.copy(bytes = ImageCodec.encodePng(out),
+              meta = m.meta.copy(width = Some(out.getWidth), height = Some(out.getHeight)))
+          } else m
+        } else (m.meta.width, m.meta.height) match {
+          case (Some(w), Some(h)) if math.max(w, h) > maxDim =>
+            val scale = maxDim.toDouble / math.max(w, h)
+            m.copy(meta = m.meta.copy(width = Some((w * scale).toInt),
+              height = Some((h * scale).toInt)))
+          case _ => m
+        }
       }
     }
   }

@@ -19,11 +19,14 @@ import graft.multimodal.MultimodalOps
 object Fixtures {
 
   /** Stable absolute path (inside the build dir, never the read-only
-    * corpus). Bump the version suffix when generation logic changes. */
-  val dir = "/root/repo/target/graft_fixtures_v1"
+    * corpus). Bump the version suffix when generation logic changes.
+    * (v2: image rows carry real ImageIO PNG bytes; features/resize
+    * compute over decoded pixels.) */
+  val dir = "/root/repo/target/graft_fixtures_v2"
 
   val mediaPath = s"$dir/media.parquet"
   val mediaFeaturesPath = s"$dir/media_features.parquet"
+  val mediaResizedPath = s"$dir/media_resized.parquet"
   val nftPath = s"$dir/nft.parquet"
   val embDupPath = s"$dir/emb_dup.parquet"
   val csvPath = s"$dir/ingest.csv"
@@ -38,7 +41,7 @@ object Fixtures {
   /** Write-once guard: the fixture set is complete iff every parquet
     * dir has its _SUCCESS marker. */
   def ensure(spark: SparkSession): Unit = lock.synchronized {
-    val done = Seq(mediaPath, mediaFeaturesPath, nftPath, embDupPath,
+    val done = Seq(mediaPath, mediaFeaturesPath, mediaResizedPath, nftPath, embDupPath,
         bpeMergesPath, bpeVocabPath, substrPath, skewFactPath, skewDimPath)
       .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
     if (done) return
@@ -46,10 +49,18 @@ object Fixtures {
     val media = MultimodalOps.syntheticMedia(spark, 300)
     media.write.mode("overwrite").parquet(mediaPath)
     // features are computed by the real mapPartitions plumbing at
-    // fixture-build time; both engines then aggregate the same stored
-    // values, making mediaStats oracle-checkable without re-deriving
-    // entropy in SQL.
+    // fixture-build time (image rows: true decoded pixels); both engines
+    // then aggregate the same stored values, making mediaStats
+    // oracle-checkable without re-deriving pixel math in SQL.
     MultimodalOps.extractFeatures(media).write.mode("overwrite").parquet(mediaFeaturesPath)
+    // resize reference output: the SAME decode → resample → re-encode
+    // path the declared query runs; the oracle reads these stored rows
+    // (the q_media_sim pattern — DuckDB can't decode PNG, pixel
+    // correctness itself is pinned in MultimodalSpec against planted
+    // rasters). The declared query must re-derive this byte-for-byte.
+    resizedProjection(MultimodalOps.resize(
+        media, maxDim = 96)(spark).toDF())
+      .write.mode("overwrite").parquet(mediaResizedPath)
     nftFixture(spark).write.mode("overwrite").parquet(nftPath)
     embDupFixture(spark).write.mode("overwrite").parquet(embDupPath)
     writeCsvFixture()
@@ -251,19 +262,28 @@ object Fixtures {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
-  /** Resize as a declared query: the metadata-level transform of
-    * [[MultimodalOps.resize]] (max dimension 96, aspect preserved,
-    * truncating scale arithmetic) — the oracle re-derives the new
-    * dimensions arithmetically over the same stored metadata. */
+  /** The resize output surface both engines compare: new dimensions
+    * plus the re-encoded byte evidence (length + content hash) that the
+    * image path really transcodes pixels, not just metadata. */
+  private def resizedProjection(resized: DataFrame): DataFrame =
+    resized.select(col("media_id"), col("kind"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      length(col("bytes")).cast("long").as("n_bytes"),
+      md5(lower(hex(col("bytes")))).as("content_md5"))
+
+  /** Resize as a declared query — REAL for images: decode via ImageIO,
+    * nearest-neighbor resample to max dimension 96 (aspect preserved,
+    * truncating scale), re-encode PNG; width/height/n_bytes/content_md5
+    * all come from the re-encoded bytes. Video keeps the metadata-level
+    * stub half (no JDK video codec). The oracle reads the fixture-time
+    * reference parquet written by this same code path; pixel-level
+    * correctness is pinned in MultimodalSpec against planted rasters. */
   def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark)
     implicit val s: SparkSession = spark
     import spark.implicits._
-    MultimodalOps.resize(
-        spark.read.parquet(mediaPath).as[MultimodalOps.MediaRow], maxDim = 96)
-      .toDF()
-      .select(col("media_id"), col("kind"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
+    resizedProjection(MultimodalOps.resize(
+        spark.read.parquet(mediaPath).as[MultimodalOps.MediaRow], maxDim = 96).toDF())
       .orderBy(col("media_id"))
   }
 

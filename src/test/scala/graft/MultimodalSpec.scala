@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.MultimodalOps
+import graft.multimodal.MultimodalOps.ImageCodec
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkFixture.spark
@@ -17,7 +18,34 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => (m.media_id, m.bytes.toSeq)).toMap
     assert(a == b)
     assert(media.collect().map(_.kind).toSet == Set("image", "audio", "video"))
-    assert(media.collect().forall(_.bytes.length == 512))
+    // audio/video: opaque sha payloads; images: real PNGs (variable size)
+    media.collect().foreach { m =>
+      if (m.kind == "image") assert(m.bytes.length > 100)
+      else assert(m.bytes.length == 512)
+    }
+  }
+
+  test("image rows are REAL PNGs: known planted image decodes to exact known pixels") {
+    // media_id 0, 3, 6, ... are images; decode a stored row and check
+    // every pixel equals the planted formula
+    val m = media.filter(_.media_id == 3L).collect().head
+    assert(m.kind == "image")
+    // PNG magic
+    assert((m.bytes(0) & 0xff) == 0x89 && m.bytes(1) == 'P'.toByte &&
+      m.bytes(2) == 'N'.toByte && m.bytes(3) == 'G'.toByte)
+    val img = ImageCodec.decode(m.bytes)
+    assert(img.getWidth == m.meta.width.get && img.getHeight == m.meta.height.get)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert((img.getRGB(x, y) & 0xffffff) == ImageCodec.syntheticRgb(3L, x, y),
+        s"pixel ($x,$y)")
+  }
+
+  test("PNG encode/decode round-trips a raster losslessly") {
+    val src = ImageCodec.syntheticImage(42L, 17, 9)
+    val back = ImageCodec.decode(ImageCodec.encodePng(src))
+    assert(back.getWidth == 17 && back.getHeight == 9)
+    for (y <- 0 until 9; x <- 0 until 17)
+      assert((back.getRGB(x, y) & 0xffffff) == (src.getRGB(x, y) & 0xffffff))
   }
 
   test("feature extraction: partition-parallel, fixed 8-dim output, entropy bounded") {
@@ -25,7 +53,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.length == 30)
     assert(f.forall(_.features.length == 8))
     assert(f.forall(x => x.byte_entropy > 0.0 && x.byte_entropy <= 8.0))
-    assert(f.forall(_.n_bytes == 512))
+    val byId = media.collect().map(m => m.media_id -> m).toMap
+    assert(f.forall(x => x.n_bytes == byId(x.media_id).bytes.length))
+  }
+
+  test("image features come from true pixels: exact means on a planted raster") {
+    import spark.implicits._
+    // 2×2 planted raster with hand-computable channel sums
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val row = MultimodalOps.MediaRow(99L, "image", ImageCodec.encodePng(img),
+      MultimodalOps.MediaMeta(Some(2), Some(2), None, None, Some("png")))
+    val f = MultimodalOps.extractFeatures(spark.createDataset(Seq(row))).collect().head
+    // channel means: R = (255+0+0+255)/4/255 = 0.5; same for G and B
+    assert(f.features(0) == 0.5f && f.features(1) == 0.5f && f.features(2) == 0.5f)
+    // luma: 601 integer luma of pure R/G/B/white = 76, 149, 29, 255
+    val expLum = ((76L + 149L + 29L + 255L).toDouble / 4 / 255.0).toFloat
+    assert(f.features(3) == expLum)
+    // quadrants are single pixels (w/2 = h/2 = 1): TL=R, TR=G, BL=B, BR=white
+    assert(f.features(4) == (76.0 / 255.0).toFloat)
+    assert(f.features(5) == (149.0 / 255.0).toFloat)
+    assert(f.features(6) == (29.0 / 255.0).toFloat)
+    assert(f.features(7) == 1.0f)
+    // 4 distinct luma values, one pixel each → entropy = log2(4) = 2 bits
+    assert(f.byte_entropy == 2.0)
   }
 
   test("frame sampling: one row per frame, only for video, offsets monotone") {
@@ -45,6 +97,26 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.max(m.meta.width.get, m.meta.height.getOrElse(0)) <= 64)
     }
     assert(r.length == 30)
+  }
+
+  test("image resize really transcodes: decoded output pixels are the exact nearest-neighbor resample") {
+    import spark.implicits._
+    val id = 9L // 96×64 source (64 + (9%4)·32 = 96)
+    val srcRow = media.filter(_.media_id == id).collect().head
+    val out = MultimodalOps.resize(spark.createDataset(Seq(srcRow)), maxDim = 48)
+      .collect().head
+    assert(out.meta.width.contains(48) && out.meta.height.contains(32))
+    val img = ImageCodec.decode(out.bytes)
+    assert(img.getWidth == 48 && img.getHeight == 32)
+    // nearest-neighbor mapping src = dst * srcDim / dstDim, against the
+    // planted formula — true pixel-space verification end to end
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val sx = x * 96 / 48; val sy = y * 64 / 32
+      assert((img.getRGB(x, y) & 0xffffff) == ImageCodec.syntheticRgb(id, sx, sy),
+        s"pixel ($x,$y)")
+    }
+    // and the bytes actually shrank (re-encode, not metadata rewrite)
+    assert(out.bytes.length < srcRow.bytes.length)
   }
 
   test("media stats aggregates per kind") {
