@@ -153,16 +153,32 @@ object VectorOps {
     * candidate volume is quadratic in occupancy, so a FIXED plane
     * count makes the self-join quadratic in corpus size (measured:
     * 197× wall at 10× data with 4 planes pinned). Sizing buckets to a
-    * constant target occupancy (n / 2^planes ≈ 50) keeps per-bucket
-    * work constant and total candidates LINEAR in n — the form that
-    * survives 100 TB. The ~125-vector target occupancy is chosen so
-    * every ORACLE corpus (sf0.001/0.01/0.1, n ≤ 2000) lands exactly on
-    * the 4-plane floor — the literals the DuckDB chain embeds — and
-    * the dial only opens above oracle scale (sf1 → 8, sf10 → 11). */
-  def knnPlanesFor(n: Long): Int = {
-    val target = (n / 125L).max(1L)
-    val ceilLog2 = if (target <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(target - 1L)
-    math.max(4, ceilLog2)
+    * constant target occupancy keeps per-bucket work constant and
+    * total candidates LINEAR in n — the form that survives 100 TB.
+    *
+    * r5 rebuild: the old dial rounded the bucket count UP to a power
+    * of two (ceil-log2 planes), so occupancy SAWTOOTHED between ~62
+    * and ~125 across decades — measured as 12.5× candidate growth at
+    * 10× data when sf10 (11 planes, occ 97) stepped to sf100 (14
+    * planes, occ 122). The dial now tracks B = ceil(n/125) effective
+    * buckets CONTINUOUSLY with variable-depth sign-LSH: p = floor(log2
+    * B) base planes, and the first s = B − 2^p of the 2^p prefix
+    * buckets split one plane deeper (standard variable-depth/spill
+    * bucketing). A pair is a candidate iff it agrees on every plane of
+    * its bucket's key — the LSH property is exactly preserved, bucket
+    * keys stay disjoint (split keys carry bit p, unsplit keys don't),
+    * and expected occupancy is ≈125 at EVERY corpus size, so candidate
+    * volume grows ~linearly decade over decade.
+    *
+    * The ~125 target keeps every ORACLE corpus (sf0.001/0.01/0.1,
+    * n ≤ 2000) at B = 16 = 2^4, s = 0 — byte-identical to the flat
+    * 4-plane chain the DuckDB oracle embeds; the variable-depth path
+    * only opens above oracle scale (sf1 → B=160, sf10 → B=1600,
+    * sf100 → B=16000). Returns (basePlanes p, splitCount s). */
+  def knnDialFor(n: Long): (Int, Long) = {
+    val b = math.max(16L, (n + 124L) / 125L)
+    val p = 63 - java.lang.Long.numberOfLeadingZeros(b)
+    (p, b - (1L << p))
   }
 
   private val embCountMemo = TrieMap[(String, String), Long]()
@@ -170,16 +186,37 @@ object VectorOps {
   def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val n = embCountMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Tables.embeddings(spark, dir).count())
-    val nPlanes = knnPlanesFor(n)
+    val (basePlanes, splitCount) = knnDialFor(n)
+    // planes actually consulted: base prefix + one split plane when the
+    // dial is fractional (hyperplanes() draws sequentially from a fixed
+    // seed, so the first p rows are the same at every depth)
+    val nPlanes = if (splitCount > 0) basePlanes + 1 else basePlanes
     val planes = hyperplanes(nPlanes, 64)
+    val mask = (1L << basePlanes) - 1
+    // variable-depth key: split prefixes (< s) keep bit p (values
+    // s ≤ 2^p never collide with full values carrying prefix < s)
+    def keyOf(full: Column): Column = {
+      val pref = full.bitwiseAND(lit(mask))
+      if (splitCount == 0) pref else when(pref < splitCount, full).otherwise(pref)
+    }
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("full", lshBucket(col("v"), planes))
+      .withColumn("bucket", keyOf(col("full")))
     val absDots = array(planes.map(r => abs(dot(col("v"), array(r.map(lit): _*)))): _*)
+    // multi-probe flip: lowest-|margin| plane AMONG THE PLANES THIS
+    // VECTOR'S KEY USES (p+1 for split prefixes, p otherwise) —
+    // first-minimum tie-break as everywhere; the probe key re-applies
+    // the depth rule to the flipped prefix
+    val nUse =
+      if (splitCount == 0) lit(basePlanes)
+      else when(col("full").bitwiseAND(lit(mask)) < splitCount, lit(basePlanes + 1))
+        .otherwise(lit(basePlanes))
+    val usable = slice(absDots, lit(1), nUse)
     val flipBit = element_at(array((0 until nPlanes).map(p => lit(1L << p)): _*),
-      array_position(absDots, array_min(absDots)).cast("int"))
+      array_position(usable, array_min(usable)).cast("int"))
     val queries = emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      explode(array(col("bucket"), col("bucket").bitwiseXOR(flipBit))).as("bucket"))
+      explode(array(col("bucket"), keyOf(col("full").bitwiseXOR(flipBit)))).as("bucket"))
     // Grouped top-k via the bounded-heap aggregate, not a window: the
     // candidate relation is ~2·occupancy rows per vector (≈500M at
     // sf100) and row_number sorted ALL of it through one q_id shuffle;
