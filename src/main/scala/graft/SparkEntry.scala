@@ -178,6 +178,7 @@ object SparkEntry {
     "q_bpe_train" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qBpeTrain(s, d)),
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => graft.etl.Snapshot.qSnapshotDiff(s, d)),
     "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
+    "q_shard_write" -> (graft.ops.Sink.qShardWrite _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -1785,6 +1786,25 @@ object SparkEntry {
         |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |FROM h ORDER BY shard, pos""".stripMargin,
+    // q_shard_write: Spark writes the sharded corpus and aggregates the
+    // manifest from the READ-BACK files; DuckDB recomputes the same
+    // manifest from the raw documents table — green iff the writer laid
+    // down exactly the declared permutation.
+    "q_shard_write" ->
+      """WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  md5('shard:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |h AS (SELECT doc_id, n_tok, k,
+        |  CAST(('0x' || substr(k, 1, 15)) AS BIGINT) % 8 AS shard FROM s),
+        |p AS (SELECT doc_id, n_tok, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos,
+        |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM h)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  max(cum_tokens) AS final_cum_tokens,
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS perm_check,
+        |  CAST(sum(pos * n_tok) AS BIGINT) AS order_tok_check,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "q_pack" ->
       s"""WITH d AS (SELECT source, doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -333,17 +333,27 @@ object TrainPrep {
     * repartition(shard).sortWithinPartitions(key) pattern a 100 TB
     * shard-writer runs; at that scale `nShards` is thousands, so the
     * per-shard sort is the parallelism, not a bottleneck. */
-  def qShard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+  def qShard(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    shardRows(spark, dir, nShards)
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"), col("cum_tokens"))
+      .orderBy(col("shard"), col("pos"))
+
+  /** The full shard permutation WITH the document payload — the relation
+    * [[graft.ops.Sink.writeShards]] materializes to disk. Split out so
+    * the declared permutation query and the shard writer share one
+    * definition. */
+  def shardRows(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
     val order = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"),
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
         md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("k"))
       .withColumn("shard",
         pmod(conv(substring(col("k"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(order).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tok")).over(
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("doc_id"), col("shard"), col("pos"), col("n_tok"), col("cum_tokens"))
-      .orderBy(col("shard"), col("pos"))
+      .select(col("doc_id"), col("text"), col("shard"), col("pos"),
+        col("n_tok"), col("cum_tokens"))
   }
 }

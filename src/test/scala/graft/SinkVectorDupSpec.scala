@@ -23,6 +23,35 @@ class SinkVectorDupSpec extends AnyFunSuite {
     assert(df.count() == Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count())
   }
 
+  test("shard writer: shard=... dirs, in-file row order is the permutation order") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString + "/docs"
+    Sink.writeShards(spark, sf, out, nShards = 8)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until 8).map(s => s"shard=$s"),
+      s"unexpected shard layout: ${dirs.toSeq}")
+    // every shard dir: physical row order inside each parquet file must
+    // be pos-ascending (a loader streams files start-to-finish), and
+    // cum_tokens must be the running sum in that order
+    dirs.foreach { d =>
+      new java.io.File(s"$out/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val rows = spark.read.parquet(f.getAbsolutePath)
+            .select("pos", "n_tok", "cum_tokens").collect()
+          val pos = rows.map(_.getLong(0))
+          assert(pos.toSeq == pos.sorted.toSeq, s"${f.getName}: rows not in pos order")
+          var cum = 0L
+          rows.sortBy(_.getLong(0)).foreach { r =>
+            cum += r.getLong(1)
+            assert(r.getLong(2) == cum, s"${f.getName}: cum_tokens drifts at pos ${r.getLong(0)}")
+          }
+        }
+    }
+    // round trip: the union of all shards is exactly the corpus
+    val back = spark.read.parquet(out)
+    assert(back.count() == Tables.documents(spark, sf).count())
+    assert(back.select("doc_id").distinct().count() == back.count())
+  }
+
   test("partitioned sink: empty input skipped (ref store.py parity)") {
     val out = java.nio.file.Files.createTempDirectory("sinkempty").toString + "/x"
     val empty = Tables.orders(spark, sf).filter(lit(false))
