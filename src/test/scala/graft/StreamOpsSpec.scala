@@ -292,14 +292,16 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == twin, s"expected $twin, got $got")
   }
 
-  test("dedup state on RocksDB stays FLAT as keys stream past the watermark horizon") {
+  test("dedup state on RocksDB stays FLAT as ~1M keys stream past the watermark horizon") {
     // The 100 TB/day state-posture claim, measured instead of asserted:
-    // drive ~30k distinct keys through dedupFirst in 6 event-time
+    // drive ~1M DISTINCT keys through dedupFirst in 6 event-time
     // batches on the RocksDB provider with a 10-minute watermark and
     // 10-minute time steps. Expired keys must leave the store, so
     // state row count after each batch stays ~one horizon's worth of
     // keys — NOT the cumulative key count (a leak there means a
-    // wall-clock-shaped OOM in production).
+    // wall-clock-shaped OOM in production). Volume is deliberately at
+    // the ~1M-key mark so RocksDB holds a six-figure working set per
+    // batch; peak rows/bytes are printed and recorded in PERF.md.
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -309,8 +311,9 @@ class StreamOpsSpec extends AnyFunSuite {
       val mem = MemoryStream[StreamOps.Event]
       val q = StreamOps.dedupFirst(mem.toDF(), delay = "10 minutes").writeStream
         .format("memory").queryName("dedup_flat_out").outputMode("append").start()
-      val perBatch = 5000
+      val perBatch = 170000 // 6 batches → 1.02M distinct keys total
       val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stateBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
       try {
         (0 until 6).foreach { b =>
           val t0 = 10L * 60 * 1000 * b // batches advance event time 10 min each
@@ -322,8 +325,12 @@ class StreamOpsSpec extends AnyFunSuite {
           }: _*)
           q.processAllAvailable()
           stateRows += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+          stateBytes += q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
         }
       } finally q.stop()
+      info(s"state rows per batch: ${stateRows.mkString(", ")}")
+      info(s"state bytes per batch: ${stateBytes.mkString(", ")} " +
+        s"(peak ${stateBytes.max / 1024 / 1024} MiB)")
       val total = 6L * perBatch
       assert(stateRows.last < 3L * perBatch,
         s"state must hold ~one watermark horizon, not all $total keys: $stateRows")
