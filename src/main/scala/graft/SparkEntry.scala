@@ -229,6 +229,55 @@ object SparkEntry {
       s"list_sum(list_transform(range(1, 65), i -> v[i] * (CAST($arr AS DOUBLE[]))[i]))"
     }
 
+  /** Dial-aware q_knn_join oracle SQL for SCALED corpora: mirrors the
+    * variable-depth bucketing [[graft.vector.VectorOps.qKnnJoin]] uses
+    * above oracle scale (p base planes + one split plane on the first
+    * s prefix buckets, multi-probe flip over the planes each vector's
+    * key uses). The static `oracleSql("q_knn_join")` entry stays the
+    * flat 4-plane chain every gate corpus lands on; THIS generator
+    * exists for the sfN spot-check harness (tools/spot_check) — pass
+    * the corpus' embedding count. At gate-scale n it reduces to the
+    * same 4-plane no-split semantics, which the harness can verify by
+    * hash-matching sf0.01 with the generated SQL too. */
+  def knnJoinOracleSqlFor(n: Long): String = {
+    val (p, s) = graft.vector.VectorOps.knnDialFor(n)
+    val nPlanes = if (s > 0) p + 1 else p
+    val planes = graft.vector.VectorOps.hyperplanes(nPlanes, 64)
+    val mask = (1L << p) - 1
+    val dotCols = planes.zipWithIndex.map { case (r, i) =>
+      val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * (CAST($arr AS DOUBLE[]))[i])) AS d${i + 1}"
+    }.mkString(",\n  ")
+    val fullExpr = (0 until nPlanes)
+      .map(i => s"CASE WHEN d${i + 1} >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    // first-global-minimum |margin| argmin over planes 1..m → flip bit
+    def argminChain(m: Int): String = {
+      val whens = (0 until m - 1).map { i =>
+        val conds = ((i + 1) until m).map(j => s"abs(d${i + 1}) <= abs(d${j + 1})")
+        s"WHEN ${conds.mkString(" AND ")} THEN ${1L << i}"
+      }
+      s"CASE ${whens.mkString(" ")} ELSE ${1L << (m - 1)} END"
+    }
+    val flipExpr =
+      if (s == 0) argminChain(p)
+      else s"CASE WHEN (b & $mask) < $s THEN ${argminChain(p + 1)} ELSE ${argminChain(p)} END"
+    def keyOf(x: String): String =
+      if (s == 0) s"($x & $mask)"
+      else s"(CASE WHEN ($x & $mask) < $s THEN $x ELSE ($x & $mask) END)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dk AS (SELECT vec_id, v,
+       |  $dotCols FROM e),
+       |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+       |fl AS (SELECT vec_id, v, b, ${keyOf("b")} AS bucket, $flipExpr AS flip FROM bk),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM fl
+       |  UNION ALL SELECT vec_id, v, ${keyOf("xor(b, flip)")} AS bucket FROM fl),
+       |p AS (SELECT q_id, fl.vec_id, $cosineSql AS sim
+       |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+       |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Scaled-integer mean of a computed double — mirrors
     * `Exact.scaledMean` (same multiply, integer round, sum, and
     * division order; see its scaladoc for why double→DECIMAL casts

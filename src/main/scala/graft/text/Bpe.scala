@@ -135,7 +135,8 @@ object Bpe {
     * corpus, bit-identical to [[train]] and to the DuckDB oracle's
     * staged-CTE replay. */
   def trainDistributed(spark: SparkSession, dir: String,
-      nMerges: Int = NumMerges): Vector[(String, String, Long)] = {
+      nMerges: Int = NumMerges,
+      onRound: (Int, Double) => Unit = (_, _) => ()): Vector[(String, String, Long)] = {
     val vocab = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -146,6 +147,7 @@ object Bpe {
       var k = 0
       var exhausted = false
       while (k < nMerges && !exhausted) {
+        val roundT0 = System.nanoTime()
         val sy = graft.functions.BpeEncode.bpeApplyMerges(col("word"), sofar)
         val top = vocab
           .select(col("cnt"), sy.as("sy"))
@@ -166,6 +168,7 @@ object Bpe {
           val c: Long = r.getLong(2)
           learned += ((a, b, c))
           sofar = sofar :+ ((a, b))
+          onRound(k, (System.nanoTime() - roundT0) / 1e9)
           k += 1
         }
       }
