@@ -10,6 +10,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bounded-buffer TypedImperativeAggregates (TopKNative) group by
+      // high-cardinality keys; the 128-key default would fall back to
+      // sort-based aggregation and sort the whole candidate relation
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: JIT + classloading + parquet-reader init dominate the

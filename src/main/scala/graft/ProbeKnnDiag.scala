@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev diagnostic for the kNN dial: leaf-depth distribution, bucket
+  * occupancy (mean / max / Σocc² — the candidate-volume moment), and
+  * measured candidate counts + steady-state wall under the current
+  * occupancy-adaptive dial at a given dir. */
+object ProbeKnnDiag {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/repo/target/scaledata/sf10"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (emb, p0, maxD) = graft.vector.VectorOps.knnIndexed(spark, dir)
+    val n = Tables.embeddings(spark, dir).count()
+    println(s"n=$n dial p0=$p0 maxD=$maxD")
+    emb.groupBy("ld").agg(count(lit(1)).as("vectors")).orderBy("ld").show()
+    val occ = emb.groupBy("bucket").count()
+    occ.agg(count(lit(1)).as("n_buckets"), min("count"), max("count"),
+      avg("count"), sum(col("count") * col("count")).as("sum_occ_sq")).show()
+    // primary-probe candidate volume (the flip probe roughly doubles it)
+    val a = emb.select(col("bucket"), col("vec_id"))
+    val b = emb.select(col("bucket"), col("vec_id").as("q_id"))
+    val t0 = System.nanoTime()
+    val cands = a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("q_id")).count()
+    println(f"primary-probe candidates=$cands t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    // stage timing: join+cosine WITHOUT the heap agg
+    val b2 = emb.select(col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"))
+    val t1b = System.nanoTime()
+    val s = emb.select(col("bucket"), col("vec_id"), col("v")).join(b2, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .agg(sum(graft.vector.VectorOps.cosine(col("qv"), col("v")))).collect()(0)
+    println(f"join+cosine sum=$s t=${(System.nanoTime() - t1b) / 1e9}%.2f")
+    // native codegen'd agg over the same candidate relation: bounds
+    // what a perfect top-k aggregate could cost
+    val t1c = System.nanoTime()
+    val mx = emb.select(col("bucket"), col("vec_id"), col("v")).join(b2, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(max(graft.vector.VectorOps.cosine(col("qv"), col("v")))).count()
+    println(f"join+cosine+nativeMax groups=$mx t=${(System.nanoTime() - t1c) / 1e9}%.2f")
+    val t1 = System.nanoTime()
+    val knn = graft.vector.VectorOps.qKnnJoin(spark, dir).count()
+    println(f"qKnnJoin rows=$knn t=${(System.nanoTime() - t1) / 1e9}%.2f")
+    val t2 = System.nanoTime()
+    graft.vector.VectorOps.qKnnJoin(spark, dir).count()
+    println(f"qKnnJoin steady t=${(System.nanoTime() - t2) / 1e9}%.2f")
+    spark.stop()
+  }
+}

@@ -230,25 +230,27 @@ object SparkEntry {
     }
 
   /** Dial-aware q_knn_join oracle SQL for SCALED corpora: mirrors the
-    * variable-depth bucketing [[graft.vector.VectorOps.qKnnJoin]] uses
-    * above oracle scale (p base planes + one split plane on the first
-    * s prefix buckets, multi-probe flip over the planes each vector's
-    * key uses). The static `oracleSql("q_knn_join")` entry stays the
-    * flat 4-plane chain every gate corpus lands on; THIS generator
-    * exists for the sfN spot-check harness (tools/spot_check) — pass
-    * the corpus' embedding count. At gate-scale n it reduces to the
-    * same 4-plane no-split semantics, which the harness can verify by
-    * hash-matching sf0.01 with the generated SQL too. */
+    * occupancy-adaptive trie bucketing [[graft.vector.VectorOps
+    * .qKnnJoin]] uses above oracle scale — per-depth occupancy CTEs,
+    * the monotone min-depth leaf rule (first depth whose prefix cell
+    * holds ≤ cap vectors), trie-encoded keys, and the one-flip
+    * multi-probe exploded across every depth (prefix-freeness of the
+    * leaf set admits at most one match). The static
+    * `oracleSql("q_knn_join")` entry stays the flat 4-plane chain
+    * every gate corpus lands on; THIS generator exists for the sfN
+    * spot-check harness (tools/spot_check) — pass the corpus'
+    * embedding count. At gate-scale n it emits the same flat 4-plane
+    * semantics, which the harness can verify by hash-matching sf0.01
+    * with the generated SQL too. */
   def knnJoinOracleSqlFor(n: Long): String = {
-    val (p, s) = graft.vector.VectorOps.knnDialFor(n)
-    val nPlanes = if (s > 0) p + 1 else p
-    val planes = graft.vector.VectorOps.hyperplanes(nPlanes, 64)
-    val mask = (1L << p) - 1
+    val (p0, maxD) = graft.vector.VectorOps.knnDialFor(n)
+    val cap = graft.vector.VectorOps.KnnCapOcc
+    val planes = graft.vector.VectorOps.hyperplanes(maxD, 64)
     val dotCols = planes.zipWithIndex.map { case (r, i) =>
       val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
       s"list_sum(list_transform(range(1, 65), i -> v[i] * (CAST($arr AS DOUBLE[]))[i])) AS d${i + 1}"
     }.mkString(",\n  ")
-    val fullExpr = (0 until nPlanes)
+    val fullExpr = (0 until maxD)
       .map(i => s"CASE WHEN d${i + 1} >= 0 THEN ${1L << i} ELSE 0 END")
       .mkString("(", " + ", ")")
     // first-global-minimum |margin| argmin over planes 1..m → flip bit
@@ -259,23 +261,55 @@ object SparkEntry {
       }
       s"CASE ${whens.mkString(" ")} ELSE ${1L << (m - 1)} END"
     }
-    val flipExpr =
-      if (s == 0) argminChain(p)
-      else s"CASE WHEN (b & $mask) < $s THEN ${argminChain(p + 1)} ELSE ${argminChain(p)} END"
-    def keyOf(x: String): String =
-      if (s == 0) s"($x & $mask)"
-      else s"(CASE WHEN ($x & $mask) < $s THEN $x ELSE ($x & $mask) END)"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |dk AS (SELECT vec_id, v,
-       |  $dotCols FROM e),
-       |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
-       |fl AS (SELECT vec_id, v, b, ${keyOf("b")} AS bucket, $flipExpr AS flip FROM bk),
-       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM fl
-       |  UNION ALL SELECT vec_id, v, ${keyOf("xor(b, flip)")} AS bucket FROM fl),
-       |p AS (SELECT q_id, fl.vec_id, $cosineSql AS sim
-       |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
-       |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
-       |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    def mask(d: Int) = (1L << d) - 1
+    if (p0 == maxD)
+      // flat gate chain (bucket = the p0-bit code, probe = flipped code)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dk AS (SELECT vec_id, v,
+         |  $dotCols FROM e),
+         |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+         |fl AS (SELECT vec_id, v, b AS bucket, ${argminChain(p0)} AS flip FROM bk),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM fl
+         |  UNION ALL SELECT vec_id, v, xor(bucket, flip) AS bucket FROM fl),
+         |p AS (SELECT q_id, fl.vec_id, $cosineSql AS sim
+         |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    else {
+      val occCtes = (p0 until maxD).map { d =>
+        s"occ$d AS (SELECT b & ${mask(d)} AS p, count(*) AS o FROM bk GROUP BY 1)"
+      }.mkString(",\n")
+      val occJoins = (p0 until maxD).map { d =>
+        s"JOIN occ$d t$d ON (bk.b & ${mask(d)}) = t$d.p"
+      }.mkString("\n  ")
+      val ldExpr = (p0 until maxD).map { d =>
+        s"WHEN t$d.o <= $cap THEN $d"
+      }.mkString("CASE ", " ", s" ELSE $maxD END")
+      val bucketExpr = (p0 to maxD).map { d =>
+        s"WHEN $d THEN (b & ${mask(d)}) | ${1L << d}"
+      }.mkString("CASE ld ", " ", " END")
+      val flipExpr = (p0 to maxD).map { d =>
+        s"WHEN $d THEN ${argminChain(d)}"
+      }.mkString("CASE ld ", " ", " END")
+      val probeList = (p0 to maxD).map { d =>
+        s"(xor(b, flip) & ${mask(d)}) | ${1L << d}"
+      }.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dk AS (SELECT vec_id, v,
+         |  $dotCols FROM e),
+         |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+         |$occCtes,
+         |ld AS (SELECT bk.*, $ldExpr AS ld
+         |  FROM bk
+         |  $occJoins),
+         |fl AS (SELECT vec_id, v, b, ld, $bucketExpr AS bucket, $flipExpr AS flip FROM ld),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM fl
+         |  UNION ALL SELECT vec_id, v, unnest($probeList) AS bucket FROM fl),
+         |p AS (SELECT q_id, fl.vec_id, $cosineSql AS sim
+         |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    }
   }
 
   /** Scaled-integer mean of a computed double — mirrors

@@ -268,12 +268,12 @@ object Relational {
   }
 
   /** Partial-aggregation variant of [[qTopkGroup]] — same rows, same
-    * oracle, different physical shape: the bounded-heap Aggregator
-    * (graft.functions.TopKAgg) truncates to k rows per partition BEFORE
-    * the shuffle, so the exchange carries ≤ k·partitions rows per group
-    * instead of the whole fact table. */
+    * oracle, different physical shape: the bounded-heap aggregate
+    * (graft.functions.TopKNative) truncates to k rows per partition
+    * BEFORE the shuffle, so the exchange carries ≤ k·partitions rows
+    * per group instead of the whole fact table. */
   def qTopkAgg(spark: SparkSession, dir: String): DataFrame = {
-    val top3 = graft.functions.TopKAgg.topK(3)
+    val top3 = graft.functions.TopKNative.topK(3) _
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
         money(col("l_extendedprice")).cast("double").as("price2"),

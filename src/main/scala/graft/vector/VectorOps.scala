@@ -156,79 +156,169 @@ object VectorOps {
     * constant target occupancy keeps per-bucket work constant and
     * total candidates LINEAR in n — the form that survives 100 TB.
     *
-    * r5 rebuild: the old dial rounded the bucket count UP to a power
-    * of two (ceil-log2 planes), so occupancy SAWTOOTHED between ~62
-    * and ~125 across decades — measured as 12.5× candidate growth at
-    * 10× data when sf10 (11 planes, occ 97) stepped to sf100 (14
-    * planes, occ 122). The dial now tracks B = ceil(n/125) effective
-    * buckets CONTINUOUSLY with variable-depth sign-LSH: p = floor(log2
-    * B) base planes, and the first s = B − 2^p of the 2^p prefix
-    * buckets split one plane deeper (standard variable-depth/spill
-    * bucketing). A pair is a candidate iff it agrees on every plane of
-    * its bucket's key — the LSH property is exactly preserved, bucket
-    * keys stay disjoint (split keys carry bit p, unsplit keys don't),
-    * and expected occupancy is ≈125 at EVERY corpus size, so candidate
-    * volume grows ~linearly decade over decade.
+    * r5 rebuild, second attempt. The r4 dial rounded the bucket count
+    * UP to a power of two, so MEAN occupancy sawtoothed between ~62
+    * and ~125 across decades (measured 12.5× candidates at 10× data).
+    * The first r5 fix split the first s = ceil(n/125) − 2^p prefix
+    * buckets one plane deeper, holding the MEAN at 125 continuously —
+    * and measured SLOWER (7.7 s vs 3.3 s at sf10; 16.6× slope to
+    * sf100), because candidates are Σ occ², the SIZE-BIASED moment:
+    * the corpus' LSH cells are skewed (max 733 vs mean 125 at sf10 —
+    * sign-LSH cells inherit the embedding clusters), and index-blind
+    * prefix splitting never touches the hot cells.
     *
-    * The ~125 target keeps every ORACLE corpus (sf0.001/0.01/0.1,
-    * n ≤ 2000) at B = 16 = 2^4, s = 0 — byte-identical to the flat
-    * 4-plane chain the DuckDB oracle embeds; the variable-depth path
-    * only opens above oracle scale (sf1 → B=160, sf10 → B=1600,
-    * sf100 → B=16000). Returns (basePlanes p, splitCount s). */
-  def knnDialFor(n: Long): (Int, Long) = {
-    val b = math.max(16L, (n + 124L) / 125L)
-    val p = 63 - java.lang.Long.numberOfLeadingZeros(b)
-    (p, b - (1L << p))
-  }
+    * The dial is now OCCUPANCY-ADAPTIVE (the LSH-forest design, Bawa
+    * et al. WWW'05: variable-length hash prefixes, leaves bounded):
+    * every vector hashes against maxDepth planes once; a vector's
+    * bucket key is its prefix at its LEAF depth
+    *
+    *   leafDepth(c) = min { d ∈ [p0, maxDepth] :
+    *                        occupancy_d(prefix_d(c)) ≤ cap }
+    *
+    * (occupancy is non-increasing in d, so the min is the unique trie
+    * leaf; cap = 250 = 2× the 125 target, p0 sized so base-depth mean
+    * occupancy lands in [125, 250)). Hot cells — and ONLY hot cells —
+    * split deeper until they fit under cap (or maxDepth = p0+8
+    * bottoms out), so Σ occ² ≤ n·cap: per-vector candidate volume is
+    * bounded by a CONSTANT at every corpus size and total candidates
+    * grow ~linearly decade over decade, skew included. Keys are
+    * trie-encoded (prefix | 1<<depth) — the leaf set is prefix-free
+    * (an ancestor of a leaf always has occupancy > cap), so keys of
+    * different depths never collide and each vector rests in exactly
+    * one bucket.
+    *
+    * The occupancy table is histogram-sized (≤ one row per occupied
+    * full-depth cell), built in one corpus aggregate and joined back
+    * — the same model-not-data shape as the IVF centroid and PQ
+    * codebook artifacts, memoized per (session, dir).
+    *
+    * Oracle corpora (sf0.001/0.01/0.1, n ≤ 2000) stay on the flat
+    * 4-plane chain byte-identical to the DuckDB SQL the gate embeds;
+    * the adaptive path only opens above oracle scale. Returns
+    * (basePlanes p0, maxDepth); p0 == maxDepth ⇔ flat gate path. */
+  def knnDialFor(n: Long): (Int, Int) =
+    if (n <= 2000) (4, 4)
+    else {
+      val b = (n + KnnTargetOcc - 1) / KnnTargetOcc
+      val p0 = 63 - java.lang.Long.numberOfLeadingZeros(b)
+      (p0, p0 + KnnMaxExtra)
+    }
+
+  /** Mean-occupancy target; base depth p0 = floor(log2(ceil(n/125))). */
+  val KnnTargetOcc = 125L
+  /** A cell splits one plane deeper while its occupancy exceeds this. */
+  val KnnCapOcc = 250L
+  /** Split budget past base depth (2^8× finer than base at the floor). */
+  val KnnMaxExtra = 8
 
   private val embCountMemo = TrieMap[(String, String), Long]()
+  private val knnKeymapMemo = TrieMap[(String, String), DataFrame]()
+  private val knnIndexMemo = TrieMap[(String, String), (DataFrame, Int, Int)]()
+  private val knnLeafKeysMemo = TrieMap[(String, String), Array[Long]]()
 
-  def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** full-code → leaf-depth map (histogram-sized, memoized,
+    * materialized): ONE corpus aggregate to the full-depth histogram,
+    * then per-depth roll-ups and the monotone min-depth rule — all
+    * histogram-sized work. */
+  private def knnKeymap(spark: SparkSession, emb0: DataFrame,
+      p0: Int, maxD: Int, dir: String): DataFrame =
+    knnKeymapMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val h = emb0.groupBy(col("full")).agg(count(lit(1)).as("c"))
+      val withOcc = (p0 until maxD).foldLeft(h) { (acc, d) =>
+        val occ = h.groupBy(col("full").bitwiseAND(lit((1L << d) - 1)).as(s"p$d"))
+          .agg(sum(col("c")).as(s"o$d"))
+        acc.join(occ, acc("full").bitwiseAND(lit((1L << d) - 1)) === occ(s"p$d"))
+          .drop(s"p$d")
+      }
+      val leafDepth = (p0 until maxD).foldRight(lit(maxD): Column) { (d, deeper) =>
+        when(col(s"o$d") <= KnnCapOcc, lit(d)).otherwise(deeper)
+      }
+      val (km, _) = graft.dedup.Dedup.materializeStatsReset(
+        withOcc.select(col("full"), leafDepth.as("ld")))
+      km
+    })
+
+  /** The indexed corpus: (vec_id, v, full, ld, bucket) under the
+    * adaptive dial — shared by [[qKnnJoin]], the occupancy specs, and
+    * the scale diagnostics. Above gate scale the index is materialized
+    * and memoized per (session, dir) like the IVF centroids and the
+    * mutual-edge table: the ANN index is a standing, write-once batch
+    * artifact at 100 TB, and the self-join consumes it on BOTH sides
+    * (corpus + queries) — without materialization the scan + maxDepth
+    * plane dots + keymap join execute twice per query. */
+  private[graft] def knnIndexed(spark: SparkSession, dir: String): (DataFrame, Int, Int) = {
     val n = embCountMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Tables.embeddings(spark, dir).count())
-    val (basePlanes, splitCount) = knnDialFor(n)
-    // planes actually consulted: base prefix + one split plane when the
-    // dial is fractional (hyperplanes() draws sequentially from a fixed
-    // seed, so the first p rows are the same at every depth)
-    val nPlanes = if (splitCount > 0) basePlanes + 1 else basePlanes
-    val planes = hyperplanes(nPlanes, 64)
-    val mask = (1L << basePlanes) - 1
-    // variable-depth key: split prefixes (< s) keep bit p (values
-    // s ≤ 2^p never collide with full values carrying prefix < s)
-    def keyOf(full: Column): Column = {
-      val pref = full.bitwiseAND(lit(mask))
-      if (splitCount == 0) pref else when(pref < splitCount, full).otherwise(pref)
-    }
-    val emb = Tables.embeddings(spark, dir)
+    val (p0, maxD) = knnDialFor(n)
+    val planes = hyperplanes(maxD, 64)
+    def emb0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("full", lshBucket(col("v"), planes))
-      .withColumn("bucket", keyOf(col("full")))
+    if (p0 == maxD) // flat gate path: bucket = the 4-bit code itself
+      (emb0.withColumn("ld", lit(p0)).withColumn("bucket", col("full")), p0, maxD)
+    else knnIndexMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      // trie-encoded key of `full` truncated to depth `ld` (9 static
+      // branches — keeps masks literal and the whole key codegen'd)
+      def trieKey(full: Column, ld: Column): Column =
+        (p0 to maxD).map { d =>
+          when(ld === d, full.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d))
+        }.reduceRight(_.otherwise(_))
+      val src = emb0
+      val (emb, _) = graft.dedup.Dedup.materializeStatsReset(
+        src.join(knnKeymap(spark, src, p0, maxD, dir), Seq("full"))
+          .withColumn("bucket", trieKey(col("full"), col("ld"))))
+      (emb, p0, maxD)
+    })
+  }
+
+  /** The distinct trie-leaf key set — model-sized (≈ n/125 longs, the
+    * same artifact class as the IVF centroid table), collected once
+    * per (session, dir). Embedded in the plan as an InSet so the
+    * one-flip probe resolves to its unique matching leaf without the
+    * all-depth explode (prefix-freeness ⇒ at most one ancestor of the
+    * flipped code is a leaf). */
+  private def knnLeafKeys(spark: SparkSession, dir: String, emb: DataFrame): Array[Long] =
+    knnLeafKeysMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      emb.select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted)
+
+  def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val (emb, p0, maxD) = knnIndexed(spark, dir)
+    val planes = hyperplanes(maxD, 64)
     val absDots = array(planes.map(r => abs(dot(col("v"), array(r.map(lit): _*)))): _*)
     // multi-probe flip: lowest-|margin| plane AMONG THE PLANES THIS
-    // VECTOR'S KEY USES (p+1 for split prefixes, p otherwise) —
-    // first-minimum tie-break as everywhere; the probe key re-applies
-    // the depth rule to the flipped prefix
-    val nUse =
-      if (splitCount == 0) lit(basePlanes)
-      else when(col("full").bitwiseAND(lit(mask)) < splitCount, lit(basePlanes + 1))
-        .otherwise(lit(basePlanes))
-    val usable = slice(absDots, lit(1), nUse)
-    val flipBit = element_at(array((0 until nPlanes).map(p => lit(1L << p)): _*),
+    // VECTOR'S LEAF KEY USES (first-minimum tie-break as everywhere)
+    val usable = slice(absDots, lit(1), col("ld"))
+    val flipBit = element_at(array((0 until maxD).map(p => lit(1L << p)): _*),
       array_position(usable, array_min(usable)).cast("int"))
+    val probeFull = col("full").bitwiseXOR(flipBit)
+    // probe key: the unique trie LEAF among the flipped code's prefix
+    // chain (prefix-freeness ⇒ at most one ancestor is a leaf; a probe
+    // at depth ≤ flip-bit is an ancestor of the query's own leaf and
+    // never a leaf itself — so this is exactly one-flip multi-probe
+    // with no duplicate pairs). Resolved via an InSet over the
+    // collected leaf-key set: 9 O(1) membership tests instead of a 9×
+    // explode of the 64-double query vectors through the shuffle.
+    // −1 = no occupied leaf on the flipped branch (matches nothing).
+    val probeKey =
+      if (p0 == maxD) probeFull
+      else coalesce(((p0 to maxD).map { d =>
+        val key = probeFull.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)
+        when(key.isInCollection(knnLeafKeys(spark, dir, emb)), key)
+      } :+ lit(-1L)): _*)
     val queries = emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      explode(array(col("bucket"), keyOf(col("full").bitwiseXOR(flipBit)))).as("bucket"))
+      explode(array(col("bucket"), probeKey)).as("bucket"))
     // Grouped top-k via the bounded-heap aggregate, not a window: the
     // candidate relation is ~2·occupancy rows per vector (≈500M at
     // sf100) and row_number sorted ALL of it through one q_id shuffle;
     // the partial heap truncates to k rows per (q_id, partition) before
     // the exchange. Tie order (sim desc, vec_id asc) matches the
     // window form bit-for-bit (TopKAggSpec law).
-    val topk = graft.functions.TopKAgg.topK(k)
-    emb.join(queries, Seq("bucket")) // corpus-sized both sides: equi-join, NOT broadcast
+    emb.select(col("bucket"), col("vec_id"), col("v"))
+      .join(queries, Seq("bucket")) // corpus-sized both sides: equi-join, NOT broadcast
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
       .groupBy(col("q_id"))
-      .agg(topk(col("sim"), col("vec_id"), lit(0)).as("tk"))
+      .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
         col("col.id1").as("vec_id"), col("col.sortKey").as("sim"))
