@@ -108,17 +108,20 @@ object ScaleGen {
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate")), "lineitem", 8)
 
-    // events: ts is TIMESTAMP(NANOS) in the source; the nanosAsLong conf
-    // reads it as int64 nanos. Write it back as a true TIMESTAMP(µs)
-    // column (every source ns is a whole µs) so the scaled corpus keeps
-    // the driver corpus's logical schema for BOTH engines — a raw int64
+    // events: older driver corpora write ts as TIMESTAMP(NANOS) (read as
+    // int64 via the nanosAsLong conf), newer ones as TIMESTAMP(µs).
+    // Either way the scaled corpus carries a true TIMESTAMP(µs) column so
+    // both engines keep the driver corpus's logical schema — a raw int64
     // ts would read as BIGINT in DuckDB and break interval arithmetic
     // in the oracle SQL at scaled dirs. Tables.events accepts either.
     val events = spark.read.parquet(s"$src/events.parquet")
     val evOff = off(events, "event_id")
     val usOff = off(events, "user_id")
-    write(rep(events).select(shifted("event_id", evOff),
-      timestamp_micros(expr("ts DIV 1000")).as("ts"),
+    val tsUs =
+      if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000")).as("ts")
+      else col("ts")
+    write(rep(events).select(shifted("event_id", evOff), tsUs,
       shifted("user_id", usOff), col("event_type"), col("value"), col("props")), "events", 2)
 
     // documents: content-hashed 1-in-3 token salting for copies > 0
