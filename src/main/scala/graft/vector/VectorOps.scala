@@ -264,9 +264,22 @@ object VectorOps {
           when(ld === d, full.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d))
         }.reduceRight(_.otherwise(_))
       val src = emb0
+      // multi-probe flip bit — lowest-|margin| plane among the planes
+      // this vector's leaf key uses — computed at INDEX BUILD time and
+      // stored in the standing artifact: inlining the maxD×64-term dot
+      // expressions into the per-query probe stage blew janino's 64 KB
+      // method limit inside the Generate's doConsume (which, unlike a
+      // Project, cannot split expressions across methods), dropping the
+      // whole probe stage to interpreted mode at scaled dirs.
+      val absDots = array(planes.map(r =>
+        abs(dot(col("v"), array(r.map(lit): _*)))): _*)
+      val usable = slice(absDots, lit(1), col("ld"))
+      val flipExpr = element_at(array((0 until maxD).map(p => lit(1L << p)): _*),
+        array_position(usable, array_min(usable)).cast("int"))
       val (emb, _) = graft.dedup.Dedup.materializeStatsReset(
         src.join(knnKeymap(spark, src, p0, maxD, dir), Seq("full"))
-          .withColumn("bucket", trieKey(col("full"), col("ld"))))
+          .withColumn("bucket", trieKey(col("full"), col("ld")))
+          .withColumn("flip", flipExpr))
       (emb, p0, maxD)
     })
   }
@@ -284,12 +297,20 @@ object VectorOps {
   def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val (emb, p0, maxD) = knnIndexed(spark, dir)
     val planes = hyperplanes(maxD, 64)
-    val absDots = array(planes.map(r => abs(dot(col("v"), array(r.map(lit): _*)))): _*)
     // multi-probe flip: lowest-|margin| plane AMONG THE PLANES THIS
-    // VECTOR'S LEAF KEY USES (first-minimum tie-break as everywhere)
-    val usable = slice(absDots, lit(1), col("ld"))
-    val flipBit = element_at(array((0 until maxD).map(p => lit(1L << p)): _*),
-      array_position(usable, array_min(usable)).cast("int"))
+    // VECTOR'S LEAF KEY USES (first-minimum tie-break as everywhere).
+    // Above gate scale the bit is precomputed into the standing index
+    // (see knnIndexed) so this stage stays bit-ops-only and codegen'd;
+    // the flat gate path keeps the inline 4-plane form byte-identical
+    // to the oracle-pinned plan.
+    val flipBit =
+      if (p0 == maxD) {
+        val absDots = array(planes.map(r =>
+          abs(dot(col("v"), array(r.map(lit): _*)))): _*)
+        val usable = slice(absDots, lit(1), col("ld"))
+        element_at(array((0 until maxD).map(p => lit(1L << p)): _*),
+          array_position(usable, array_min(usable)).cast("int"))
+      } else col("flip")
     val probeFull = col("full").bitwiseXOR(flipBit)
     // probe key: the unique trie LEAF among the flipped code's prefix
     // chain (prefix-freeness ⇒ at most one ancestor is a leaf; a probe
