@@ -179,6 +179,7 @@ object SparkEntry {
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => graft.etl.Snapshot.qSnapshotDiff(s, d)),
     "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
     "q_shard_write" -> (graft.ops.Sink.qShardWrite _),
+    "q_zorder_write" -> (graft.ops.ZOrder.qZorderWrite _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -1888,6 +1889,33 @@ object SparkEntry {
         |  CAST(sum(pos * n_tok) AS BIGINT) AS order_tok_check,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    // q_zorder_write: Spark z-order-writes lineitem (Morton key over
+    // quantized (l_partkey, shipdate-day), fixed-width prefix buckets)
+    // and aggregates the per-bucket manifest from the READ-BACK files;
+    // DuckDB recomputes bucket, stats, and z checksum from the raw
+    // table — green iff the writer laid down the declared clustering.
+    "q_zorder_write" -> {
+      val b = graft.ops.ZOrder.Bits
+      val shift = 2 * b - graft.ops.ZOrder.BucketBits
+      val m = (1L << b) - 1
+      val z = (0 until b).map(i =>
+        s"((qa >> $i) & 1) * ${1L << (2 * i)} + ((qb >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString("(", " + ", ")")
+      s"""WITH li AS (SELECT l_orderkey, l_partkey,
+        |  CAST(CAST(l_shipdate AS DATE) - DATE '${graft.ops.ZOrder.Epoch}' AS BIGINT) AS day
+        |  FROM lineitem),
+        |st AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+        |  min(day) AS mnd, max(day) AS mxd FROM li),
+        |q AS (SELECT l_partkey, day,
+        |  ((l_partkey - mnp) * $m) // greatest(1, mxp - mnp) AS qa,
+        |  ((day - mnd) * $m) // greatest(1, mxd - mnd) AS qb FROM li, st),
+        |z AS (SELECT l_partkey, day, $z AS z FROM q)
+        |SELECT z >> $shift AS zfile, count(*) AS n,
+        |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |  min(day) AS min_day, max(day) AS max_day,
+        |  CAST(sum(z) AS BIGINT) AS z_sum
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_pack" ->
       s"""WITH d AS (SELECT source, doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Z-ORDER CLUSTERED WRITES — the multi-dimensional data-layout lever
+  * a 100 TB table needs: interleave the bits of two quantized
+  * dimensions into one Morton key, cluster files on its prefix, and
+  * every engine's plain min/max file- and row-group statistics prune
+  * scans filtered on EITHER dimension (a single-column sort gives
+  * narrow stats on that column only; the z-curve gives ~√-law range
+  * widths on both). Nothing here is engine-private: the layout is
+  * ordinary parquet + directory buckets, the skipping falls out of
+  * stats every reader already collects.
+  *
+  * Determinism contract (what the oracle pins): quantization is exact
+  * integer arithmetic against the table's true min/max — floor((x−mn)
+  * ·(2ᵇ−1) / span) — and the bucket is a fixed-width z prefix, so the
+  * file assignment is a pure function of the row, not of sampled range
+  * boundaries. The DuckDB oracle recomputes bucket/count/stat columns
+  * from the raw table; the query reads them from the WRITTEN files —
+  * green iff the writer laid down exactly the declared clustering.
+  */
+object ZOrder {
+
+  /** Morton-interleave the low `bits` of two non-negative longs:
+    * bit i of `a` → bit 2i, bit i of `b` → bit 2i+1. 2·bits ≤ 62. */
+  def interleave2(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Exact-integer range quantization to `bits` bits: floor((x − mn)
+    * ·(2ᵇ−1) / span). The double division is exact-enough by
+    * construction — numerator < 2⁴⁰, so the quotient's ulp is orders
+    * below the 1/span gap to the next integer — and truncation of a
+    * non-negative quotient is floor, matching DuckDB's integer `//`. */
+  def quantize(x: Column, mn: Long, mx: Long, bits: Int): Column =
+    floor((x - lit(mn)) * lit((1L << bits) - 1) /
+      lit(math.max(1L, mx - mn))).cast("long")
+
+  val Bits = 16          // per-dimension quantization width
+  val BucketBits = 4     // 2^4 = 16 z-prefix file buckets
+  val Epoch = "1992-01-01"
+
+  /** lineitem with its z key over (l_partkey, shipdate-day) and the
+    * fixed-width prefix bucket. Stats (`mn/mx` per dim) are one exact
+    * aggregate — at 100 TB these are the standing table statistics. */
+  def lineitemZ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        datediff(col("l_shipdate"), lit(Epoch)).cast("long").as("day"))
+    val Array(mnP, mxP, mnD, mxD) =
+      li.agg(min("l_partkey"), max("l_partkey"), min("day"), max("day"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val z = interleave2(
+      quantize(col("l_partkey"), mnP, mxP, Bits),
+      quantize(col("day"), mnD, mxD, Bits), Bits)
+    li.withColumn("z", z)
+      .withColumn("zfile", shiftright(col("z"), 2 * Bits - BucketBits))
+  }
+
+  /** Write `df` clustered by its `zfile` bucket, z-sorted inside each
+    * bucket (so row groups inside a file carry nested narrow stats). */
+  def writeZOrdered(df: DataFrame, path: String): Unit =
+    df.repartition(1 << BucketBits, col("zfile"))
+      .sortWithinPartitions(col("zfile"), col("z"))
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", 5000000L)
+      .partitionBy("zfile")
+      .parquet(path)
+
+  /** Declared round trip: z-order-write lineitem, read the files back,
+    * and emit the per-bucket manifest — count, the min/max stats a
+    * pruning reader would consult on BOTH dimensions, and a z checksum
+    * pinning the Morton computation. Oracle recomputes from source. */
+  def qZorderWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/root/repo/target/graft_zorder/${dir.replaceAll(".*/", "")}"
+    writeZOrdered(lineitemZ(spark, dir), out)
+    spark.read.parquet(out)
+      .groupBy(col("zfile").cast("long").as("zfile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        sum(col("z")).as("z_sum"))
+      .orderBy(col("zfile"))
+  }
+}
