@@ -19,12 +19,16 @@ import org.apache.spark.sql.types._
   * The IMAGE path is REAL: fixture rows carry genuine PNG bytes
   * (ImageIO-encoded), and decode / pixel features / entropy / resize
   * run over true decoded pixels via [[ImageCodec]] (`javax.imageio`
-  * ships in every JDK — PNG/JPEG/BMP/GIF). Audio and video stay behind
-  * the declared deterministic [[StubCodec]] boundary: no audio/video
-  * codec exists in the JDK, so those calls are the swap point for
-  * javacv/ffmpeg in production — the distributed plumbing around them
-  * (schema, lazy binary scan, partition-parallel batches, explode-shaped
-  * frame fan-out) is identical either way.
+  * ships in every JDK — PNG/JPEG/BMP/GIF). The AUDIO path is REAL
+  * too: fixture rows carry genuine 16-bit PCM WAV bytes, and decode /
+  * sample features / entropy run over true decoded samples via
+  * [[AudioCodec]] (`javax.sound.sampled`, also in every JDK —
+  * WAV/AIFF/AU PCM). Only VIDEO stays behind the declared
+  * deterministic [[StubCodec]] boundary (the JDK has no video codec;
+  * that call is the swap point for javacv/ffmpeg in production) — the
+  * distributed plumbing around it (schema, lazy binary scan,
+  * partition-parallel batches, explode-shaped frame fan-out) is
+  * identical either way.
   *
   * Scale notes: binaries ride the columnar scan untouched until the
   * map stage (no shuffle); decode + feature extraction is embarrassingly
@@ -192,10 +196,150 @@ object MultimodalOps {
     }
   }
 
-  /** STUB codec boundary for AUDIO and VIDEO only (the JDK has no
-    * audio/video codec; swap for javacv/ffmpeg in production).
-    * Deterministic fakes so tests and the driver can exercise the
-    * distributed plumbing end-to-end. Image calls never come here. */
+  /** REAL audio codec over `javax.sound.sampled` (ships in every JDK
+    * — WAV/AIFF/AU containers, PCM encodings). Decodes true 16-bit PCM
+    * samples and computes sample-space features with integer
+    * accumulators (exact longs) before one final double division, so
+    * results are bit-deterministic across partitionings and runs; the
+    * RIFF/WAVE encode of a fixed sample array is a fixed byte stream,
+    * which DeterminismSpec and the media oracles rely on. */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** The planted-sample formula (16-bit mono): sample t of clip `id`
+      * is an integer sum of an id-derived square wave and sawtooth —
+      * textured, bounded, and exactly recomputable in specs. */
+    def syntheticSample(id: Long, t: Int): Short = {
+      val p1 = (32 + (id % 7) * 8).toInt
+      val p2 = (96 + (id % 5) * 32).toInt
+      val sq = if ((t / p1) % 2 == 0) 6000 else -6000
+      val saw = (t % p2) * 8000 / p2 - 4000
+      (sq + saw).toShort
+    }
+
+    def syntheticPcm(id: Long, sampleRate: Int, durationMs: Int): Array[Short] = {
+      val n = (sampleRate.toLong * durationMs / 1000).toInt
+      Array.tabulate(n)(t => syntheticSample(id, t))
+    }
+
+    /** Encode 16-bit signed little-endian mono PCM as WAV. */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream(raw.length + 64)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode or fail LOUDLY — an audio-kind row whose bytes don't
+      * decode is corrupt data, not a row to silently skip. Accepts any
+      * 16-bit signed PCM container the JDK reads (WAV/AIFF/AU);
+      * multi-channel input downmixes by integer average. Returns
+      * (mono samples, sample rate). */
+    def decodeWav(bytes: Array[Byte]): (Array[Short], Int) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16 || f.getEncoding !=
+          AudioFormat.Encoding.PCM_SIGNED)
+        throw new IllegalArgumentException(
+          s"audio bytes are ${f.getEncoding}/${f.getSampleSizeInBits}-bit; " +
+            "expected 16-bit signed PCM")
+      val all = ais.readAllBytes()
+      val ch = f.getChannels
+      val n = all.length / 2 / ch
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0
+        var c = 0
+        while (c < ch) {
+          val o = (i * ch + c) * 2
+          val s =
+            if (f.isBigEndian) ((all(o) << 8) | (all(o + 1) & 0xff)).toShort
+            else ((all(o + 1) << 8) | (all(o) & 0xff)).toShort
+          acc += s
+          c += 1
+        }
+        out(i) = (acc / ch).toShort
+        i += 1
+      }
+      (out, f.getSampleRate.toInt)
+    }
+
+    /** Shannon entropy (bits) of the 256-bin histogram over the high
+      * byte of each sample — the sample-space texture signal (silence
+      * → 0, rich waveforms → high). */
+    def entropy(samples: Array[Short]): Double = {
+      if (samples.isEmpty) return 0.0
+      val counts = new Array[Long](256)
+      var i = 0
+      while (i < samples.length) {
+        counts(((samples(i) >> 8) & 0xff)) += 1
+        i += 1
+      }
+      val n = samples.length.toDouble
+      var e = 0.0
+      var b = 0
+      while (b < 256) {
+        if (counts(b) > 0) { val p = counts(b) / n; e -= p * math.log(p) / math.log(2) }
+        b += 1
+      }
+      e
+    }
+
+    /** 8-dim sample feature vector: RMS, zero-crossing rate, peak,
+      * mean |amplitude| (each normalized to [0,1]), then the four
+      * time-quarter mean |amplitude|s — the temporal analogue of the
+      * image quadrant features. Integer sums (sum of squares fits a
+      * long for any clip under ~2^33 samples), one division each. */
+    def features(samples: Array[Short]): Array[Float] = {
+      val n = samples.length
+      val out = new Array[Float](8)
+      if (n == 0) return out
+      var sumSq = 0L
+      var sumAbs = 0L
+      var peak = 0L
+      var zc = 0L
+      val qs = new Array[Long](4)
+      val qn = new Array[Long](4)
+      var i = 0
+      while (i < n) {
+        val s = samples(i).toLong
+        sumSq += s * s
+        val a = math.abs(s)
+        sumAbs += a
+        if (a > peak) peak = a
+        if (i > 0 && ((samples(i - 1) < 0 && s >= 0) || (samples(i - 1) >= 0 && s < 0)))
+          zc += 1
+        val q = math.min(3, i * 4 / n)
+        qs(q) += a; qn(q) += 1
+        i += 1
+      }
+      out(0) = (math.sqrt(sumSq.toDouble / n) / 32768.0).toFloat
+      out(1) = (zc.toDouble / n).toFloat
+      out(2) = (peak.toDouble / 32768.0).toFloat
+      out(3) = (sumAbs.toDouble / n / 32768.0).toFloat
+      var q = 0
+      while (q < 4) {
+        if (qn(q) > 0) out(4 + q) = (qs(q).toDouble / qn(q) / 32768.0).toFloat
+        q += 1
+      }
+      out
+    }
+  }
+
+  /** STUB codec boundary for VIDEO only (the JDK has no video codec;
+    * swap for javacv/ffmpeg in production). Deterministic fakes so
+    * tests and the driver can exercise the distributed plumbing end to
+    * end. Image and audio calls never come here. */
   object StubCodec {
     /** STUB: a real implementation decodes samples; this derives a
       * deterministic 8-dim feature vector from the raw bytes. */
@@ -232,8 +376,10 @@ object MultimodalOps {
   }
 
   /** Deterministic synthetic media table. IMAGE rows carry REAL PNG
-    * bytes (ImageIO-encoded deterministic rasters); audio/video rows
-    * keep sha-derived opaque payloads behind the stub boundary. */
+    * bytes (ImageIO-encoded deterministic rasters); AUDIO rows carry
+    * REAL WAV bytes (16-bit PCM mono, planted integer waveforms);
+    * video rows keep sha-derived opaque payloads behind the stub
+    * boundary. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -244,23 +390,24 @@ object MultimodalOps {
           val h = 64
           val bytes = ImageCodec.encodePng(ImageCodec.syntheticImage(i, w, h))
           MediaRow(i, kind, bytes, MediaMeta(Some(w), Some(h), None, None, Some("png")))
+        case "audio" =>
+          val rate = 16000
+          val durMs = 2000 + (i % 5).toInt * 500
+          val bytes = AudioCodec.encodeWav(AudioCodec.syntheticPcm(i, rate, durMs), rate)
+          MediaRow(i, kind, bytes, MediaMeta(None, None, Some(rate), Some(durMs), Some("wav")))
         case _ =>
           val md = java.security.MessageDigest.getInstance("SHA-256")
           val bytes = (0 until 16).flatMap(j => md.digest(s"$i:$j".getBytes("UTF-8"))).toArray
-          val meta =
-            if (kind == "audio")
-              MediaMeta(None, None, Some(16000), Some(2000 + (i % 5).toInt * 500), Some("wav"))
-            else
-              MediaMeta(Some(128), Some(72), None, Some(4000 + (i % 3).toInt * 1000), Some("mp4"))
-          MediaRow(i, kind, bytes, meta)
+          MediaRow(i, kind, bytes,
+            MediaMeta(Some(128), Some(72), None, Some(4000 + (i % 3).toInt * 1000), Some("mp4")))
       }
     }
   }
 
   /** Feature extraction: per-partition batch map (mapInPandas-shaped) —
     * each task walks its partition's binaries once, no shuffle. Images
-    * decode to real pixels ([[ImageCodec]]); audio/video go through the
-    * stub boundary. */
+    * decode to real pixels ([[ImageCodec]]); audio decodes to real PCM
+    * samples ([[AudioCodec]]); video goes through the stub boundary. */
   def extractFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
@@ -270,6 +417,10 @@ object MultimodalOps {
           val img = ImageCodec.decode(b)
           MediaFeatures(m.media_id, m.kind, b.length.toLong,
             ImageCodec.entropy(img), ImageCodec.features(img))
+        } else if (m.kind == "audio" && b.nonEmpty) {
+          val (samples, _) = AudioCodec.decodeWav(b)
+          MediaFeatures(m.media_id, m.kind, b.length.toLong,
+            AudioCodec.entropy(samples), AudioCodec.features(samples))
         } else {
           MediaFeatures(m.media_id, m.kind, b.length.toLong,
             StubCodec.entropy(b), StubCodec.extractFeatures(b))

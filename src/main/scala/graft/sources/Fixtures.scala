@@ -22,7 +22,7 @@ object Fixtures {
     * corpus). Bump the version suffix when generation logic changes.
     * (v2: image rows carry real ImageIO PNG bytes; features/resize
     * compute over decoded pixels.) */
-  val dir = "/root/repo/target/graft_fixtures_v2"
+  val dir = "/root/repo/target/graft_fixtures_v3"
 
   val mediaPath = s"$dir/media.parquet"
   val mediaFeaturesPath = s"$dir/media_features.parquet"

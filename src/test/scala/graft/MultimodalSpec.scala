@@ -18,11 +18,48 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => (m.media_id, m.bytes.toSeq)).toMap
     assert(a == b)
     assert(media.collect().map(_.kind).toSet == Set("image", "audio", "video"))
-    // audio/video: opaque sha payloads; images: real PNGs (variable size)
+    // video: opaque sha payloads; images: real PNGs; audio: real WAVs
     media.collect().foreach { m =>
       if (m.kind == "image") assert(m.bytes.length > 100)
+      else if (m.kind == "audio")
+        assert(m.bytes.length > 2 * 16000 * 2) // >= 2 s of 16 kHz 16-bit PCM
       else assert(m.bytes.length == 512)
     }
+  }
+
+  test("audio rows are REAL WAVs: known planted clip decodes to exact known samples") {
+    import graft.multimodal.MultimodalOps.AudioCodec
+    val m = media.filter(_.media_id == 1L).collect().head
+    assert(m.kind == "audio")
+    // RIFF/WAVE magic
+    assert(m.bytes(0) == 'R'.toByte && m.bytes(1) == 'I'.toByte &&
+      m.bytes(2) == 'F'.toByte && m.bytes(3) == 'F'.toByte &&
+      m.bytes(8) == 'W'.toByte && m.bytes(11) == 'E'.toByte)
+    val (samples, rate) = AudioCodec.decodeWav(m.bytes)
+    assert(rate == m.meta.sample_rate.get)
+    assert(samples.length == rate.toLong * m.meta.duration_ms.get / 1000)
+    var t = 0
+    while (t < samples.length) {
+      assert(samples(t) == AudioCodec.syntheticSample(1L, t), s"sample $t")
+      t += 1
+    }
+  }
+
+  test("WAV encode/decode round-trips PCM losslessly; features are exact") {
+    import graft.multimodal.MultimodalOps.AudioCodec
+    val src = Array[Short](0, 100, -100, 32767, -32768, 5, -5, 0)
+    val (back, rate) = AudioCodec.decodeWav(AudioCodec.encodeWav(src, 8000))
+    assert(rate == 8000 && back.toSeq == src.toSeq)
+    val f = AudioCodec.features(src)
+    // peak = 32768/32768 = 1; zero crossings: sign flips at
+    // 100→-100, -100→32767, 32767→-32768, -32768→5, 5→-5, -5→0 = 6/8
+    assert(f(2) == 1.0f)
+    assert(f(1) == 6.0f / 8)
+    // constant signal: zero entropy, rms == mean == peak
+    val flat = Array.fill[Short](1000)(1024)
+    assert(AudioCodec.entropy(flat) == 0.0)
+    val ff = AudioCodec.features(flat)
+    assert(ff(0) == ff(2) && ff(2) == ff(3) && ff(3) == 1024.0f / 32768)
   }
 
   test("image rows are REAL PNGs: known planted image decodes to exact known pixels") {
