@@ -64,9 +64,18 @@ object ZOrder {
   }
 
   /** Write `df` clustered by its `zfile` bucket, z-sorted inside each
-    * bucket (so row groups inside a file carry nested narrow stats). */
-  def writeZOrdered(df: DataFrame, path: String): Unit =
-    df.repartition(1 << BucketBits, col("zfile"))
+    * bucket (so row groups inside a file carry nested narrow stats).
+    * Write parallelism is decoupled from the bucket count: a RANGE
+    * partition on (zfile, z) splits each bucket into contiguous z-runs,
+    * so `nWriteTasks` tasks sort/write in parallel (vs one task per
+    * bucket — 16 tasks sorting 600 M rows at sf100) while every file
+    * still lands in exactly one zfile dir as one sorted run. Range
+    * boundaries are sampled, so FILE split points vary run to run; the
+    * dir-level CONTENT (and hence the manifest oracle and per-file
+    * stat-width property) does not. */
+  def writeZOrdered(df: DataFrame, path: String,
+      nWriteTasks: Int = 4 << BucketBits): Unit =
+    df.repartitionByRange(nWriteTasks, col("zfile"), col("z"))
       .sortWithinPartitions(col("zfile"), col("z"))
       .write.mode("overwrite")
       .option("compression", "snappy")
