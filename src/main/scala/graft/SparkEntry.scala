@@ -180,6 +180,11 @@ object SparkEntry {
     "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
     "q_shard_write" -> (graft.ops.Sink.qShardWrite _),
     "q_zorder_write" -> (graft.ops.ZOrder.qZorderWrite _),
+    // -- CDC maintenance + data cleaning + graph expansion --
+    "q_merge_upsert" -> (graft.ops.Cdc.qMergeUpsert _),
+    "q_impute" -> (graft.ops.Cleaning.qImpute _),
+    "q_outliers" -> (graft.ops.Cleaning.qOutliers _),
+    "q_khop" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qKhop(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -2041,5 +2046,63 @@ object SparkEntry {
         |SELECT id_a, id_b, ${cosineSqlFor("qv", "vv")} AS cos
         |FROM s WHERE ${cosineSqlFor("qv", "vv")} >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS price,
+        |  0 AS src, 'K' AS op
+        |  FROM orders WHERE o_orderkey % 10 <> 2),
+        |delta AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 10 = 1
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(3,2))
+        |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) END
+        |    AS DECIMAL(18,4)) AS price,
+        |  1 AS src,
+        |  CASE o_orderkey % 10 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op
+        |  FROM orders WHERE o_orderkey % 10 < 3),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, op,
+        |  CAST(CAST(price AS VARCHAR) AS DOUBLE) AS price
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    "q_impute" ->
+      """WITH m AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END AS v
+        |  FROM events),
+        |f AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff FROM m),
+        |u AS (SELECT user_id,
+        |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) / count(v) AS u_mean
+        |  FROM m GROUP BY user_id)
+        |SELECT f.user_id, f.event_id, strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS t,
+        |  CAST(f.v IS NULL AS BIGINT) AS was_missing,
+        |  coalesce(CAST(CAST(f.ff AS VARCHAR) AS DOUBLE), u.u_mean, 0.0) AS value_filled
+        |FROM f JOIN u USING (user_id) ORDER BY user_id, event_id""".stripMargin,
+    "q_outliers" ->
+      """WITH q AS (SELECT event_type,
+        |  quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |b AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM q)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value > b.hi THEN 'hi' ELSE 'lo' END AS side, b.lo, b.hi
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.value < b.lo OR e.value > b.hi
+        |ORDER BY e.event_id""".stripMargin,
+    "q_khop" ->
+      s"""WITH $knnChainSql,
+         |knn AS MATERIALIZED (SELECT q_id, vec_id FROM r WHERE rn <= 3),
+         |m AS MATERIALIZED (SELECT k1.q_id AS a, k1.vec_id AS b FROM knn k1
+         |  JOIN knn k2 ON k1.q_id = k2.vec_id AND k1.vec_id = k2.q_id
+         |  WHERE k1.q_id < k1.vec_id),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM m
+         |  UNION ALL SELECT b AS src, a AS dst FROM m),
+         |dg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |two AS (SELECT DISTINCT e1.src, e2.dst AS dst2
+         |  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src WHERE e2.dst <> e1.src),
+         |strict AS (SELECT t.src, t.dst2 FROM two t
+         |  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = t.src AND s.dst = t.dst2)),
+         |g AS (SELECT src, count(*) AS n_2hop FROM strict GROUP BY src)
+         |SELECT g.src AS vec_id, dg.deg, g.n_2hop
+         |FROM g JOIN dg USING (src) ORDER BY vec_id""".stripMargin,
   )
 }

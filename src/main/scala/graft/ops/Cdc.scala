@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ops.Exact._
+
+/** Change-data-capture maintenance: apply a keyed changeset
+  * (insert / update / delete rows) onto a base snapshot — the MERGE
+  * INTO primitive every incrementally-maintained 100 TB table needs
+  * (ingest feeds arrive as deltas; full-snapshot rewrites are a
+  * non-starter at that size).
+  *
+  * Scale shape: the merge is ONE hash shuffle on the key — union the
+  * tagged base and delta, take the highest-precedence row per key with
+  * a single `row_number` window, drop deletes. No driver state, no
+  * per-key lookups; at 100 TB the same plan runs partition-parallel,
+  * and a bucketed base table turns the shuffle into a co-located
+  * sort-merge (the Delta/Iceberg MERGE physical shape). Precedence is
+  * (src DESC) with src ∈ {0=base, 1=delta}; the key is unique within
+  * each side, so the window never compares more than two rows.
+  *
+  * Reference analogue: the reference refreshes its Redis-cached HTTP
+  * snapshots entry-by-entry (`pipeline/utils/api.py:140-152`, 304 →
+  * keep, 200 → replace); this is the same upsert semantic expressed
+  * set-at-a-time over a keyed table.
+  */
+object Cdc {
+
+  /** Q-merge-upsert: deterministic changeset derived from the orders
+    * key space — keys ≡0 (mod 10) are deleted, ≡1 updated (price
+    * uplifted 10 %, exact decimal), ≡2 inserted (absent from the
+    * base). All arithmetic stays in exact decimals until the final
+    * string-mediated double conversion, so both engines agree
+    * bit-for-bit. */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // price carried at scale 4 everywhere so the 10% uplift (scale 2 ×
+    // scale 2 = scale 4) unions against base rows without any rounding
+    val p4 = dec(col("o_totalprice")).cast(DecimalType(18, 4))
+    val base = o.filter(col("o_orderkey") % 10 =!= 2)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        p4.as("price"), lit(0).as("src"), lit("K").as("op"))
+    val delta = o.filter(col("o_orderkey") % 10 < 3)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 1,
+          (dec(col("o_totalprice")) * lit(1.10).cast(DecimalType(3, 2)))
+            .cast(DecimalType(18, 4)))
+          .otherwise(p4).as("price"),
+        lit(1).as("src"),
+        when(col("o_orderkey") % 10 === 0, "D")
+          .when(col("o_orderkey") % 10 === 1, "U")
+          .otherwise("I").as("op"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").desc)
+    base.unionByName(delta)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("op"), decToDouble(col("price")).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+}

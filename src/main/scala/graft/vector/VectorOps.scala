@@ -488,6 +488,36 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** 2-HOP NEIGHBORHOOD AGGREGATION over the mutual-kNN graph — the
+    * friends-of-friends expansion retrieval and graph-based curation
+    * both lean on (candidate expansion: "documents semantically near
+    * my neighbors but not already my neighbors"). Per node: degree and
+    * the count of STRICT 2-hop neighbors (reachable in exactly two
+    * edges, excluding self and direct neighbors).
+    *
+    * Scale shape: everything runs on the id-only edge table (≤ k·n
+    * rows — tiny next to the corpus; vectors never enter). The 2-hop
+    * expansion is one self-equi-join on the shared endpoint whose
+    * fan-out is Σ deg² — bounded on the mutual-kNN graph because
+    * mutuality caps degree at k; the strictness filter is a distinct +
+    * left-anti equi-join, all hash joins on (id, id) pairs. */
+  def qKhop(spark: SparkSession, dir: String): DataFrame = {
+    val m = knnMutualEdges(spark, dir) // canonical a < b
+    val sym = m.select(col("a").as("src"), col("b").as("dst"))
+      .union(m.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val two = sym.select(col("src"), col("dst").as("mid"))
+      .join(sym.select(col("src").as("mid"), col("dst").as("dst2")), Seq("mid"))
+      .filter(col("dst2") =!= col("src"))
+      .select(col("src"), col("dst2")).distinct()
+    val strict = two.join(
+      sym.select(col("src"), col("dst").as("dst2")), Seq("src", "dst2"), "left_anti")
+    strict.groupBy(col("src")).agg(count(lit(1)).as("n_2hop"))
+      .join(deg, Seq("src"))
+      .select(col("src").as("vec_id"), col("deg"), col("n_2hop"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SEMANTIC CURATION composite — the vector-space analogue of the
     * lexical curation chain (etl.Curate): mutual-kNN clusters from
     * [[qKnnClusters]], keep one canonical vector per cluster (the
