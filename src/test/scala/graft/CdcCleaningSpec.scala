@@ -84,6 +84,30 @@ class CdcCleaningSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("incremental aggregate merge equals the full recompute") {
+    val merged = graft.ops.Cdc.qIncrAgg(spark, sf)
+    val full = Tables.events(spark, sf)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Exact.dsum($"value").as("sum_value"))
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("d"), $"n", $"sum_value")
+    // bit-identical: the algebraic merge of base+delta partials must be
+    // indistinguishable from scanning everything
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+  }
+
+  test("leakage split assigns every near-dup cluster to exactly one split") {
+    val s = graft.dedup.Dedup.qLeakageSplit(spark, sf).cache()
+    // per cluster representative: one distinct split value
+    val perCluster = s.groupBy($"rep").agg(countDistinct($"split").as("k"))
+    assert(perCluster.filter($"k" > 1).count() === 0)
+    // all three splits exist and cover every document
+    assert(s.count() === Tables.documents(spark, sf).count())
+    assert(s.select($"split").distinct().count() === 3)
+    s.unpersist()
+  }
+
   test("2-hop neighbors are reachable in two edges and never direct") {
     val m = graft.vector.VectorOps.qKhop(spark, sf).cache()
     assert(m.count() > 0)
