@@ -187,6 +187,8 @@ object SparkEntry {
     "q_khop" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qKhop(s, d)),
     "q_incr_agg" -> (graft.ops.Cdc.qIncrAgg _),
     "q_leakage_split" -> ((s: SparkSession, d: String) => Dedup.qLeakageSplit(s, d)),
+    "q_concurrency" -> (graft.ops.EventAnalytics.qConcurrency _),
+    "q_feature_hash" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qFeatureHash(s, d)),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -2129,5 +2131,31 @@ object SparkEntry {
          |SELECT doc_id, rep,
          |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    "q_concurrency" ->
+      """WITH e AS (SELECT ts, ts + INTERVAL 10 MINUTE AS te FROM events),
+        |segs AS (SELECT CAST(ts AS DATE) + CAST(k.k AS INTEGER) AS day,
+        |  greatest(ts, CAST(CAST(ts AS DATE) + CAST(k.k AS INTEGER) AS TIMESTAMP)) AS s,
+        |  least(te, CAST(CAST(ts AS DATE) + CAST(k.k + 1 AS INTEGER) AS TIMESTAMP)) AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+        |  WHERE CAST(ts AS DATE) + CAST(k.k AS INTEGER) <= CAST(te - INTERVAL 1 MICROSECOND AS DATE)),
+        |p AS (SELECT day, s AS t, 1 AS delta FROM segs
+        |  UNION ALL SELECT day, x AS t, -1 AS delta FROM segs),
+        |sw AS (SELECT day, t, sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM p),
+        |pk AS (SELECT day, CAST(max(run) AS BIGINT) AS peak FROM sw GROUP BY day)
+        |SELECT strftime(pk.day, '%Y-%m-%d') AS d, pk.peak,
+        |  strftime(min(sw.t), '%Y-%m-%d %H:%M:%S') AS first_peak_t
+        |FROM pk JOIN sw ON pk.day = sw.day AND sw.run = pk.peak
+        |GROUP BY pk.day, pk.peak ORDER BY d""".stripMargin,
+    "q_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, md5('fh:' || w) AS h FROM tok),
+        |b AS (SELECT doc_id,
+        |  CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 64 AS bin,
+        |  CASE WHEN CAST(('0x' || substr(h, 16, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM h)
+        |SELECT doc_id, bin, CAST(sum(sgn) AS BIGINT) AS val
+        |FROM b GROUP BY doc_id, bin HAVING sum(sgn) <> 0
+        |ORDER BY doc_id, bin""".stripMargin,
   )
 }

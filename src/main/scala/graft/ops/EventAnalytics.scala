@@ -108,4 +108,52 @@ object EventAnalytics {
         col("valid_to").isNull.cast("long").as("is_current"))
       .orderBy(col("purchase_id"))
   }
+
+  /** SWEEP-LINE PEAK CONCURRENCY — "how many sessions were open at
+    * once, and when did the peak happen": each event opens a 10-minute
+    * interval; the classic +1/−1 boundary sweep with a running sum
+    * finds each day's maximum overlap. The capacity-planning /
+    * admission-control query every ingestion service runs over its own
+    * telemetry (the reference bounds concurrency statically at 15
+    * workers / queue 500, `pipeline/collectors/nft.py:47-99`; this
+    * measures the demand curve those dials should come from).
+    *
+    * Scale shape: intervals are SPLIT at day boundaries (explode over
+    * the covered days — ≤ 2 segments for a 10-minute interval), so the
+    * running sum partitions by day: no global single-task sort, each
+    * day's sweep is an independent partition and the 100 TB dial is
+    * simply a finer grain (hour buckets) in the same plan. Boundary
+    * multiset {(t, ±1)} ordered by (t, delta) — closes before opens at
+    * the same instant, so touching intervals never overcount; equal
+    * (t, delta) rows get arbitrary-but-equivalent prefix ranks (the
+    * (t, run) multiset is order-independent), making max(run) and its
+    * first timestamp deterministic in both engines. */
+  def qConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("ts"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("te"))
+    val segs = e
+      .select(col("ts"), col("te"),
+        explode(sequence(to_date(col("ts")),
+          to_date(col("te") - expr("INTERVAL 1 MICROSECOND")),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .select(col("day"),
+        greatest(col("ts"), col("day").cast("timestamp")).as("s"),
+        least(col("te"), (col("day") + 1).cast("timestamp")).as("x"))
+    val points = segs.select(col("day"), col("s").as("t"), lit(1L).as("delta"))
+      .unionByName(segs.select(col("day"), col("x").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = points.withColumn("run", sum(col("delta")).over(w))
+    swept.groupBy(col("day"))
+      .agg(max(col("run")).as("peak"))
+      .join(swept.select(col("day"), col("t"), col("run")),
+        Seq("day"))
+      .filter(col("run") === col("peak"))
+      .groupBy(col("day"), col("peak"))
+      .agg(min(col("t")).as("first_peak"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("d"), col("peak"),
+        tstr(col("first_peak")).as("first_peak_t"))
+      .orderBy(col("d"))
+  }
 }

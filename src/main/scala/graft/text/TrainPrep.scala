@@ -356,4 +356,36 @@ object TrainPrep {
       .select(col("doc_id"), col("text"), col("shard"), col("pos"),
         col("n_tok"), col("cum_tokens"))
   }
+
+  /** HASHING-TRICK FEATURIZATION (Weinberger et al.'s feature hashing,
+    * the fixed-width sparse featurizer linear models and quick-and-dirty
+    * classifiers run on text): each token hashes to one of `bins`
+    * feature slots, with a SIGN drawn from an independent hash bit so
+    * collisions cancel in expectation instead of biasing counts
+    * upward. Output: the sparse (doc_id, bin, val) triples, zero
+    * entries absent.
+    *
+    * Scale shape: tokenize → explode → hash → groupBy(doc_id, bin) is
+    * one narrow scan plus one partial+final hash aggregate keyed by
+    * (doc_id, bin) — map-side combine collapses each document's
+    * repeats before the shuffle, and the output is ≤ bins rows per doc
+    * regardless of document length. The hash is the same md5 idiom the
+    * shard permutation uses (deterministic, engine-mirrored); no
+    * vocabulary table, no fit step — the whole point of the hashing
+    * trick at corpus scale. */
+  def qFeatureHash(spark: SparkSession, dir: String, bins: Int = 64): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", md5(concat(lit("fh:"), col("w"))))
+    tok
+      .select(col("doc_id"),
+        pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"), lit(bins.toLong)).as("bin"),
+        // sign bit: an md5 nibble DISJOINT from the bin digits
+        when(conv(substring(col("h"), 16, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bin"))
+      .agg(sum(col("sgn")).as("val"))
+      .filter(col("val") =!= 0)
+      .orderBy(col("doc_id"), col("bin"))
+  }
 }

@@ -108,6 +108,60 @@ class CdcCleaningSpec extends AnyFunSuite {
     s.unpersist()
   }
 
+  test("peak concurrency is attained at the reported instant") {
+    val out = graft.ops.EventAnalytics.qConcurrency(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter($"peak" < 1).count() === 0)
+    // independent driver-side sweep over the raw intervals (fine at
+    // sf0.001): per day, the max open-interval count over all boundary
+    // instants must equal the reported peak
+    val iv = Tables.events(spark, sf)
+      .select($"ts", ($"ts" + expr("INTERVAL 10 MINUTES")).as("te"))
+      .select(expr("unix_micros(cast(ts as timestamp))").as("s"),
+        expr("unix_micros(cast(te as timestamp))").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dayMs = 86400000000L // one UTC day in microseconds
+    val pts = iv.flatMap { case (s, x) =>
+      // split at UTC day boundaries like the operator does
+      (s / dayMs to (x - 1) / dayMs).flatMap { d =>
+        val lo = math.max(s, d * dayMs); val hi = math.min(x, (d + 1) * dayMs)
+        Seq((d, lo, +1), (d, hi, -1))
+      }
+    }
+    val brute = pts.groupBy(_._1).map { case (d, ps) =>
+      var run = 0L; var mx = 0L
+      // closes before opens at the same instant
+      ps.sortBy(p => (p._2, p._3)).foreach { p => run += p._3; mx = math.max(mx, run) }
+      d -> mx
+    }
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    out.collect().foreach { r =>
+      val d = fmt.parse(r.getString(0)).getTime * 1000L / dayMs
+      assert(brute(d) === r.getLong(1), s"day ${r.getString(0)}")
+    }
+    out.unpersist()
+  }
+
+  test("feature hashing emits bounded sparse bins with signed counts") {
+    val out = graft.text.TrainPrep.qFeatureHash(spark, sf).cache()
+    assert(out.filter($"bin" < 0 || $"bin" >= 64).count() === 0)
+    assert(out.filter($"val" === 0).count() === 0)
+    // sparse width bounded by the bin count regardless of doc length
+    assert(out.groupBy($"doc_id").count().filter($"count" > 64).count() === 0)
+    // sign-cancellation preserves the global signed total: summing the
+    // per-bin values equals summing per-token signs directly
+    val direct = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w"))
+      .select(md5(concat(lit("fh:"), $"w")).as("h"))
+      .select(when(conv(substring($"h", 16, 1), 16, 10).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L).as("sgn"))
+      .agg(sum($"sgn")).head.getLong(0)
+    val binned = out.agg(sum($"val")).head.getLong(0)
+    assert(binned === direct)
+    out.unpersist()
+  }
+
   test("2-hop neighbors are reachable in two edges and never direct") {
     val m = graft.vector.VectorOps.qKhop(spark, sf).cache()
     assert(m.count() > 0)
