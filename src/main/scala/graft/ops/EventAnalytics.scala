@@ -145,15 +145,17 @@ object EventAnalytics {
     val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = points.withColumn("run", sum(col("delta")).over(w))
-    swept.groupBy(col("day"))
-      .agg(max(col("run")).as("peak"))
-      .join(swept.select(col("day"), col("t"), col("run")),
-        Seq("day"))
-      .filter(col("run") === col("peak"))
-      .groupBy(col("day"), col("peak"))
-      .agg(min(col("t")).as("first_peak"))
-      .select(date_format(col("day"), "yyyy-MM-dd").as("d"), col("peak"),
-        tstr(col("first_peak")).as("first_peak_t"))
+    // one pass: lexicographic max of (run, −t) gives the peak AND its
+    // earliest instant in a single aggregate — no second window pass,
+    // no join-back recompute of the sweep
+    swept
+      .select(col("day"), struct(col("run"),
+        (-unix_micros(col("t").cast("timestamp"))).as("negt")).as("rt"))
+      .groupBy(col("day"))
+      .agg(max(col("rt")).as("m"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("d"),
+        col("m.run").as("peak"),
+        tstr(timestamp_micros(-col("m.negt"))).as("first_peak_t"))
       .orderBy(col("d"))
   }
 }
