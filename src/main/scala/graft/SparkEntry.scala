@@ -189,6 +189,17 @@ object SparkEntry {
     "q_leakage_split" -> ((s: SparkSession, d: String) => Dedup.qLeakageSplit(s, d)),
     "q_concurrency" -> (graft.ops.EventAnalytics.qConcurrency _),
     "q_feature_hash" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qFeatureHash(s, d)),
+    // -- grouped statistics, data contracts, contrastive mining --
+    "q_ols" -> (graft.ops.MlStats.qOls _),
+    "q_chisq" -> (graft.ops.MlStats.qChisq _),
+    "q_quantile_sketch" -> (graft.ops.MlStats.qQuantileSketch _),
+    "q_expectations" -> (graft.ops.Contracts.qExpectations _),
+    "q_hard_negatives" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qHardNegatives(s, d)),
+    "q_top_p" -> (graft.text.TrainPrep.qTopP _),
+    "q_curriculum" -> (graft.text.TrainPrep.qCurriculum _),
+    "q_attribution" -> (graft.ops.EventAnalytics.qAttribution _),
+    "q_ewma" -> (graft.ops.EventAnalytics.qEwma _),
+    "q_zscore" -> (graft.ops.MlStats.qZscore _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -2157,5 +2168,137 @@ object SparkEntry {
         |SELECT doc_id, bin, CAST(sum(sgn) AS BIGINT) AS val
         |FROM b GROUP BY doc_id, bin HAVING sum(sgn) <> 0
         |ORDER BY doc_id, bin""".stripMargin,
+    "q_ols" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (SELECT *, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope FROM s)
+        |SELECT l_returnflag, n, slope,
+        |  (sy - slope*sx)/n AS intercept,
+        |  (n*sxy - sx*sy)*(n*sxy - sx*sy)/((n*sxx - sx*sx)*(n*syy - sy*sy)) AS r2
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+    "q_chisq" ->
+      """WITH j AS (SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_orderpriority),
+        |t AS (SELECT *,
+        |  CAST(sum(obs) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS row_total,
+        |  CAST(sum(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS col_total,
+        |  CAST(sum(obs) OVER () AS BIGINT) AS grand_total FROM j),
+        |u AS (SELECT *, CAST(row_total*col_total AS DOUBLE)/grand_total AS expected FROM t)
+        |SELECT c_mktsegment, o_orderpriority, obs, row_total, col_total, grand_total, expected,
+        |  (obs - expected)*(obs - expected)/expected AS contrib
+        |FROM u ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q_quantile_sketch" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |  least(CAST(floor(o_totalprice/9000) AS BIGINT), 63) AS bin FROM orders),
+        |h AS (SELECT o_orderpriority, bin, count(*) AS c FROM b GROUP BY o_orderpriority, bin),
+        |cm AS (SELECT *,
+        |  CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n FROM h),
+        |est AS (SELECT o_orderpriority, max(n) AS n,
+        |  CAST(min(CASE WHEN cum*2 >= n THEN bin END)*9000 AS DOUBLE) AS est_p50,
+        |  CAST(min(CASE WHEN cum*10 >= n*9 THEN bin END)*9000 AS DOUBLE) AS est_p90
+        |  FROM cm GROUP BY o_orderpriority),
+        |ex AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS exact_p50,
+        |  quantile_cont(o_totalprice, 0.9) AS exact_p90 FROM orders GROUP BY o_orderpriority)
+        |SELECT est.o_orderpriority, n, est_p50, exact_p50, est_p50 - exact_p50 AS err_p50,
+        |  est_p90, exact_p90, est_p90 - exact_p90 AS err_p90
+        |FROM est JOIN ex ON est.o_orderpriority = ex.o_orderpriority
+        |ORDER BY est.o_orderpriority""".stripMargin,
+    "q_expectations" ->
+      """SELECT tbl, chk, n_checked, n_violations,
+        |  CAST(n_violations = 0 AS BIGINT) AS pass FROM (
+        |  SELECT 'orders' AS tbl, 'o_orderkey_unique' AS chk, count(*) AS n_checked,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+        |  UNION ALL SELECT 'orders', 'o_totalprice_positive', count(*),
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orders', 'o_orderstatus_enum', count(*),
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orders', 'o_totalprice_le_450k', count(*),
+        |    CAST(sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orders', 'o_orderdate_within_horizon', count(*),
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |      OR o_orderdate > TIMESTAMP '2001-06-30 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'lineitem', 'l_quantity_in_1_50', count(*),
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'l_discount_in_0_011', count(*),
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.11 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'l_shipdate_not_null', count(*),
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'l_orderkey_references_orders', count(*),
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL SELECT 'documents', 'text_nonempty', count(*),
+        |    CAST(sum(CASE WHEN length(text) < 1 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'documents', 'n_chars_le_1200', count(*),
+        |    CAST(sum(CASE WHEN n_chars > 1200 THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'documents', 'lang_allowed', count(*),
+        |    CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'events', 'value_not_null', count(*),
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |  UNION ALL SELECT 'events', 'value_lt_256', count(*),
+        |    CAST(sum(CASE WHEN value >= 256 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |) ORDER BY tbl, chk""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, label AS a_label, v AS av FROM e WHERE vec_id < 8),
+        |p AS (SELECT a_id, a_label, vec_id, label,
+        |  CASE WHEN label = a_label THEN 'pos' ELSE 'neg' END AS side,
+        |  list_sum(list_transform(range(1, len(av)+1), i -> av[i]*v[i])) /
+        |  (sqrt(list_sum(list_transform(av, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x)))) AS sim
+        |  FROM e, a WHERE vec_id <> a_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY a_id, side ORDER BY sim DESC, vec_id) AS rn FROM p)
+        |SELECT a_id, a_label, side, rn, vec_id, label, sim
+        |FROM r WHERE rn <= 3 ORDER BY a_id, side, rn""".stripMargin,
+    "q_top_p" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cn AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w),
+        |t AS (SELECT *,
+        |  CAST(sum(c) OVER (PARTITION BY lang ORDER BY c DESC, w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS total FROM cn)
+        |SELECT lang, w, c, cum, CAST(cum AS DOUBLE)/total AS coverage
+        |FROM t WHERE (cum - c) * 10 < total * 9 ORDER BY lang, cum""".stripMargin,
+    "q_curriculum" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS stage
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_attribution" ->
+      """WITH t AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_ts,
+        |  min(CASE WHEN event_type = 'click' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS ft_ts
+        |  FROM events)
+        |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value,
+        |  strftime(lt_ts, '%Y-%m-%d %H:%M:%S') AS last_touch_t,
+        |  strftime(ft_ts, '%Y-%m-%d %H:%M:%S') AS first_touch_t,
+        |  CAST(lt_ts IS NULL AS BIGINT) AS unattributed
+        |FROM t WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "q_ewma" ->
+      """WITH t AS (SELECT user_id, event_id, ts, value,
+        |  coalesce(lag(value, 1) OVER w, 0.0) AS v1,
+        |  coalesce(lag(value, 2) OVER w, 0.0) AS v2,
+        |  coalesce(lag(value, 3) OVER w, 0.0) AS v3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value,
+        |  value + v1*0.5 + v2*0.25 + v3*0.125 AS ewma
+        |FROM t WHERE user_id < 200 ORDER BY user_id, event_id""".stripMargin,
+    "q_zscore" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, s1/n AS mean_v, sqrt((s2 - s1*s1/n)/(n-1)) AS sd_v FROM s)
+        |SELECT event_id, e.event_type, value, mean_v, sd_v, (value - mean_v)/sd_v AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE user_id < 200 ORDER BY event_id""".stripMargin,
   )
 }

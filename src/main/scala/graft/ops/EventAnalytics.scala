@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -157,5 +158,63 @@ object EventAnalytics {
         col("m.run").as("peak"),
         tstr(timestamp_micros(-col("m.negt"))).as("first_peak_t"))
       .orderBy(col("d"))
+  }
+
+  /** Q-attribution: first-touch / last-touch revenue attribution — for
+    * every purchase, the click that gets credit under each model: the
+    * user's most recent click at or before the purchase (last-touch)
+    * and the user's earliest click overall (first-touch). The standard
+    * marketing/causal join that, at 100 TB, must NOT be an interval
+    * join: both credits resolve inside ONE per-user event-time window
+    * pass (`last(..., ignoreNulls)` running state is O(1) per row;
+    * first-touch is an unbounded-frame min over the same partitioning
+    * — same single shuffle on user_id).
+    *
+    * Touchless purchases (no prior click) surface with null last-touch
+    * rather than being dropped — the attribution gap is part of the
+    * answer. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("user_id"))
+    e
+      .withColumn("lt_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(ord))
+      .withColumn("ft_ts",
+        min(when(col("event_type") === "click", col("ts"))).over(all))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), tstr(col("ts")).as("t"),
+        col("value"),
+        tstr(col("lt_ts")).as("last_touch_t"),
+        tstr(col("ft_ts")).as("first_touch_t"),
+        col("lt_ts").isNull.cast("long").as("unattributed"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Q-ewma: exponentially-decayed rolling feature with a DYADIC decay
+    * (α = 1/2) truncated at 4 taps — each tap weight is an exact
+    * binary fraction and the 4-term dag is fixed, so the float result
+    * is bit-identical in any IEEE engine regardless of plan (no
+    * accumulation-order dependence, unlike a true recursive EWMA or a
+    * frame-summed window). The standard "recent activity" feature a
+    * telemetry pipeline attaches before training.
+    *
+    * Scale shape: one per-user event-time window shuffle; 3 `lag`
+    * reads per row, O(1) state. */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ewma",
+        col("value")
+          + coalesce(lag(col("value"), 1).over(w), lit(0.0)) * 0.5
+          + coalesce(lag(col("value"), 2).over(w), lit(0.0)) * 0.25
+          + coalesce(lag(col("value"), 3).over(w), lit(0.0)) * 0.125)
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("event_id"), tstr(col("ts")).as("t"),
+        col("value"), col("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
   }
 }

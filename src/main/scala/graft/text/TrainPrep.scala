@@ -388,4 +388,52 @@ object TrainPrep {
       .filter(col("val") =!= 0)
       .orderBy(col("doc_id"), col("bin"))
   }
+
+  /** Q-top-p: nucleus (coverage) vocabulary truncation — per language,
+    * keep the most frequent tokens until they cover 90% of that
+    * language's token mass; everything past the crossing row is cut.
+    * The standard "top-p vocabulary / tail-token pruning" pass before
+    * tokenizer training or OOV analysis.
+    *
+    * Scale shape: one word-count shuffle (map-side combined), then a
+    * per-language window over the VOCABULARY (token-type cardinality,
+    * not corpus size). The keep rule `cum − c < 0.9·total` (strictly:
+    * 10·(cum−c) < 9·total, all longs) admits exactly the rows whose
+    * preceding cumulative mass was below the threshold — integer
+    * arithmetic end-to-end, so both engines agree exactly. */
+  def qTopP(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang"))
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total", sum(col("c")).over(wAll))
+      .filter((col("cum") - col("c")) * 10 < col("total") * 9)
+      .select(col("lang"), col("w"), col("c"), col("cum"),
+        (col("cum").cast("double") / col("total")).as("coverage"))
+      .orderBy(col("lang"), col("cum"))
+  }
+
+  /** Q-curriculum: curriculum staging — per language, rank documents by
+    * a difficulty proxy (length, doc_id tiebreak) and deal them into 4
+    * equal-depth stages with `ntile`. Downstream training consumes
+    * stages in order (easy→hard). ntile over (length, doc_id) is a
+    * total order, so stage assignment is deterministic and the SQL
+    * standard's larger-groups-first rule makes both engines agree.
+    *
+    * Scale shape: one window shuffle partitioned by language; state per
+    * row is O(1). At 100 TB the same staging runs as a histogram
+    * quantile cut (see [[graft.ops.MlStats.qQuantileSketch]]) instead
+    * of a true ntile — the 4-boundary broadcast replaces the sort. */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("stage", ntile(4).over(w).cast("long"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -848,6 +848,41 @@ object VectorOps {
       .orderBy(col("method"))
   }
 
+  /** Q-hard-negatives: contrastive-pair mining for embedding training —
+    * for each anchor, the top-k most-similar vectors carrying a
+    * DIFFERENT label (the "hard negatives" a contrastive loss learns
+    * most from) and, in the same row shape, the top-k same-label
+    * "hard positives" (most-similar in-class). Ranking contract is
+    * [[qSimTopk]]'s: cosine desc, vec_id tiebreak — total order.
+    *
+    * Scale shape: anchors broadcast (a mining batch is small by
+    * construction); the corpus is scanned once per batch with the
+    * label predicate fused into the scoring pass; per-anchor top-k
+    * truncates in the window. At 100 TB the scoring join swaps onto
+    * the LSH/IVF bucketed index ([[topkAgainstIndex]]) unchanged —
+    * mining does not need exact neighbors, only hard ones. */
+  def qHardNegatives(spark: SparkSession, dir: String,
+      nAnchors: Int = 8, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"), col("v").as("av"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+        when(col("label") === col("a_label"), "pos").otherwise("neg").as("side"),
+        cosine(col("av"), col("v")).as("sim"))
+    val w = Window.partitionBy(col("a_id"), col("side"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("a_label"), col("side"), col("rn"),
+        col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("a_id"), col("side"), col("rn"))
+  }
+
   /** PQ encode + ADC rank against an arbitrary corpus `(vec_id, v)`
     * and codebook source `(c_label, cv)` — the engine form behind
     * [[qSimPq]]; specs drive it with planted-cluster fixtures where
