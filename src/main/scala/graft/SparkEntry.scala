@@ -200,6 +200,9 @@ object SparkEntry {
     "q_attribution" -> (graft.ops.EventAnalytics.qAttribution _),
     "q_ewma" -> (graft.ops.EventAnalytics.qEwma _),
     "q_zscore" -> (graft.ops.MlStats.qZscore _),
+    "q_mmr" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qMmr(s, d)),
+    "q_bucket_join" -> (graft.ops.Sink.qBucketJoin _),
+    "q_compact" -> (graft.ops.Sink.qCompact _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -2300,5 +2303,43 @@ object SparkEntry {
         |SELECT event_id, e.event_type, value, mean_v, sd_v, (value - mean_v)/sd_v AS z
         |FROM events e JOIN m ON e.event_type = m.event_type
         |WHERE user_id < 200 ORDER BY event_id""".stripMargin,
+    "q_mmr" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |s AS (SELECT vec_id, v,
+        |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])) /
+        |  (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x)))) AS rel
+        |  FROM e, q WHERE vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 20),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+        |  (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS sim
+        |  FROM s a, s b WHERE a.vec_id <> b.vec_id),
+        |sel(step, id, score, ids) AS (
+        |  SELECT 1, c.vec_id, 0.5*c.rel, [c.vec_id]
+        |  FROM (SELECT vec_id, rel FROM s ORDER BY rel DESC, vec_id LIMIT 1) c
+        |  UNION ALL
+        |  SELECT sel.step + 1, cand.vec_id, cand.mmr, list_append(sel.ids, cand.vec_id)
+        |  FROM sel, LATERAL (
+        |    SELECT c.vec_id,
+        |      0.5*c.rel - 0.5*(SELECT max(p.sim) FROM p WHERE p.ia = c.vec_id AND list_contains(sel.ids, p.ib)) AS mmr
+        |    FROM s c WHERE NOT list_contains(sel.ids, c.vec_id)
+        |    ORDER BY mmr DESC, c.vec_id LIMIT 1
+        |  ) cand
+        |  WHERE sel.step < 8
+        |)
+        |SELECT CAST(step AS BIGINT) AS rn, id AS vec_id, score FROM sel ORDER BY rn""".stripMargin,
+    "q_bucket_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_compact" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -883,6 +883,59 @@ object VectorOps {
       .orderBy(col("a_id"), col("side"), col("rn"))
   }
 
+  /** Q-mmr: Maximal Marginal Relevance diversity selection — greedily
+    * pick k results that are relevant to the query but dissimilar to
+    * what is already picked (score = λ·rel − (1−λ)·max-sim-to-selected,
+    * λ=1/2 so both weights are exact binary fractions). The curation
+    * step that keeps a retrieved / sampled set from collapsing onto
+    * near-duplicates.
+    *
+    * Architecture for scale: candidate generation (top-pool by
+    * relevance — here exact, at 100 TB the ANN index path) and ALL
+    * similarity arithmetic run distributed with the same codegen'd
+    * cosine every ANN query uses; the greedy selection itself is
+    * inherently sequential over the POOL-sized (20-row) score matrix —
+    * a model-sized artifact, collected like BPE's merge table and
+    * k-means' centroids, never the corpus. The oracle replays the
+    * greedy with a recursive CTE + LATERAL argmax over the identical
+    * bit-exact sims, so every pick and score must match exactly. */
+  def qMmr(spark: SparkSession, dir: String, k: Int = 8, pool: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), cosine(col("qv"), col("v")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+      .cache()
+    val rels = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairSims = cand.select(col("vec_id").as("ia"), col("v").as("va"))
+      .join(cand.select(col("vec_id").as("ib"), col("v").as("vb")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cand.unpersist()
+    // greedy MMR over the pool-sized matrix (sequential by nature);
+    // float dag per score mirrors the oracle: 0.5*rel - 0.5*max
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rels.keys
+    for (step <- 1 to k if remaining.nonEmpty) {
+      val best = remaining.map { id =>
+        val score =
+          if (picked.isEmpty) 0.5 * rels(id)
+          else 0.5 * rels(id) - 0.5 * picked.map(p => pairSims((id, p._2))).max
+        (id, score)
+      }.minBy { case (id, s) => (-s, id) }
+      picked += ((step.toLong, best._1, best._2))
+      remaining -= best._1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rn", "vec_id", "score").orderBy(col("rn"))
+  }
+
   /** PQ encode + ADC rank against an arbitrary corpus `(vec_id, v)`
     * and codebook source `(c_label, cv)` — the engine form behind
     * [[qSimPq]]; specs drive it with planted-cluster fixtures where
