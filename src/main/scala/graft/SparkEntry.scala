@@ -203,6 +203,8 @@ object SparkEntry {
     "q_mmr" -> ((s: SparkSession, d: String) => graft.vector.VectorOps.qMmr(s, d)),
     "q_bucket_join" -> (graft.ops.Sink.qBucketJoin _),
     "q_compact" -> (graft.ops.Sink.qCompact _),
+    "q_drift" -> (graft.ops.MlStats.qDrift _),
+    "q_ab_test" -> (graft.ops.MlStats.qAbTest _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -2341,5 +2343,37 @@ object SparkEntry {
         |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_drift" ->
+      """WITH b AS (SELECT event_type,
+        |  least(CAST(floor(value/32) AS BIGINT), 15) AS bin,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_a
+        |  FROM events),
+        |c AS (SELECT event_type, bin,
+        |  CAST(sum(is_a) AS BIGINT) AS n_a,
+        |  CAST(sum(1 - is_a) AS BIGINT) AS n_b
+        |  FROM b GROUP BY event_type, bin),
+        |t AS (SELECT *,
+        |  CAST(sum(n_a) OVER (PARTITION BY event_type) AS BIGINT) AS tot_a,
+        |  CAST(sum(n_b) OVER (PARTITION BY event_type) AS BIGINT) AS tot_b FROM c),
+        |u AS (SELECT *, CAST((n_a + n_b) * tot_a AS DOUBLE)/(tot_a + tot_b) AS exp_a FROM t)
+        |SELECT event_type, bin, n_a, n_b, exp_a,
+        |  (n_a - exp_a)*(n_a - exp_a)/exp_a AS drift_contrib
+        |FROM u ORDER BY event_type, bin""".stripMargin,
+    "q_ab_test" ->
+      """WITH g AS (SELECT event_type, value,
+        |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp FROM events),
+        |s AS (SELECT event_type,
+        |  CAST(sum(grp) AS BIGINT) AS n1, count(*) AS n,
+        |  CAST(CAST(sum(CASE WHEN grp = 1 THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(sum(CASE WHEN grp = 1 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS q1,
+        |  CAST(CAST(sum(CASE WHEN grp = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS s0,
+        |  CAST(CAST(sum(CASE WHEN grp = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS q0
+        |  FROM g GROUP BY event_type),
+        |m AS (SELECT *, n - n1 AS n0, s1/n1 AS m1, s0/(n - n1) AS m0,
+        |  (q1 - s1*s1/n1)/(n1 - 1) AS var1,
+        |  (q0 - s0*s0/(n - n1))/((n - n1) - 1) AS var0 FROM s)
+        |SELECT event_type, n1, n0, m1, m0, m1 - m0 AS lift,
+        |  (m1 - m0)/sqrt(var1/n1 + var0/n0) AS t_stat
+        |FROM m ORDER BY event_type""".stripMargin,
   )
 }

@@ -162,4 +162,71 @@ object MlStats {
         ((col("value") - col("mean_v")) / col("sd_v")).as("z"))
       .orderBy(col("event_id"))
   }
+
+  /** Q-drift: distribution-drift monitoring between two time periods —
+    * the check a pipeline runs on every new drop before training on
+    * it. Values bin into a fixed-width histogram (domain literal, like
+    * [[qQuantileSketch]]'s); each (event_type, bin) cell carries both
+    * periods' counts and a chi-square drift contribution against the
+    * pooled expectation. Cells, not a summed statistic — no cross-cell
+    * float order to drift between engines (the [[qChisq]] rule).
+    *
+    * Scale shape: ONE scan + one (type, bin)-keyed aggregate with
+    * map-side combine; the window totals run over the ~80-cell reduced
+    * table. Period split: first vs second half of the event-time range
+    * (fixed literal boundary). */
+  def qDrift(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 32L
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        least(floor(col("value") / binW), lit(15L)).cast("long").as("bin"),
+        when(col("ts") < to_timestamp(lit("2024-01-16 00:00:00")), 1L)
+          .otherwise(0L).as("is_a"))
+    val cells = e.groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("is_a")).as("n_a"), sum(lit(1L) - col("is_a")).as("n_b"))
+    val wType = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("tot_a", sum(col("n_a")).over(wType))
+      .withColumn("tot_b", sum(col("n_b")).over(wType))
+      .withColumn("exp_a",
+        ((col("n_a") + col("n_b")) * col("tot_a")).cast("double")
+          / (col("tot_a") + col("tot_b")))
+      .select(col("event_type"), col("bin"), col("n_a"), col("n_b"),
+        col("exp_a"),
+        ((col("n_a") - col("exp_a")) * (col("n_a") - col("exp_a"))
+          / col("exp_a")).as("drift_contrib"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** Q-ab-test: two-sample comparison of a metric between cohorts (the
+    * even/odd user-id split standing in for treatment assignment) —
+    * Welch t statistic per event_type from six exact-decimal sums, the
+    * analysis every experimentation pipeline batches nightly. One
+    * aggregate pass, group-cardinality state, fixed double dag. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val v = dec(col("value"), 2)
+    val e = Tables.events(spark, dir)
+      .withColumn("grp", (col("user_id") % 2 === 0).cast("long"))
+    val sums = e.groupBy(col("event_type"))
+      .agg(
+        sum(col("grp")).as("n1"),
+        count(lit(1)).as("n"),
+        decToDouble(sum(when(col("grp") === 1, v))).as("s1"),
+        decToDouble(sum(when(col("grp") === 1, v * v))).as("q1"),
+        decToDouble(sum(when(col("grp") === 0, v))).as("s0"),
+        decToDouble(sum(when(col("grp") === 0, v * v))).as("q0"))
+      .withColumn("n0", col("n") - col("n1"))
+      .withColumn("m1", col("s1") / col("n1"))
+      .withColumn("m0", col("s0") / col("n0"))
+      .withColumn("var1",
+        (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1))
+      .withColumn("var0",
+        (col("q0") - col("s0") * col("s0") / col("n0")) / (col("n0") - 1))
+    sums.select(col("event_type"), col("n1"), col("n0"),
+        col("m1"), col("m0"),
+        (col("m1") - col("m0")).as("lift"),
+        ((col("m1") - col("m0"))
+          / sqrt(col("var1") / col("n1") + col("var0") / col("n0"))).as("t_stat"))
+      .orderBy(col("event_type"))
+  }
 }

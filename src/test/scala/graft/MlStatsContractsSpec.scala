@@ -82,6 +82,33 @@ class MlStatsContractsSpec extends AnyFunSuite {
     audit.unpersist()
   }
 
+  test("drift cells: expected counts conserve the period-A mass") {
+    val cells = graft.ops.MlStats.qDrift(spark, sf).cache()
+    // Σ exp_a over a type == tot_a: the chi-square expectation is
+    // margin-preserving
+    val margins = cells.groupBy($"event_type")
+      .agg(sum($"exp_a").as("se"), sum($"n_a").as("na")).collect()
+    margins.foreach { r =>
+      assert(math.abs(r.getAs[Double]("se") - r.getAs[Long]("na")) < 1e-6)
+    }
+    assert(cells.filter($"drift_contrib" < 0 || isnan($"drift_contrib")).count() === 0)
+    // both periods are populated (the split literal bisects the range)
+    assert(cells.agg(sum($"n_a")).head.getLong(0) > 0)
+    assert(cells.agg(sum($"n_b")).head.getLong(0) > 0)
+    cells.unpersist()
+  }
+
+  test("ab test: cohorts partition each group and t is finite") {
+    val out = graft.ops.MlStats.qAbTest(spark, sf).cache()
+    val e = Tables.events(spark, sf)
+    val n = e.count()
+    assert(out.agg(sum($"n1") + sum($"n0")).head.getLong(0) === n)
+    assert(out.filter(isnan($"t_stat") || $"t_stat".isNull).count() === 0)
+    // lift is exactly m1 - m0
+    assert(out.filter(abs($"lift" - ($"m1" - $"m0")) > 0).count() === 0)
+    out.unpersist()
+  }
+
   test("hard negatives: sides are label-correct and ranked by similarity") {
     val out = graft.vector.VectorOps.qHardNegatives(spark, sf).cache()
     // every neg row has label != anchor label; every pos row matches
