@@ -206,8 +206,11 @@ object VectorOps {
 
   /** Mean-occupancy target; base depth p0 = floor(log2(ceil(n/125))). */
   val KnnTargetOcc = 125L
-  /** A cell splits one plane deeper while its occupancy exceeds this. */
-  val KnnCapOcc = 250L
+  /** A cell splits one plane deeper while its occupancy exceeds this.
+    * Overridable (-Dgraft.knn.cap=N) ONLY for dial experiments — the
+    * recall/candidate-volume trade study in PERF.md; every declared
+    * path runs the default. */
+  val KnnCapOcc: Long = sys.props.get("graft.knn.cap").map(_.toLong).getOrElse(250L)
   /** Split budget past base depth (2^8× finer than base at the floor). */
   val KnnMaxExtra = 8
 
