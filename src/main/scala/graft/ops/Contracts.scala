@@ -77,15 +77,15 @@ object Contracts {
         viol(col("value") >= 256)).as("c2"))
       .select(explode(array(col("c1"), col("c2"))).as("r"))
 
-    // referential integrity: every lineitem order key resolves
-    val orphans = l.select(col("l_orderkey"))
+    // referential integrity: every lineitem order key resolves — one
+    // left-outer probe + null count (checked total and orphan count
+    // from the same pass; the orders key is unique so fan-out is 1)
+    val riCheck = l.select(col("l_orderkey"))
       .join(o.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("nv"))
-    val lTotal = l.agg(count(lit(1)).as("nc"))
-    val riCheck = orphans.crossJoin(lTotal)
-      .select(check("lineitem", "l_orderkey_references_orders",
-        col("nc"), col("nv")).as("r"))
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(check("lineitem", "l_orderkey_references_orders",
+        count(lit(1)), viol(col("o_orderkey").isNull)).as("r"))
+      .select(col("r"))
 
     ordersChecks.unionAll(lineitemChecks).unionAll(docChecks)
       .unionAll(eventChecks).unionAll(riCheck)

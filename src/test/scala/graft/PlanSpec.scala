@@ -267,6 +267,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sufficient-statistics family: one exchange pair, no join of the fact") {
+    // ols / ab_test reduce the fact to group-cardinality sufficient
+    // sums in a single two-phase aggregate — any extra exchange or a
+    // fact-side join is a scale regression
+    Seq(graft.ops.MlStats.qOls(spark, sf),
+      graft.ops.MlStats.qAbTest(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2, s"expected agg partials + sort only:\n$plan")
+      assert(plan.contains("HashAggregate"))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("zscore: moments broadcast back, the fact never joins by shuffle") {
+    val plan = planOf(graft.ops.MlStats.qZscore(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"scaler must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact shuffled for the scaler:\n$plan")
+  }
+
+  test("hard negatives / mmr scoring: anchors broadcast, no shuffled cross join") {
+    val plan = planOf(graft.vector.VectorOps.qHardNegatives(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"anchor batch must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"shuffled cartesian in mining:\n$plan")
+    assert(!plan.contains("lambdafunction"), s"cosine fell out of codegen:\n$plan")
+  }
+
+  test("expectations: per-table checks share one scan each, RI is one probe join") {
+    val plan = planOf(graft.ops.Contracts.qExpectations(spark, sf))
+    // 4 audited tables + the RI pass (lineitem keys + orders keys) = 6
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 6, s"contract checks must share table scans:\n$plan")
+    assert(plan.contains("LeftOuter"), s"RI must be one outer probe:\n$plan")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string
