@@ -205,10 +205,69 @@ object SparkEntry {
     "q_compact" -> (graft.ops.Sink.qCompact _),
     "q_drift" -> (graft.ops.MlStats.qDrift _),
     "q_ab_test" -> (graft.ops.MlStats.qAbTest _),
+    "q_bm25" -> (graft.text.Retrieval.qBm25 _),
+    "q_rank_fusion" -> (graft.text.Retrieval.qRankFusion _),
+    "q_ndcg" -> ((s: SparkSession, d: String) => graft.vector.RetrievalEval.qNdcg(s, d)),
+    "q_maxsim" -> ((s: SparkSession, d: String) => graft.vector.RetrievalEval.qMaxsim(s, d)),
+    "q_corr" -> (graft.ops.MlStats.qCorr _),
   )
 
   // Shared SQL fragments for the oracle side.
   private val sumQty = "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+
+  /** BM25 posting CTEs shared by q_bm25 / q_rank_fusion — mirrors
+    * text.Retrieval.postings (same query-term literals). */
+  private val bmPostingsCte: String = {
+    val terms = graft.text.Retrieval.queryTerms.map(t => s"'$t'").mkString(", ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)""".stripMargin
+  }
+
+  /** Scaled-integer BM25 partial score — token-for-token the double
+    * dag text.Retrieval.bm25U builds (k1=1.2, b=0.75). */
+  private val bm25USql: String =
+    """CAST(floor(1e6 * (ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 0.5)
+      |  / (CAST(dfr.df AS DOUBLE) + 0.5))
+      |  * (CAST(tf.tf AS DOUBLE) * 2.2 / (CAST(tf.tf AS DOUBLE)
+      |    + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |      / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))) + 0.5) AS BIGINT)""".stripMargin
+
+  /** Scaled-integer TF-IDF partial score (text.Retrieval.tfidfU). */
+  private val tfidfUSql: String =
+    """CAST(floor(1e6 * (CAST(tf.tf AS DOUBLE)
+      |  * ln(CAST(st.n AS DOUBLE) / CAST(dfr.df AS DOUBLE))) + 0.5) AS BIGINT)""".stripMargin
+
+  /** q_corr oracle: built from the same (name, decimal-type) variable
+    * list ops.MlStats.qCorr aggregates, so the 14 sufficient sums and
+    * the 6 correlation dags stay mirrored by construction. */
+  private val corrSql: String = {
+    val vars = Seq(
+      "quantity" -> "CAST(l_quantity AS DECIMAL(18,2))",
+      "extendedprice" -> "CAST(l_extendedprice AS DECIMAL(12,2))",
+      "discount" -> "CAST(l_discount AS DECIMAL(18,2))",
+      "tax" -> "CAST(l_tax AS DECIMAL(18,2))")
+    def d2d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val sums =
+      vars.map { case (n, c) => s"${d2d(s"sum($c)")} AS s_$n" } ++
+      vars.map { case (n, c) => s"${d2d(s"sum($c * $c)")} AS ss_$n" } ++
+      vars.combinations(2).toSeq.map { case Seq((nx, cx), (ny, cy)) =>
+        s"${d2d(s"sum($cx * $cy)")} AS sp_${nx}_$ny"
+      }
+    val branches = vars.map(_._1).combinations(2).toSeq.map { case Seq(x, y) =>
+      s"""SELECT '${x}_$y' AS pair, n,
+         |  (n*sp_${x}_$y - s_$x*s_$y)
+         |    / sqrt((n*ss_$x - s_$x*s_$x) * (n*ss_$y - s_$y*s_$y)) AS corr FROM s""".stripMargin
+    }
+    s"""WITH s AS (SELECT count(*) AS n,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM lineitem)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY pair""".stripMargin
+  }
   private val revenueExpr =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))"
   private val shCte =
@@ -2375,5 +2434,77 @@ object SparkEntry {
         |SELECT event_type, n1, n0, m1, m0, m1 - m0 AS lift,
         |  (m1 - m0)/sqrt(var1/n1 + var0/n0) AS t_stat
         |FROM m ORDER BY event_type""".stripMargin,
+    "q_bm25" ->
+      s"""WITH $bmPostingsCte
+         |SELECT doc_id, CAST(sum($bm25USql) AS BIGINT) AS score, count(*) AS n_terms
+         |FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), st
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_rank_fusion" ->
+      s"""WITH $bmPostingsCte,
+         |p AS (SELECT doc_id,
+         |  CAST(sum($bm25USql) AS BIGINT) AS bscore,
+         |  CAST(sum($tfidfUSql) AS BIGINT) AS tscore
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), st GROUP BY doc_id),
+         |rb AS (SELECT doc_id, rank_b FROM (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bscore DESC, doc_id) AS rank_b FROM p) t
+         |  WHERE rank_b <= 20),
+         |rt AS (SELECT doc_id, rank_t FROM (SELECT doc_id,
+         |  row_number() OVER (ORDER BY tscore DESC, doc_id) AS rank_t FROM p) t
+         |  WHERE rank_t <= 20)
+         |SELECT doc_id,
+         |  (CASE WHEN rank_b IS NULL THEN 0
+         |        ELSE CAST(floor(1e9 / CAST(60 + rank_b AS DOUBLE)) AS BIGINT) END
+         |   + CASE WHEN rank_t IS NULL THEN 0
+         |        ELSE CAST(floor(1e9 / CAST(60 + rank_t AS DOUBLE)) AS BIGINT) END) AS rrf,
+         |  rank_b, rank_t
+         |FROM rb FULL JOIN rt USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |tp AS (SELECT q_id, vec_id, $cosineSql AS sim FROM e, q WHERE vec_id <> q_id),
+         |tr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM tp) t
+         |  WHERE rn <= 10),
+         |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
+         |qb AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 5),
+         |sp AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
+         |  FROM bk JOIN qb USING (bucket) WHERE bk.vec_id <> q_id),
+         |sys AS (SELECT q_id, vec_id, rn FROM (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sp) t
+         |  WHERE rn <= 10),
+         |j AS (SELECT sys.q_id, sys.rn,
+         |  CASE WHEN tr.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM sys LEFT JOIN tr ON sys.q_id = tr.q_id AND sys.vec_id = tr.vec_id),
+         |g AS (SELECT q_id, count(*) AS n_sys, CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit * ([${graft.vector.RetrievalEval.dcgU().mkString(",")}])[rn]) AS BIGINT) AS dcg_u,
+         |  COALESCE(max(CASE WHEN hit = 1
+         |    THEN ([${graft.vector.RetrievalEval.mrrU().mkString(",")}])[rn] END), 0) AS mrr_u
+         |  FROM j GROUP BY q_id)
+         |SELECT q_id, n_sys, n_hits, dcg_u,
+         |  CAST(dcg_u AS DOUBLE) / CAST(${graft.vector.RetrievalEval.idcgU()} AS DOUBLE) AS ndcg,
+         |  mrr_u,
+         |  CAST(n_hits AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |FROM g ORDER BY q_id""".stripMargin,
+    "q_maxsim" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ds AS (SELECT label AS d_label, vec_id AS d_vec, v FROM (
+         |  SELECT label, vec_id, v, row_number() OVER (PARTITION BY label
+         |    ORDER BY substring(md5('ms:' || CAST(vec_id AS VARCHAR)), 1, 8), vec_id) AS rk
+         |  FROM e) t WHERE rk <= 8),
+         |qs AS (SELECT label AS q_label, vec_id AS q_vec, v AS qv FROM (
+         |  SELECT label, vec_id, v, row_number() OVER (PARTITION BY label
+         |    ORDER BY substring(md5('msq:' || CAST(vec_id AS VARCHAR)), 1, 8), vec_id) AS rk
+         |  FROM e WHERE label < 2) t WHERE rk <= 4),
+         |mx AS (SELECT q_label, d_label, q_vec,
+         |  CAST(floor(1e6 * max($cosineSql) + 0.5) AS BIGINT) AS u
+         |  FROM ds, qs GROUP BY q_label, d_label, q_vec),
+         |sc AS (SELECT q_label, d_label, CAST(sum(u) AS BIGINT) AS score
+         |  FROM mx GROUP BY q_label, d_label),
+         |r AS (SELECT q_label, d_label, score,
+         |  row_number() OVER (PARTITION BY q_label ORDER BY score DESC, d_label) AS rnk FROM sc)
+         |SELECT q_label, CAST(rnk AS BIGINT) AS rnk, d_label, score
+         |FROM r WHERE rnk <= 5 ORDER BY q_label, rnk""".stripMargin,
+    "q_corr" -> corrSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -228,5 +228,40 @@ object MlStats {
         ((col("m1") - col("m0"))
           / sqrt(col("var1") / col("n1") + col("var0") / col("n0"))).as("t_stat"))
       .orderBy(col("event_type"))
+  }
+
+  /** Q-corr: full Pearson correlation matrix over the four lineitem
+    * numeric measures — the feature-audit pass every training pipeline
+    * runs before model fitting (collinear features, leakage signals).
+    *
+    * ONE aggregate pass computes all 14 sufficient statistics (4 sums,
+    * 4 square-sums, 6 cross-sums) as exact decimals; the 6 pairwise
+    * correlations are then a fixed double dag over the single reduced
+    * row, exploded to one row per pair. At 100 TB the state is 14
+    * numbers — column count squared, never row count. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val vars = Seq(
+      "quantity" -> dec(col("l_quantity"), 2),
+      "extendedprice" -> money(col("l_extendedprice")),
+      "discount" -> dec(col("l_discount"), 2),
+      "tax" -> dec(col("l_tax"), 2))
+    val sumCols =
+      vars.map { case (n, c) => decToDouble(sum(c)).as(s"s_$n") } ++
+      vars.map { case (n, c) => decToDouble(sum(c * c)).as(s"ss_$n") } ++
+      vars.combinations(2).toSeq.map { case Seq((nx, cx), (ny, cy)) =>
+        decToDouble(sum(cx * cy)).as(s"sp_${nx}_$ny")
+      }
+    val sums = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+    def corrFor(x: String, y: String): Column =
+      (col("n") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
+        sqrt((col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"))
+          * (col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")))
+    val pairs = vars.map(_._1).combinations(2).toSeq.map { case Seq(x, y) =>
+      struct(lit(s"${x}_$y").as("pair"), corrFor(x, y).as("corr"))
+    }
+    sums.select(col("n"), explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.pair").as("pair"), col("n"), col("kv.corr").as("corr"))
+      .orderBy(col("pair"))
   }
 }
