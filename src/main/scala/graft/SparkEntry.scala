@@ -210,6 +210,9 @@ object SparkEntry {
     "q_ndcg" -> ((s: SparkSession, d: String) => graft.vector.RetrievalEval.qNdcg(s, d)),
     "q_maxsim" -> ((s: SparkSession, d: String) => graft.vector.RetrievalEval.qMaxsim(s, d)),
     "q_corr" -> (graft.ops.MlStats.qCorr _),
+    "q_forget" -> (graft.ops.Cdc.qForget _),
+    "q_kanon" -> ((s: SparkSession, d: String) => graft.ops.Contracts.qKanon(s, d)),
+    "q_ingest_orc" -> (graft.ops.Advanced.qIngestOrc _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -2506,5 +2509,45 @@ object SparkEntry {
          |SELECT q_label, CAST(rnk AS BIGINT) AS rnk, d_label, score
          |FROM r WHERE rnk <= 5 ORDER BY q_label, rnk""".stripMargin,
     "q_corr" -> corrSql,
+    "q_forget" ->
+      """WITH tomb AS (SELECT c_custkey, 1 AS del FROM customer WHERE c_custkey % 50 = 0),
+        |ca AS (SELECT 'customer' AS tbl,
+        |  CAST(sum(CASE WHEN t.del IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN t.del IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN t.del IS NULL THEN c.c_custkey END) AS BIGINT) AS kept_key_sum
+        |  FROM customer c LEFT JOIN tomb t ON c.c_custkey = t.c_custkey),
+        |oa AS (SELECT 'orders' AS tbl,
+        |  CAST(sum(CASE WHEN t.del IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN t.del IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN t.del IS NULL THEN o_orderkey END) AS BIGINT) AS kept_key_sum
+        |  FROM orders LEFT JOIN tomb t ON o_custkey = t.c_custkey),
+        |odel AS (SELECT o_orderkey, 1 AS del FROM orders JOIN tomb ON o_custkey = tomb.c_custkey),
+        |la AS (SELECT 'lineitem' AS tbl,
+        |  CAST(sum(CASE WHEN d.del IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN d.del IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN d.del IS NULL THEN l_orderkey * 10 + l_linenumber END) AS BIGINT) AS kept_key_sum
+        |  FROM lineitem LEFT JOIN odel d ON l_orderkey = d.o_orderkey)
+        |SELECT * FROM ca UNION ALL SELECT * FROM oa UNION ALL SELECT * FROM la
+        |ORDER BY tbl""".stripMargin,
+    "q_kanon" ->
+      """WITH cells AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |pub AS (SELECT c_mktsegment AS qi1, CAST(c_nationkey AS VARCHAR) AS qi2,
+        |  CAST(0 AS BIGINT) AS lvl, n, CAST(0 AS BIGINT) AS violates
+        |  FROM cells WHERE n >= 10),
+        |gen AS (SELECT c_mktsegment AS qi1, '*' AS qi2,
+        |  CAST(1 AS BIGINT) AS lvl, CAST(sum(n) AS BIGINT) AS n,
+        |  CASE WHEN CAST(sum(n) AS BIGINT) < 10 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS violates
+        |  FROM cells WHERE n < 10 GROUP BY 1)
+        |SELECT * FROM pub UNION ALL SELECT * FROM gen
+        |ORDER BY qi1, lvl, qi2""".stripMargin,
+    "q_ingest_orc" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -279,4 +279,28 @@ object Advanced {
       .orderBy(col("event_id"))
       .limit(400)
   }
+
+  /** Q-ingest-orc: ORC source/sink round trip — Spark's second
+    * first-class columnar format (vectorized reader, predicate
+    * pushdown, same writer API). The events table is written to ORC
+    * and read back; the declared result is a per-type audit aggregate
+    * over the READ-BACK files while the oracle computes the same
+    * aggregate from the original parquet — green iff the ORC round
+    * trip preserved every value exactly (count, exact-decimal value
+    * sum, key range, user checksum). The write runs on every
+    * execution: the sink is the operator under test. */
+  def qIngestOrc(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/root/repo/target/graft_orc/${dir.replaceAll(".*/", "")}"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        decToDouble(sum(dec(col("value")))).as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("user_id")).as("user_sum"))
+      .orderBy(col("event_type"))
+  }
 }

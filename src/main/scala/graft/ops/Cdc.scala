@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -96,5 +96,47 @@ object Cdc {
       .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("d"),
         col("n"), col("sum_value"))
       .orderBy(col("user_id"), col("d"))
+  }
+
+  /** Q-forget: right-to-be-forgotten cascade audit — delete a
+    * tombstoned customer set and everything reachable from it
+    * (customer → orders → lineitem), emitting one audit row per table
+    * with deleted/retained counts and a retained-key checksum that
+    * pins EXACTLY which rows survive (not just how many).
+    *
+    * Scale shape: the tombstone set broadcasts (deletion requests are
+    * always tiny relative to the corpus); each table is scanned ONCE
+    * with a left-join deletion marker folded into one aggregate — no
+    * row materialization, no second pass. The order-level cascade
+    * rides a key-projected join (o_orderkey only), which at 100 TB is
+    * a shuffle hash join on the fact's own key — the same plan a
+    * Delta/Iceberg DELETE with a subquery compiles to. */
+  def qForget(spark: SparkSession, dir: String): DataFrame = {
+    val tomb = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey"), lit(1).as("del"))
+    def audit(tbl: String, joined: DataFrame, keyCol: Column): DataFrame =
+      joined.agg(
+        sum(when(col("del").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("del").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("del").isNull, keyCol)).as("kept_key_sum"))
+        .select(lit(tbl).as("tbl"), col("n_deleted"), col("n_kept"),
+          col("kept_key_sum"))
+    val cA = audit("customer",
+      Tables.customer(spark, dir).join(broadcast(tomb), Seq("c_custkey"), "left"),
+      col("c_custkey"))
+    val oA = audit("orders",
+      Tables.orders(spark, dir).join(broadcast(tomb),
+        col("o_custkey") === tomb("c_custkey"), "left"),
+      col("o_orderkey"))
+    // cascade: orders owned by tombstoned customers, key-projected
+    val oDel = Tables.orders(spark, dir)
+      .join(broadcast(tomb), col("o_custkey") === tomb("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), lit(1).as("del"))
+    val lA = audit("lineitem",
+      Tables.lineitem(spark, dir).join(oDel,
+        col("l_orderkey") === oDel("o_orderkey"), "left"),
+      col("l_orderkey") * 10 + col("l_linenumber"))
+    cA.unionByName(oA).unionByName(lA).orderBy(col("tbl"))
   }
 }

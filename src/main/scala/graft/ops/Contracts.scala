@@ -94,4 +94,33 @@ object Contracts {
         (col("r.n_violations") === 0).cast("long").as("pass"))
       .orderBy(col("tbl"), col("chk"))
   }
+
+  /** Q-kanon: k-anonymity audit with one generalization step — the
+    * privacy gate a training-data release runs over its
+    * quasi-identifiers (here (c_mktsegment, c_nationkey), k=10).
+    * Cells meeting k publish at level 0; violating cells generalize
+    * the second identifier away ('*') and re-test at level 1 — the
+    * standard public Sweeney/Mondrian generalization ladder, one rung.
+    *
+    * Scale shape: state is quasi-identifier-cell-sized (two map-side-
+    * combinable aggregates, the second over the already-reduced cell
+    * table), never row-sized — at 100 TB the scan dominates and the
+    * audit itself is free. */
+  def qKanon(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    val published = cells.filter(col("n") >= k)
+      .select(col("c_mktsegment").as("qi1"),
+        col("c_nationkey").cast("string").as("qi2"),
+        lit(0L).as("lvl"), col("n"), lit(0L).as("violates"))
+    val generalized = cells.filter(col("n") < k)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("c_mktsegment").as("qi1"), lit("*").as("qi2"),
+        lit(1L).as("lvl"), col("n"),
+        (col("n") < k).cast("long").as("violates"))
+    published.unionByName(generalized)
+      .orderBy(col("qi1"), col("lvl"), col("qi2"))
+  }
 }
