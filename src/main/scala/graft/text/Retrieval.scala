@@ -40,20 +40,42 @@ object Retrieval {
   val k1 = 1.2
   val b = 0.75
 
+  /** Doc-level index rows (doc_id, dl, tf_<term>...): ONE token-explode
+    * pass over the corpus computes the doc length AND the per-query-
+    * term counts together (conditional sums in the same aggregate), so
+    * BM25 and the fusion ranker never scan the corpus twice. Memoized
+    * per (session, dir) as an eager localCheckpoint — doc-sized (one
+    * row of 5 ints per doc), the same standing-index pattern the
+    * minhash band table uses (dedup/Dedup.scala). */
+  private val byDocMemo = scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def byDoc(spark: SparkSession, dir: String): DataFrame =
+    byDocMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tfCols = queryTerms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+      tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"), tfCols: _*)
+        .localCheckpoint()
+    })
+
   /** Per-(doc, query-term) postings with doc length and corpus stats
-    * attached: columns doc_id, term, tf, dl, df, n, sdl. */
+    * attached: columns doc_id, term, tf, dl, df, n, sdl. Built from
+    * the one-scan doc index: the per-term rows are an unpivot of the
+    * tf_<term> columns (posting-list-sized after the tf > 0 filter);
+    * global stats ride a broadcast single-row join, never a collect. */
   private def postings(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    // global stats: one tiny row, broadcast — the "scalar subquery
-    // rides a broadcast join" pattern (PERF.md), no collect
-    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-    val tf = tok.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val idx = byDoc(spark, dir)
+    val st = idx.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val kv = explode(array(queryTerms.map(t =>
+      struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*))
+    val tf = idx.select(col("doc_id"), col("dl"), kv.as("kv"))
+      .select(col("doc_id"), col("dl"),
+        col("kv.term").as("term"), col("kv.tf").as("tf"))
+      .filter(col("tf") > 0)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(st))
   }
 
