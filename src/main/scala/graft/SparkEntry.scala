@@ -213,6 +213,8 @@ object SparkEntry {
     "q_forget" -> (graft.ops.Cdc.qForget _),
     "q_kanon" -> ((s: SparkSession, d: String) => graft.ops.Contracts.qKanon(s, d)),
     "q_ingest_orc" -> (graft.ops.Advanced.qIngestOrc _),
+    "q_ooo" -> (graft.ops.EventAnalytics.qOoo _),
+    "q_dataset_card" -> (graft.text.TrainPrep.qDatasetCard _),
   )
 
   // Shared SQL fragments for the oracle side.
@@ -2549,5 +2551,31 @@ object SparkEntry {
         |  CAST(max(event_id) AS BIGINT) AS max_id,
         |  CAST(sum(user_id) AS BIGINT) AS user_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ooo" ->
+      """WITH b AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS tsu,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
+        |  CAST(('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 1)) AS BIGINT) % 4 AS jit
+        |  FROM events),
+        |x AS (SELECT event_type, tsu,
+        |  max(tsu) OVER (PARTITION BY user_id ORDER BY seq + jit, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM b)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN prev_max > tsu THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  COALESCE(max(CASE WHEN prev_max > tsu THEN prev_max - tsu END), 0) AS max_late_us,
+        |  CAST(sum(CASE WHEN prev_max > tsu THEN prev_max - tsu ELSE 0 END) AS BIGINT) AS sum_late_us
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_dataset_card" ->
+      """WITH d AS (SELECT source, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  md5(text) AS fp FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        |  CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_share,
+        |  CAST(min(n_tok) AS BIGINT) AS min_tok,
+        |  CAST(max(n_tok) AS BIGINT) AS max_tok,
+        |  CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tok
+        |FROM d GROUP BY source, lang ORDER BY source, lang""".stripMargin,
   )
 }

@@ -217,4 +217,53 @@ object EventAnalytics {
         col("value"), col("ewma"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Q-ooo: out-of-order-arrival audit — per event type, how many
+    * events arrive with an event time EARLIER than something already
+    * seen for the same user, and how late (exact integer microseconds:
+    * `unix_micros`, so both engines do integer subtraction — no
+    * interval arithmetic to diverge). This distribution is the input
+    * every watermark delay (`withWatermark`) is tuned from: the
+    * streaming ops' lateness bound is a claim about exactly this
+    * statistic.
+    *
+    * The driver corpus is perfectly ordered per user, so the audit
+    * replays arrival under a deterministic jitter model (md5-derived
+    * 0–3 slot displacement per event — the hash-sampling idiom), the
+    * way a watermark design review replays a feed with simulated
+    * network reordering. Every comparison and subtraction the audit
+    * makes is then exercised against nonzero lateness.
+    *
+    * Scale shape: one per-user shuffle (same exchange any
+    * sessionization pays) carrying two window sorts, then a map-side-
+    * combinable aggregate; state is running-max-sized, output is
+    * event-type-sized. */
+  def qOoo(spark: SparkSession, dir: String): DataFrame = {
+    // ts arrives TIMESTAMP_NTZ from the driver corpus; the session is
+    // pinned UTC, so the NTZ→LTZ cast is value-preserving and
+    // unix_micros matches DuckDB's epoch_us on the naive timestamp
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .withColumn("seq", row_number().over(wSeq).cast("long"))
+      .withColumn("jit",
+        conv(substring(md5(concat(lit("arr:"), col("event_id").cast("string"))), 1, 1),
+          16, 10).cast("long") % 4)
+      .withColumn("arr", col("seq") + col("jit"))
+    val wArr = Window.partitionBy(col("user_id"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = col("prev_max") > col("tsu")
+    base.withColumn("prev_max", max(col("tsu")).over(wArr))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(late, 1L).otherwise(0L)).as("n_late"),
+        coalesce(max(when(late, col("prev_max") - col("tsu"))), lit(0L))
+          .as("max_late_us"),
+        sum(when(late, col("prev_max") - col("tsu")).otherwise(0L))
+          .as("sum_late_us"))
+      .orderBy(col("event_type"))
+  }
 }

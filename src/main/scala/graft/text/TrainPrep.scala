@@ -436,4 +436,36 @@ object TrainPrep {
       .withColumn("stage", ntile(4).over(w).cast("long"))
       .orderBy(col("doc_id"))
   }
+
+  /** Q-dataset-card: the release manifest a corpus drop ships with —
+    * one row per (source, lang) cell carrying doc/token totals, the
+    * exact-dedup rate (distinct md5 fingerprints vs rows), and the
+    * token-length profile. Every number a dataset card quotes, from
+    * one pass plus the distinct-count expansion.
+    *
+    * Scale shape: ONE grouped aggregate over the corpus; the single
+    * distinct aggregate (fingerprints) is Spark's standard two-phase
+    * partial-distinct expand, keyed by the same (source, lang) cell —
+    * the exact form q_agg_distinct already pins. Ratios surface as
+    * single double divisions of exact longs. */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("text")).as("fp"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast("double")
+          / col("n_docs").cast("double")).as("dup_share"),
+        col("min_tok"), col("max_tok"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tok"))
+      .orderBy(col("source"), col("lang"))
 }

@@ -49,6 +49,36 @@ class GovernanceSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum == Tables.customer(spark, sf).count())
   }
 
+  test("ooo: lateness accounting consistent with the event table") {
+    val rows = graft.ops.EventAnalytics.qOoo(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nLate, maxLate, sumLate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nLate <= n)
+      assert(maxLate >= 0 && sumLate >= maxLate * (if (nLate > 0) 1 else 0))
+      if (nLate == 0) assert(maxLate == 0 && sumLate == 0)
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+    // the jitter replay must actually exercise the lateness arithmetic
+    assert(rows.map(_.getLong(2)).sum > 0, "no late events — audit is vacuous")
+  }
+
+  test("dataset card: per-cell invariants and full coverage") {
+    val rows = graft.text.TrainPrep.qDatasetCard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nTok, nUniq) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (dup, minT, maxT, meanT) =
+        (r.getDouble(5), r.getLong(6), r.getLong(7), r.getDouble(8))
+      assert(nUniq >= 1 && nUniq <= nDocs)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(minT <= maxT && meanT >= minT && meanT <= maxT)
+      assert(nTok >= nDocs * minT && nTok <= nDocs * maxT)
+    }
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+  }
+
   test("orc ingest: audit over the round-trip equals the direct audit") {
     import graft.ops.Exact._
     val viaOrc = graft.ops.Advanced.qIngestOrc(spark, sf).collect()
