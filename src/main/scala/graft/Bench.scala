@@ -38,14 +38,20 @@ object Bench {
     // Two full passes, min per query: single-pass numbers on this VM
     // carry ±40 % contention spikes (PERF.md); the min of two
     // decorrelated passes is the reproducible steady-state cost.
+    // SPARK_GRAFT_BENCH_PASSES=1 for huge local corpora where a second
+    // full pass on one disk risks executor-memory exhaustion (the sf100
+    // 64 g two-pass run died in pass 2; a query failing a pass must
+    // surface as a failure, never as a tiny fake minimum).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
-    val p1 = once()
-    val p2 = once()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    val results = Seq.fill(passes)(once())
+      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b.getOrElse(k, v)) })
+      .map { case (k, v) => k -> (if (v.isInfinity) -1.0 else v) } // -1 = failed every pass
     // ms precision keeps the 139-query JSON line compact enough that
     // log-capture truncation can't eat the tail (r3's record lost 63
     // per-query entries to it)
@@ -54,7 +60,8 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total =
+      if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
