@@ -213,10 +213,37 @@ object TrainPrep {
     * broadcasts when it fits, bucket-join at 100 TB), one window per
     * doc. */
   def qTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val tf = Tables.documents(spark, dir)
+    val tf = tfidfTf(spark, dir)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // bounded-heap top-k per doc (TopKNativeStr): partial buffers
+    // truncate to k terms BEFORE the doc_id shuffle, so the exchange
+    // carries 3 terms per doc instead of every distinct (doc, term)
+    // pair — the q_topk_agg pattern applied to the text layer. Heap
+    // order (tf desc, df asc, term asc in UTF8 binary) is exactly the
+    // window ORDER BY; TrainPrepSpec pins heap == window on the
+    // corpus. tf rides the double sortKey (counts ≪ 2^53, exact).
+    tf.join(df, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKNative.topKStr(k)(
+        col("tf").cast("double"), col("df"), col("term")).as("tops"))
+      .select(col("doc_id"), posexplode(col("tops")).as(Seq("pos", "e")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.str").as("term"), col("e.sortKey").cast("long").as("tf"),
+        col("e.tie").as("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private def tfidfTf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+  /** Window-form twin of [[qTfidf]] — kept for the heap==window pin
+    * in TrainPrepSpec (the TopKAggSpec discipline: every bounded-heap
+    * rewrite keeps its full-shuffle twin asserted byte-identical). */
+  private[graft] def qTfidfWindow(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = tfidfTf(spark, dir)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df"), col("term"))

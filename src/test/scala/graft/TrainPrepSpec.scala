@@ -126,6 +126,13 @@ class TrainPrepSpec extends AnyFunSuite {
       .filter(col("m") =!= col("c")).count() == 0, "ranks are dense 1..k")
   }
 
+  test("tf-idf heap form reproduces the window form byte-for-byte") {
+    val heap = TrainPrep.qTfidf(spark, sf).collect().map(_.toString)
+    val win = TrainPrep.qTfidfWindow(spark, sf).collect().map(_.toString)
+    assert(heap.toSeq == win.toSeq,
+      "TopKNativeStr per-doc top-k diverged from the window ORDER BY")
+  }
+
   test("BPE trainer merges most frequent pair first, deterministically") {
     import graft.text.Bpe
     // "abab"×3, "ab"×2 → pair (a,b) count 8 beats (b,a) count 3 → merge 1 = (a,b);
