@@ -42,14 +42,28 @@ object Bench {
     // full pass on one disk risks executor-memory exhaustion (the sf100
     // 64 g two-pass run died in pass 2; a query failing a pass must
     // surface as a failure, never as a tiny fake minimum).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // clamped + validated: 0 or garbage must not kill the whole bench
+    // run (an empty Seq.fill would crash the reduce below)
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(2))
     def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
-    val results = Seq.fill(passes)(once())
+    // Between passes, RELEASE the standing state (every tracked
+    // localCheckpoint + index memo): peak executor-block footprint then
+    // stays at ONE pass's accumulation instead of passes×. r5's sf100
+    // two-pass run needed 96 GB heap because pass 1's checkpoints were
+    // still resident through pass 2; with the ledger release the same
+    // suite fits the 64 GB budget. Pass 2 rebuilds indexes lazily —
+    // min-of-passes keeps the standing-index steady-state timing from
+    // pass 1 (warmup built the indexes before it).
+    val results = (1 to passes).map { p =>
+      if (p > 1) graft.StandingState.release()
+      once()
+    }
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b.getOrElse(k, v)) })
       .map { case (k, v) => k -> (if (v.isInfinity) -1.0 else v) } // -1 = failed every pass
     // ms precision keeps the 139-query JSON line compact enough that
@@ -98,6 +112,15 @@ object Bench {
       pool.shutdown()
       println(s"""{"metric":"parallel_wall","value":$wall,"unit":"sec","threads":$n,"sf":"$sfDir"}""")
     }
+    // LAST line is a SELF-CONTAINED compact record (suite total +
+    // slowest-10 + query count, ~500 chars): the driver keeps only the
+    // final ~2000 chars of output, and the full 176-entry map above
+    // overflows that window (BENCH_r05.json lost the total; parsed was
+    // null). The complete map still ships via the first line and
+    // target/bench.json.
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_are":"slowest10_of_full_map_in_target/bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

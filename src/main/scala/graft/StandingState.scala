@@ -1,0 +1,75 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped ledger of the engine's standing artifacts — every
+  * localCheckpointed RDD/Dataset and every (applicationId, dir)-keyed
+  * memo the index layer creates (kNN trie, IVF centroids, BM25 doc
+  * index, shared LSH pair tables, …).
+  *
+  * At 100 TB these are write-once batch tables that live outside any
+  * one driver; locally they pin executor block memory for the
+  * application lifetime. A long-lived driver (the bench harness, a
+  * notebook session) must be able to RELEASE them between workloads:
+  * r5's sf100 two-pass bench needed a 96 GB heap precisely because
+  * pass 1's accumulated checkpoints were still resident while pass 2
+  * rebuilt nothing and added its own per-query materializations.
+  * [[release]] unpersists every tracked checkpoint and empties every
+  * registered memo; correctness is unaffected (memos cache
+  * deterministic artifacts — subsequent queries rebuild them from
+  * source), only the build cost is re-paid.
+  */
+object StandingState {
+  private val rddLedger = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+  private val memoLedger =
+    new java.util.concurrent.ConcurrentLinkedQueue[TrieMap[_, _]]()
+
+  /** Track a localCheckpointed RDD (the materializeStatsReset path). */
+  private[graft] def trackRdd[T](rdd: RDD[T]): RDD[T] = { rddLedger.add(rdd); rdd }
+
+  /** Track a `Dataset.localCheckpoint()` result: the persisted blocks
+    * hang off the analyzed plan's LogicalRDD leaf, which is the only
+    * handle that can unpersist them (`df.rdd` would deserialize into a
+    * NEW RDD whose unpersist is a no-op on the checkpoint blocks). */
+  private[graft] def trackCheckpointed(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => rddLedger.add(l.rdd)
+      case _ => ()
+    }
+    df
+  }
+
+  /** A registered memo: cleared (not removed) by [[release]]. */
+  private[graft] def memo[K, V](): TrieMap[K, V] = {
+    val m = TrieMap[K, V]()
+    memoLedger.add(m)
+    m
+  }
+
+  /** `df.localCheckpointTracked()` — an eager localCheckpoint whose
+    * blocks are registered in the ledger so [[release]] can free them.
+    * Every engine call site uses this instead of the raw method. */
+  private[graft] implicit class CkptOps(private val df: DataFrame) extends AnyVal {
+    def localCheckpointTracked(): DataFrame = trackCheckpointed(df.localCheckpoint())
+  }
+
+  /** Checkpoints currently tracked (LEAKCHECK / diagnostics). */
+  def trackedCheckpoints: Int = rddLedger.size
+
+  /** Unpersist every tracked checkpoint and clear every memo. Safe to
+    * call repeatedly; double-unpersist of an already-released RDD is a
+    * no-op. Not safe concurrently with in-flight queries that hold the
+    * memoized frames (the bench calls it only between passes). */
+  def release(blocking: Boolean = false): Unit = {
+    var r = rddLedger.poll()
+    while (r != null) {
+      try r.unpersist(blocking)
+      catch { case _: Throwable => () }
+      r = rddLedger.poll()
+    }
+    memoLedger.forEach(m => m.clear())
+  }
+}

@@ -8,6 +8,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.TextHashes
+import graft.StandingState.CkptOps
 
 /** Near-duplicate detection for LLM-data pipelines over `documents`.
   *
@@ -90,7 +91,7 @@ object Dedup {
     * q_dup_clusters share ONE signature/LSH computation per run, and so
     * every intermediate persist is released before returning (no cache
     * leaks across a long-lived session). */
-  private val pairsMemo = TrieMap[(String, String, Double), DataFrame]()
+  private val pairsMemo = graft.StandingState.memo[(String, String, Double), DataFrame]()
 
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     pairsMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir, threshold),
@@ -98,7 +99,7 @@ object Dedup {
 
   private def computeMinhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val (pairs, handles) = minhashPairsPipeline(spark, dir, threshold)
-    val out = pairs.localCheckpoint() // eager: materialize once, then drop upstream caches
+    val out = pairs.localCheckpointTracked() // eager: materialize once, then drop upstream caches
     handles.foreach(_.unpersist(blocking = false))
     out
   }
@@ -266,6 +267,7 @@ object Dedup {
     val rdd = df.rdd
     rdd.localCheckpoint()
     rdd.count()
+    graft.StandingState.trackRdd(rdd)
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 

@@ -290,7 +290,7 @@ object Advanced {
     * sum, key range, user checksum). The write runs on every
     * execution: the sink is the operator under test. */
   def qIngestOrc(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/root/repo/target/graft_orc/${dir.replaceAll(".*/", "")}"
+    val out = graft.GraftPaths.sink("graft_orc", dir.replaceAll(".*/", ""))
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.mode("overwrite").orc(out)

@@ -119,7 +119,13 @@ object Cdc {
       joined.agg(
         sum(when(col("del").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
         sum(when(col("del").isNull, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("del").isNull, keyCol)).as("kept_key_sum"))
+        // accumulate in decimal(38,0): a raw LONG sum wraps silently on
+        // overflow while the DuckDB oracle sums into HUGEINT — the two
+        // sides would diverge without error at very large scale factors.
+        // The final BIGINT cast mirrors the oracle's ::BIGINT exactly.
+        sum(when(col("del").isNull, keyCol)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("kept_key_sum"))
         .select(lit(tbl).as("tbl"), col("n_deleted"), col("n_kept"),
           col("kept_key_sum"))
     val cA = audit("customer",

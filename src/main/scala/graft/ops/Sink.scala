@@ -49,7 +49,7 @@ object Sink {
     * directory key). The write itself is the operator under test and
     * runs on every execution. */
   def qSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/root/repo/target/graft_sink/${dir.replaceAll(".*/", "")}"
+    val out = graft.GraftPaths.sink("graft_sink", dir.replaceAll(".*/", ""))
     writeOrdersByStatus(spark, dir, out)
     spark.read.parquet(out)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -86,7 +86,7 @@ object Sink {
     * same manifest from the raw documents table, so the row is green
     * iff the writer laid down exactly the declared permutation. */
   def qShardWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/root/repo/target/graft_shards/${dir.replaceAll(".*/", "")}"
+    val out = graft.GraftPaths.sink("graft_shards", dir.replaceAll(".*/", ""))
     writeShards(spark, dir, out)
     spark.read.parquet(out)
       .groupBy(col("shard").cast("long").as("shard"))
@@ -177,8 +177,8 @@ object Sink {
     * COMPACTED files. Green iff compaction preserved every row. */
   def qCompact(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll(".*/", "")
-    val frag = s"/root/repo/target/graft_compact/frag_$tag"
-    val out = s"/root/repo/target/graft_compact/out_$tag"
+    val frag = graft.GraftPaths.sink("graft_compact", s"frag_$tag")
+    val out = graft.GraftPaths.sink("graft_compact", s"out_$tag")
     Tables.events(spark, dir)
       .repartition(32)
       .write.mode("overwrite").partitionBy("event_type").parquet(frag)

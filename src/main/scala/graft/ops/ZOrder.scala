@@ -88,7 +88,7 @@ object ZOrder {
     * pruning reader would consult on BOTH dimensions, and a z checksum
     * pinning the Morton computation. Oracle recomputes from source. */
   def qZorderWrite(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/root/repo/target/graft_zorder/${dir.replaceAll(".*/", "")}"
+    val out = graft.GraftPaths.sink("graft_zorder", dir.replaceAll(".*/", ""))
     writeZOrdered(lineitemZ(spark, dir), out)
     spark.read.parquet(out)
       .groupBy(col("zfile").cast("long").as("zfile"))

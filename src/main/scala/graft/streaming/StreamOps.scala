@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.StandingState.CkptOps
 
 /** Structured Streaming forms of the SURVEY §2.3 streaming operators.
   * Each mirrors a batch twin in [[StreamTwins]] — the twins carry the
@@ -223,7 +224,7 @@ object StreamOps {
           .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
           .select(col("user_id"), col("m.event_id").as("event_id"),
             col("m.event_type").as("event_type"), col("m.ts").as("ts"))
-          .localCheckpoint() // materialize BEFORE overwriting the input files
+          .localCheckpointTracked() // materialize BEFORE overwriting the input files
         merged.write.mode("overwrite").parquet(path)
         ()
     }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.text.TextOps.tokens
+import graft.StandingState.CkptOps
 
 /** Lexical retrieval over the documents corpus: BM25 scoring and
   * reciprocal-rank fusion of two rankers — the query-side complement
@@ -47,7 +48,7 @@ object Retrieval {
     * per (session, dir) as an eager localCheckpoint — doc-sized (one
     * row of 5 ints per doc), the same standing-index pattern the
     * minhash band table uses (dedup/Dedup.scala). */
-  private val byDocMemo = scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+  private val byDocMemo = graft.StandingState.memo[(String, String), DataFrame]()
 
   private def byDoc(spark: SparkSession, dir: String): DataFrame =
     byDocMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
@@ -57,7 +58,7 @@ object Retrieval {
         sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
       tok.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("dl"), tfCols: _*)
-        .localCheckpoint()
+        .localCheckpointTracked()
     })
 
   /** Per-(doc, query-term) postings with doc length and corpus stats
@@ -82,7 +83,16 @@ object Retrieval {
   /** Scaled-integer BM25 partial score for one posting row.
     * Mirrors the oracle SQL op tree exactly:
     * floor(1e6 * (ln(1 + (n - df + 0.5)/(df + 0.5))
-    *   * (tf*(k1+1) / (tf + k1*(1 - b + b*(dl/(sdl/n)))))) + 0.5). */
+    *   * (tf*(k1+1) / (tf + k1*(1 - b + b*(dl/(sdl/n)))))) + 0.5).
+    *
+    * KNOWN RESIDUAL ORACLE RISK (accepted, like q_perplexity): ln() is
+    * evaluated at runtime in BOTH engines and libm ln is not
+    * IEEE-correctly-rounded, so a last-ulp JVM-vs-DuckDB difference
+    * could in principle flip a floor boundary. Unlike RetrievalEval's
+    * rank-discount tables, the idf here depends on corpus df and
+    * CANNOT be precomputed as a driver literal; the 1e6 scale keeps
+    * the boundary-hit probability ~1e-10 per posting, and four rounds
+    * of gate + sf10/sf100 spot-checks have never tripped it. */
   private def bm25U: Column = {
     val nD = col("n").cast("double")
     val dfD = col("df").cast("double")

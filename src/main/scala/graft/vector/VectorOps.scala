@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.StandingState.CkptOps
 
 /** Similarity search over the `embeddings` table (`Array[Float]`,
   * dim 64). Dot products / norms via `zip_with` + `aggregate` — a
@@ -214,10 +215,10 @@ object VectorOps {
   /** Split budget past base depth (2^8× finer than base at the floor). */
   val KnnMaxExtra = 8
 
-  private val embCountMemo = TrieMap[(String, String), Long]()
-  private val knnKeymapMemo = TrieMap[(String, String), DataFrame]()
-  private val knnIndexMemo = TrieMap[(String, String), (DataFrame, Int, Int)]()
-  private val knnLeafKeysMemo = TrieMap[(String, String), Array[Long]]()
+  private val embCountMemo = graft.StandingState.memo[(String, String), Long]()
+  private val knnKeymapMemo = graft.StandingState.memo[(String, String), DataFrame]()
+  private val knnIndexMemo = graft.StandingState.memo[(String, String), (DataFrame, Int, Int)]()
+  private val knnLeafKeysMemo = graft.StandingState.memo[(String, String), DataFrame]()
 
   /** full-code → leaf-depth map (histogram-sized, memoized,
     * materialized): ONE corpus aggregate to the full-depth histogram,
@@ -287,15 +288,21 @@ object VectorOps {
     })
   }
 
-  /** The distinct trie-leaf key set — model-sized (≈ n/125 longs, the
-    * same artifact class as the IVF centroid table), collected once
-    * per (session, dir). Embedded in the plan as an InSet so the
-    * one-flip probe resolves to its unique matching leaf without the
-    * all-depth explode (prefix-freeness ⇒ at most one ancestor of the
-    * flipped code is a leaf). */
-  private def knnLeafKeys(spark: SparkSession, dir: String, emb: DataFrame): Array[Long] =
-    knnLeafKeysMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir),
-      emb.select(col("bucket")).distinct().collect().map(_.getLong(0)).sorted)
+  /** The distinct trie-leaf key RELATION — ≈ n/125 rows, part of the
+    * standing index (materialized + memoized per (session, dir) like
+    * the keymap and centroid tables). It stays a DataFrame end to end:
+    * the probe stage resolves flipped-code → leaf by JOINING against
+    * it, so NOTHING corpus-sized is ever collected to the driver and
+    * no plan literal grows with the corpus (at histogram scale Spark's
+    * accurate post-materialize stats auto-broadcast it; at 10^10
+    * vectors it degrades to a shuffle of 16-byte (q_id, key) rows —
+    * both fine, unlike a driver-resident InSet of 10^8 longs). */
+  private def knnLeafKeysDf(spark: SparkSession, dir: String, emb: DataFrame): DataFrame =
+    knnLeafKeysMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val (df, _) = graft.dedup.Dedup.materializeStatsReset(
+        emb.select(col("bucket").as("leaf_key")).distinct())
+      df
+    })
 
   def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val (emb, p0, maxD) = knnIndexed(spark, dir)
@@ -319,18 +326,31 @@ object VectorOps {
     // chain (prefix-freeness ⇒ at most one ancestor is a leaf; a probe
     // at depth ≤ flip-bit is an ancestor of the query's own leaf and
     // never a leaf itself — so this is exactly one-flip multi-probe
-    // with no duplicate pairs). Resolved via an InSet over the
-    // collected leaf-key set: 9 O(1) membership tests instead of a 9×
-    // explode of the 64-double query vectors through the shuffle.
-    // −1 = no occupied leaf on the flipped branch (matches nothing).
-    val probeKey =
-      if (p0 == maxD) probeFull
-      else coalesce(((p0 to maxD).map { d =>
-        val key = probeFull.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)
-        when(key.isInCollection(knnLeafKeys(spark, dir, emb)), key)
-      } :+ lit(-1L)): _*)
-    val queries = emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      explode(array(col("bucket"), probeKey)).as("bucket"))
+    // with no duplicate pairs). Resolved by JOINING the SLIM
+    // (q_id, candidate-key) pairs — 9 longs per query, never the
+    // 64-double vectors — against the index-resident leaf-key relation
+    // (see knnLeafKeysDf), then re-attaching the matched key to the
+    // query row by q_id. No driver collect, no corpus-growing plan
+    // literal; a missing match (unoccupied flipped branch) coalesces
+    // to −1, which matches no trie key (all keys carry the 1<<depth
+    // marker bit and are positive).
+    val queries =
+      if (p0 == maxD)
+        emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(array(col("bucket"), probeFull)).as("bucket"))
+      else {
+        val cands = emb.select(col("vec_id").as("q_id"),
+          explode(array((p0 to maxD).map { d =>
+            probeFull.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)
+          }: _*)).as("cand"))
+        // prefix-freeness ⇒ at most one row per q_id survives
+        val resolved = cands.join(knnLeafKeysDf(spark, dir, emb),
+          cands("cand") === col("leaf_key")).select(col("q_id"), col("cand").as("probe_key"))
+        emb.select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+          .join(resolved, Seq("q_id"), "left")
+          .select(col("q_id"), col("qv"),
+            explode(array(col("bucket"), coalesce(col("probe_key"), lit(-1L)))).as("bucket"))
+      }
     // Grouped top-k via the bounded-heap aggregate, not a window: the
     // candidate relation is ~2·occupancy rows per vector (≈500M at
     // sf100) and row_number sorted ALL of it through one q_id shuffle;
@@ -366,8 +386,8 @@ object VectorOps {
     * batch artifact (a standing label table at 100 TB), so the curation
     * composite must not re-run the kNN join + CC loop the clustering
     * query already paid for. */
-  private val knnClusterMemo = TrieMap[(String, String), DataFrame]()
-  private val knnMutualMemo = TrieMap[(String, String), DataFrame]()
+  private val knnClusterMemo = graft.StandingState.memo[(String, String), DataFrame]()
+  private val knnMutualMemo = graft.StandingState.memo[(String, String), DataFrame]()
 
   /** Mutual-kNN edge table (a < b), memoized and materialized once per
     * (session, dir): the symmetrized graph is the shared input of the
@@ -581,7 +601,7 @@ object VectorOps {
     * parquet artifact), so the declared ANN query must not pay the
     * full-corpus aggregation on every execution. Decimal element sums
     * keep the means deterministic and oracle-reproducible. */
-  private val centroidMemo = TrieMap[(String, String), DataFrame]()
+  private val centroidMemo = graft.StandingState.memo[(String, String), DataFrame]()
 
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     centroidMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
@@ -594,7 +614,7 @@ object VectorOps {
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("label").as("c_label"), transform(col("pm"), p => p.getField("m")).as("cv"))
-        .localCheckpoint()
+        .localCheckpointTracked()
     })
 
   /** IVF-style ANN — inverted lists keyed by `label` (standing in for
@@ -707,7 +727,7 @@ object VectorOps {
       // expression — rounds chain through k·dim doubles on the driver,
       // not through Spark plans (the r3 stats-blowup class can't occur).
       assigned = assign(emb, centroids)
-      centroids = elementMeans(assigned).localCheckpoint()
+      centroids = elementMeans(assigned).localCheckpointTracked()
     }
     assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"))
@@ -756,7 +776,7 @@ object VectorOps {
     // — both spec-pinned bitwise to the relational forms they replace.
     val assigned = emb.select(col("vec_id"), col("v"),
         graft.functions.VectorMath.subspaceArgmins(col("v"), centRows(seed), 8).as("cs"))
-      .localCheckpoint()
+      .localCheckpointTracked()
     val subMeans = (0 until 8).map { s =>
       assigned
         .groupBy(element_at(col("cs"), s + 1).as("cluster"))
@@ -766,7 +786,7 @@ object VectorOps {
     subMeans.foldLeft(seed)((cb, sm) => cb.join(sm, Seq("c_label"), "left"))
       .select(col("c_label"), concat((0 until 8).map(s =>
         coalesce(col(s"sub$s"), slice(col("cv"), 8 * s + 1, 8))): _*).as("cv"))
-      .localCheckpoint()
+      .localCheckpointTracked()
   }
 
   /** Total PQ quantization error of a corpus under a codebook: each
@@ -951,7 +971,7 @@ object VectorOps {
     val dists = emb.crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("c_label")) ++
         (0 until 8).map(s => subDist(col("v"), col("cv"), s).as(s"d$s")): _*)
-      .localCheckpoint()
+      .localCheckpointTracked()
     val codes = dists.groupBy(col("vec_id"))
       .agg(min(struct(col("d0").as("d"), col("c_label").as("l"))).getField("l").as("code0"),
         (1 until 8).map(s =>

@@ -75,6 +75,19 @@ class KnnDialSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive kNN join: no plan literal scales with the corpus (leaf set stays a relation)") {
+    // The r5 probe embedded the collected leaf-key set as an InSet —
+    // ~n/125 longs in the PLAN and on the DRIVER, i.e. hundreds of MB
+    // at 10^10 vectors. The probe must resolve flipped-code → leaf by
+    // joining the index-resident leaf relation instead: assert the
+    // executed plan carries no InSet/IN-list membership test at all
+    // (the only long-list literals allowed are the fixed 64-double
+    // hyperplane rows, which are corpus-independent).
+    val plan = VectorOps.qKnnJoin(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("INSET"), "adaptive probe must not embed a driver-collected key set")
+    assert(!plan.contains(" IN ("), "adaptive probe must not embed an IN-list of leaf keys")
+  }
+
   test("adaptive kNN join: deterministic, ≤k rows per query, never self-paired") {
     val r1 = VectorOps.qKnnJoin(spark, dir).collect()
     val r2 = VectorOps.qKnnJoin(spark, dir).collect()
