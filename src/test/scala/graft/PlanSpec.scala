@@ -303,6 +303,48 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftOuter"), s"RI must be one outer probe:\n$plan")
   }
 
+  test("rank-filter family: WindowGroupLimit truncates BEFORE the shuffle") {
+    // row_number ≤ k over a corpus-wide window must not shuffle the
+    // whole fact into per-group sorts: Spark 4's InferWindowGroupLimit
+    // inserts a Partial WindowGroupLimit below the hash exchange (≤ k
+    // rows per group per MAP partition cross the wire) and a Final one
+    // above it. Pin both modes for every declared rank-filter query —
+    // losing the Partial turns q_topk_group into a full-fact shuffle
+    // at 100 TB. (q_quality_gate is NOT here by design: its filter is
+    // percent_rank ≤ 0.5, a RELATIVE cut that needs the exact group
+    // cardinality — no constant-k pre-shuffle truncation exists for
+    // it in any engine; its shuffle carries only the slim 3-column
+    // projection instead.)
+    for ((name, df) <- Seq(
+        "q_topk_group" -> Relational.qTopkGroup(spark, sf),
+        "q_stratified" -> graft.text.TrainPrep.qStratified(spark, sf))) {
+      val plan = planOf(df)
+      assert(plan.contains("WindowGroupLimit"), s"$name lost WindowGroupLimit:\n$plan")
+      val partialIdx = plan.indexOf("Partial")
+      val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+      assert(plan.contains(", Partial") && plan.contains(", Final"),
+        s"$name must carry BOTH partial and final group limits:\n$plan")
+      // plan strings print top-down: the map-side (pre-exchange)
+      // operator appears BELOW the exchange line
+      assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+        s"$name partial limit must sit below (before) the hash exchange:\n$plan")
+    }
+  }
+
+  test("quality gate: relative-rank shuffle carries only the slim projection") {
+    val plan = planOf(graft.text.TrainPrep.qQualityGate(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && readSchema.contains("source")
+      && readSchema.contains("doc_id") && readSchema.contains("n_chars"),
+      s"expected the 4 input columns: $readSchema")
+    // the window's input must be the scored 3-column projection, never
+    // the raw text: text is consumed by the quality expression below
+    // the exchange and must not cross the wire
+    val afterExchange = plan.substring(0, math.max(plan.indexOf("Exchange hashpartitioning"), 0))
+    assert(!afterExchange.contains("text#"),
+      s"document text must not survive past the quality projection:\n$plan")
+  }
+
   test("whole-stage codegen covers the q1 hot path") {
     // AQE prints codegen stages only once the plan is final — execute
     // first; codegen'd operators are marked "*(n)" in the simple string
