@@ -142,6 +142,7 @@ object SparkEntry {
     // -- fixture-backed surfaces (multimodal + nested; see sources/Fixtures) --
     "q_media" -> (graft.sources.Fixtures.qMedia _),
     "q_media_frames" -> (graft.sources.Fixtures.qMediaFrames _),
+    "q_video_frames" -> (graft.sources.Fixtures.qVideoFrames _),
     "q_media_stats" -> (graft.sources.Fixtures.qMediaStats _),
     "q_media_resize" -> (graft.sources.Fixtures.qMediaResize _),
     "q_nestsel" -> (graft.sources.Fixtures.qNestsel _),
@@ -1646,13 +1647,35 @@ object SparkEntry {
         |  meta.duration_ms AS duration_ms, meta.format AS format
         |FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')
         |ORDER BY media_id""".stripMargin,
+    // q_media_frames: the Spark side re-runs the REAL video pipeline at
+    // query time (Y4M demux -> frame select -> PNG still per sample);
+    // DuckDB can't encode PNG, so the oracle reads the fixture-time
+    // reference parquet written by the same code path (the
+    // q_media_resize pattern). Decoded-PIXEL correctness is the next
+    // oracle's job, re-derived arithmetically.
     "q_media_frames" ->
-      s"""WITH v AS (SELECT media_id, octet_length(bytes) AS len, meta.duration_ms AS dur
+      s"""SELECT media_id, frame_idx, offset_ms, frame_len, content_md5
+        |FROM read_parquet('${graft.sources.Fixtures.mediaFramesPath}/*.parquet')
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // q_video_frames: TRUE cross-engine video-decode check. Spark
+    // demuxes the real Y4M bytes and sums each sampled frame's Y/U/V
+    // planes; DuckDB re-derives the identical sums from the planted
+    // plane formulas (streams are lossless C444 at 5 fps, 128x24 -- the
+    // fixture parameters baked into syntheticMedia). Any header,
+    // stride, plane-order, or frame-seek bug breaks the hash.
+    "q_video_frames" ->
+      s"""WITH v AS (SELECT media_id, meta.duration_ms AS dur
         |  FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet') WHERE kind = 'video'),
-        |f AS (SELECT media_id, len, dur, unnest(range(0, greatest(1, dur // 1000))) AS i FROM v)
-        |SELECT media_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS offset_ms,
-        |  CAST(least(len, (len * i * 1000) // dur + 64) - (len * i * 1000) // dur AS BIGINT) AS frame_len
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+        |smp AS (SELECT media_id, unnest(range(0, greatest(1, dur // 1000))) AS i FROM v),
+        |f AS (SELECT media_id, i, i * 5 AS fidx FROM smp),
+        |px AS (SELECT f.media_id, f.i, f.fidx, xs.x, ys.y
+        |  FROM f CROSS JOIN (SELECT unnest(range(0, 128)) AS x) xs
+        |         CROSS JOIN (SELECT unnest(range(0, 24)) AS y) ys)
+        |SELECT media_id, CAST(i AS BIGINT) AS sample_idx, CAST(fidx AS BIGINT) AS frame_idx,
+        |  CAST(sum((x * 7 + y * 13 + media_id * 31 + fidx * 97) % 256) AS BIGINT) AS y_sum,
+        |  CAST(sum((x * 3 + y * 5 + media_id * 17 + fidx * 53) % 256) AS BIGINT) AS u_sum,
+        |  CAST(sum((x * 11 + y * 2 + media_id * 43 + fidx * 29) % 256) AS BIGINT) AS v_sum
+        |FROM px GROUP BY media_id, i, fidx ORDER BY media_id, sample_idx""".stripMargin,
     "q_media_stats" ->
       s"""SELECT kind, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  min(byte_entropy) AS min_entropy, max(byte_entropy) AS max_entropy

@@ -21,12 +21,14 @@ object Fixtures {
   /** Stable absolute path (inside the build dir, never the read-only
     * corpus). Bump the version suffix when generation logic changes.
     * (v2: image rows carry real ImageIO PNG bytes; features/resize
-    * compute over decoded pixels.) */
-  val dir = "/root/repo/target/graft_fixtures_v3"
+    * compute over decoded pixels. v4: video rows carry real Y4M
+    * streams — frames/features/resize decode true YUV planes.) */
+  val dir = "/root/repo/target/graft_fixtures_v4"
 
   val mediaPath = s"$dir/media.parquet"
   val mediaFeaturesPath = s"$dir/media_features.parquet"
   val mediaResizedPath = s"$dir/media_resized.parquet"
+  val mediaFramesPath = s"$dir/media_frames.parquet"
   val nftPath = s"$dir/nft.parquet"
   val embDupPath = s"$dir/emb_dup.parquet"
   val csvPath = s"$dir/ingest.csv"
@@ -41,7 +43,8 @@ object Fixtures {
   /** Write-once guard: the fixture set is complete iff every parquet
     * dir has its _SUCCESS marker. */
   def ensure(spark: SparkSession): Unit = lock.synchronized {
-    val done = Seq(mediaPath, mediaFeaturesPath, mediaResizedPath, nftPath, embDupPath,
+    val done = Seq(mediaPath, mediaFeaturesPath, mediaResizedPath, mediaFramesPath,
+        nftPath, embDupPath,
         bpeMergesPath, bpeVocabPath, substrPath, skewFactPath, skewDimPath)
       .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
     if (done) return
@@ -61,6 +64,15 @@ object Fixtures {
     resizedProjection(MultimodalOps.resize(
         media, maxDim = 96)(spark).toDF())
       .write.mode("overwrite").parquet(mediaResizedPath)
+    // frame-sampling reference output, same pattern as resize: the Y4M
+    // demux -> frame select -> PNG still path runs at fixture-build
+    // time; the declared query re-runs it and must reproduce every
+    // length and content hash (PNG encode of a fixed raster is a fixed
+    // byte stream). Pixel-level decode correctness is separately
+    // oracle-checked ARITHMETICALLY by q_video_frames (plane sums
+    // re-derived from the planted formulas in SQL).
+    framesProjection(MultimodalOps.sampleFrames(media, everyMs = 1000)(spark).toDF())
+      .write.mode("overwrite").parquet(mediaFramesPath)
     nftFixture(spark).write.mode("overwrite").parquet(nftPath)
     embDupFixture(spark).write.mode("overwrite").parquet(embDupPath)
     writeCsvFixture()
@@ -246,20 +258,59 @@ object Fixtures {
       .orderBy(col("media_id"))
   }
 
+  /** The frame-sampling output surface both engines compare: index,
+    * offset, plus the PNG-still byte evidence (length + content hash)
+    * that the video path really demuxes and transcodes frames. */
+  private def framesProjection(frames: DataFrame): DataFrame =
+    frames.select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+      col("offset_ms").cast("long").as("offset_ms"),
+      length(col("frame_bytes")).cast("long").as("frame_len"),
+      md5(lower(hex(col("frame_bytes")))).as("content_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   /** Frame sampling (video fan-out) — the declared-query form of
-    * [[MultimodalOps.sampleFrames]]: one row per sampled frame with
-    * deterministic offsets and slice lengths the oracle re-derives
-    * arithmetically. */
+    * [[MultimodalOps.sampleFrames]]: REAL Y4M demux → frame select →
+    * PNG still per sampled frame, re-run at query time. The oracle
+    * reads the fixture-time reference parquet written by the same code
+    * path (the q_media_resize pattern — DuckDB can't encode PNG);
+    * decoded-pixel correctness is oracle-checked arithmetically by
+    * [[qVideoFrames]]. */
   def qMediaFrames(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark)
     implicit val s: SparkSession = spark
     import spark.implicits._
     val media = spark.read.parquet(mediaPath).as[MultimodalOps.MediaRow]
-    MultimodalOps.sampleFrames(media, everyMs = 1000).toDF()
-      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("offset_ms").cast("long").as("offset_ms"),
-        length(col("frame_bytes")).cast("long").as("frame_len"))
-      .orderBy(col("media_id"), col("frame_idx"))
+    framesProjection(MultimodalOps.sampleFrames(media, everyMs = 1000).toDF())
+  }
+
+  /** Q-video-frames: the TRUE cross-engine decode check — every
+    * sampled frame's per-plane pixel sums, computed by demuxing the
+    * real Y4M bytes on the Spark side while the DuckDB oracle
+    * RE-DERIVES the same sums arithmetically from the planted plane
+    * formulas (the streams are lossless, so decoder output must equal
+    * the synthesis formula bit-for-bit — any header/stride/plane-order
+    * bug in the demuxer breaks the hash). */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    import spark.implicits._
+    val media = spark.read.parquet(mediaPath).as[MultimodalOps.MediaRow]
+    media.filter(_.kind == "video").flatMap { m =>
+      val s = MultimodalOps.VideoCodec.decodeY4m(m.bytes)
+      val n = math.max(1, s.durationMs / 1000)
+      (0 until n).map { i =>
+        val off = i * 1000
+        val f = math.min(s.frames.length - 1,
+          (off.toLong * s.fpsNum / (1000L * s.fpsDen)).toInt)
+        val (yp, up, vp) = s.frames(f)
+        var ys, us, vs = 0L
+        var j = 0
+        while (j < yp.length) {
+          ys += yp(j) & 0xff; us += up(j) & 0xff; vs += vp(j) & 0xff; j += 1
+        }
+        (m.media_id, i.toLong, f.toLong, ys, us, vs)
+      }
+    }.toDF("media_id", "sample_idx", "frame_idx", "y_sum", "u_sum", "v_sum")
+      .orderBy(col("media_id"), col("sample_idx"))
   }
 
   /** The resize output surface both engines compare: new dimensions
@@ -271,11 +322,11 @@ object Fixtures {
       length(col("bytes")).cast("long").as("n_bytes"),
       md5(lower(hex(col("bytes")))).as("content_md5"))
 
-  /** Resize as a declared query — REAL for images: decode via ImageIO,
-    * nearest-neighbor resample to max dimension 96 (aspect preserved,
-    * truncating scale), re-encode PNG; width/height/n_bytes/content_md5
-    * all come from the re-encoded bytes. Video keeps the metadata-level
-    * stub half (no JDK video codec). The oracle reads the fixture-time
+  /** Resize as a declared query — REAL for images AND video: decode
+    * (ImageIO / Y4M demux), nearest-neighbor resample to max dimension
+    * 96 (aspect preserved, truncating scale), re-encode (PNG / Y4M);
+    * width/height/n_bytes/content_md5 all come from the re-encoded
+    * bytes. Audio passes through. The oracle reads the fixture-time
     * reference parquet written by this same code path; pixel-level
     * correctness is pinned in MultimodalSpec against planted rasters. */
   def qMediaResize(spark: SparkSession, dir: String): DataFrame = {

@@ -18,13 +18,140 @@ class MultimodalSpec extends AnyFunSuite {
       .map(m => (m.media_id, m.bytes.toSeq)).toMap
     assert(a == b)
     assert(media.collect().map(_.kind).toSet == Set("image", "audio", "video"))
-    // video: opaque sha payloads; images: real PNGs; audio: real WAVs
+    // images: real PNGs; audio: real WAVs; video: real Y4M streams
     media.collect().foreach { m =>
       if (m.kind == "image") assert(m.bytes.length > 100)
       else if (m.kind == "audio")
         assert(m.bytes.length > 2 * 16000 * 2) // >= 2 s of 16 kHz 16-bit PCM
-      else assert(m.bytes.length == 512)
+      else {
+        assert(new String(m.bytes, 0, 9, "US-ASCII") == "YUV4MPEG2")
+        // header + nFrames × ("FRAME\n" + 3 full-res planes)
+        val nFrames = m.meta.duration_ms.get * 5 / 1000
+        assert(m.bytes.length ==
+          "YUV4MPEG2 W128 H24 F5:1 Ip A1:1 C444\n".length
+            + nFrames * (6 + 3 * 128 * 24))
+      }
     }
+  }
+
+  test("video rows are REAL Y4M: known planted stream decodes to exact planted planes") {
+    import graft.multimodal.MultimodalOps.VideoCodec
+    val m = media.filter(_.media_id == 2L).collect().head
+    assert(m.kind == "video" && m.meta.format.contains("y4m"))
+    val s = VideoCodec.decodeY4m(m.bytes)
+    assert(s.w == 128 && s.h == 24 && s.fpsNum == 5 && s.fpsDen == 1)
+    assert(s.durationMs == m.meta.duration_ms.get)
+    for (f <- s.frames.indices) {
+      val (yp, up, vp) = s.frames(f)
+      for (y <- 0 until s.h; x <- 0 until s.w) {
+        val i = y * s.w + x
+        assert((yp(i) & 0xff) == VideoCodec.syntheticY(2L, f, x, y), s"Y($f,$x,$y)")
+        assert((up(i) & 0xff) == VideoCodec.syntheticU(2L, f, x, y), s"U($f,$x,$y)")
+        assert((vp(i) & 0xff) == VideoCodec.syntheticV(2L, f, x, y), s"V($f,$x,$y)")
+      }
+    }
+  }
+
+  test("Y4M decode: C420 chroma upsamples nearest-neighbor; garbage fails loudly") {
+    import graft.multimodal.MultimodalOps.VideoCodec
+    // hand-built 2-frame C420 stream, 4×2: Y = 8 bytes, U/V = 2×1
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W4 H2 F10:1 C420jpeg\n".getBytes("US-ASCII"))
+    for (f <- 0 until 2) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(Array.tabulate[Byte](8)(i => (i + 10 * f).toByte)) // Y
+      bos.write(Array[Byte](100, 101)) // U (2×1)
+      bos.write(Array[Byte]((-56).toByte, (-55).toByte)) // V = 200, 201
+    }
+    val s = VideoCodec.decodeY4m(bos.toByteArray)
+    assert(s.w == 4 && s.h == 2 && s.fpsNum == 10 && s.frames.length == 2)
+    val (yp, up, vp) = s.frames(1)
+    assert(yp.map(_ & 0xff).toSeq == (10 until 18).toSeq)
+    // chroma pixel (x,y) comes from subsampled (x/2, y/2)
+    assert(up.map(_ & 0xff).toSeq == Seq(100, 100, 101, 101, 100, 100, 101, 101))
+    assert(vp.map(_ & 0xff).toSeq == Seq(200, 200, 201, 201, 200, 200, 201, 201))
+    intercept[IllegalArgumentException] {
+      VideoCodec.decodeY4m("not a video".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated frame payload
+      VideoCodec.decodeY4m("YUV4MPEG2 W4 H2 F10:1 C444\nFRAME\nxx".getBytes("US-ASCII"))
+    }
+  }
+
+  test("Y4M encode/decode round-trips planes losslessly") {
+    import graft.multimodal.MultimodalOps.VideoCodec
+    val src = VideoCodec.syntheticStream(7L, 11, 5, 3, 1, 4)
+    val back = VideoCodec.decodeY4m(VideoCodec.encodeY4m(src))
+    assert(back.w == 11 && back.h == 5 && back.fpsNum == 3 && back.frames.length == 4)
+    for (f <- 0 until 4) {
+      assert(back.frames(f)._1.toSeq == src.frames(f)._1.toSeq)
+      assert(back.frames(f)._2.toSeq == src.frames(f)._2.toSeq)
+      assert(back.frames(f)._3.toSeq == src.frames(f)._3.toSeq)
+    }
+  }
+
+  test("video features come from true planes: exact means on a planted 2-frame clip") {
+    import spark.implicits._
+    import graft.multimodal.MultimodalOps.VideoCodec
+    // 2 frames of 2×1: frame 0 Y=(0,100), frame 1 Y=(50,250); U const
+    // 60, V const 200 — every feature hand-computable
+    def frame(ys: Seq[Int]) =
+      (ys.map(_.toByte).toArray, Array.fill[Byte](2)(60), Array.fill[Byte](2)((-56).toByte))
+    val clip = VideoCodec.Y4mStream(2, 1, 2, 1, IndexedSeq(
+      frame(Seq(0, 100)), frame(Seq(50, 250.toByte & 0xff))))
+    val row = MultimodalOps.MediaRow(77L, "video", VideoCodec.encodeY4m(clip),
+      MultimodalOps.MediaMeta(Some(2), Some(1), None, Some(clip.durationMs), Some("y4m")))
+    val f = MultimodalOps.extractFeatures(spark.createDataset(Seq(row))).collect().head
+    assert(f.features(0) == ((0 + 100 + 50 + 250) / 4.0 / 255.0).toFloat) // mean Y
+    assert(f.features(1) == (60.0 / 255.0).toFloat) // mean U
+    assert(f.features(2) == (200.0 / 255.0).toFloat) // mean V
+    // motion: |50-0| + |250-100| over 2 px of 1 frame delta
+    assert(f.features(3) == ((50 + 150) / 2.0 / 255.0).toFloat)
+    // temporal quarters with 2 frames: quarters 0-1 ← frame 0, 2-3 ← frame 1
+    assert(f.features(4) == (50.0 / 255.0).toFloat)
+    assert(f.features(6) == (150.0 / 255.0).toFloat)
+    // 4 distinct luma values, one pixel each → entropy = log2(4) = 2
+    assert(f.byte_entropy == 2.0)
+  }
+
+  test("sampled frames are REAL PNG stills: pixels equal BT.601 of the planted planes") {
+    import graft.multimodal.MultimodalOps.VideoCodec
+    val m = media.filter(_.media_id == 5L).collect().head
+    assert(m.kind == "video")
+    import spark.implicits._
+    val frames = MultimodalOps.sampleFrames(
+      spark.createDataset(Seq(m)), everyMs = 1000).collect().sortBy(_.frame_idx)
+    assert(frames.length == m.meta.duration_ms.get / 1000)
+    frames.foreach { fr =>
+      assert(fr.offset_ms == fr.frame_idx * 1000)
+      val img = ImageCodec.decode(fr.frame_bytes) // genuine PNG payload
+      assert(img.getWidth == 128 && img.getHeight == 24)
+      val srcFrame = fr.offset_ms * 5 / 1000
+      for (y <- 0 until 24; x <- 0 until 128) {
+        val exp = VideoCodec.yuvToRgb(
+          VideoCodec.syntheticY(5L, srcFrame, x, y),
+          VideoCodec.syntheticU(5L, srcFrame, x, y),
+          VideoCodec.syntheticV(5L, srcFrame, x, y))
+        assert((img.getRGB(x, y) & 0xffffff) == exp, s"frame $srcFrame pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("video resize really transcodes: decoded planes are the exact nearest-neighbor resample") {
+    import spark.implicits._
+    import graft.multimodal.MultimodalOps.VideoCodec
+    val srcRow = media.filter(_.media_id == 2L).collect().head
+    val out = MultimodalOps.resize(spark.createDataset(Seq(srcRow)), maxDim = 96)
+      .collect().head
+    assert(out.meta.width.contains(96) && out.meta.height.contains(18))
+    val dec = VideoCodec.decodeY4m(out.bytes)
+    assert(dec.w == 96 && dec.h == 18)
+    for (f <- dec.frames.indices; y <- 0 until 18; x <- 0 until 96) {
+      val sx = x * 128 / 96; val sy = y * 24 / 18
+      assert((dec.frames(f)._1(y * 96 + x) & 0xff) == VideoCodec.syntheticY(2L, f, sx, sy),
+        s"Y($f,$x,$y)")
+    }
+    assert(out.bytes.length < srcRow.bytes.length)
   }
 
   test("audio rows are REAL WAVs: known planted clip decodes to exact known samples") {
