@@ -178,6 +178,7 @@ object SparkEntry {
     "q_pack_bpe" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qPackBpe(s, d)),
     "q_bpe_train" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qBpeTrain(s, d)),
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => graft.etl.Snapshot.qSnapshotDiff(s, d)),
+    "q_time_travel" -> (graft.etl.Ledger.qTimeTravel _),
     "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
     "q_shard_write" -> (graft.ops.Sink.qShardWrite _),
     "q_zorder_write" -> (graft.ops.ZOrder.qZorderWrite _),
@@ -1947,6 +1948,36 @@ object SparkEntry {
         |  FROM a FULL OUTER JOIN b USING (doc_id))
         |SELECT source, status, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM st GROUP BY source, status ORDER BY source, status""".stripMargin,
+    // q_time_travel: the oracle recomputes every ledger version from
+    // the raw corpus + the same deterministic changesets (v1 = the
+    // snapshot-v2 rules; v2 = delete %19==2 / " [rev3]" upserts %11==5
+    // / +2e9 inserts %31==0), and v3 must equal v2 — compaction
+    // preserving logical version identity is part of the hash.
+    // Checksums sum into HUGEINT and reduce mod 1e18 (Spark mirrors in
+    // decimal(38,0)).
+    "q_time_travel" ->
+      """WITH v0 AS (SELECT doc_id, source, text FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'new ' || text FROM v0 WHERE doc_id % 29 = 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev3]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 19 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, source, 'new2 ' || text FROM v0 WHERE doc_id % 31 = 0),
+        |all_v AS (
+        |  SELECT 0 AS version, * FROM v0
+        |  UNION ALL SELECT 1, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v2)
+        |SELECT CAST(version AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
+        |FROM all_v GROUP BY version ORDER BY version""".stripMargin,
     "q_chunk_bpe" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |w AS (SELECT doc_id, unnest(t) AS word,

@@ -1,0 +1,231 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** A minimal manifest-tracked table format with TIME TRAVEL — the
+  * Delta/Iceberg-shaped capstone over the engine's table-maintenance
+  * pieces (merge-upsert, compaction, snapshot diff, CDC). A ledger
+  * table is a directory of IMMUTABLE parquet data files plus one
+  * parquet manifest per VERSION:
+  *
+  * {{{
+  *   <table>/data/v<N>/part-*.parquet      -- files added by commit N
+  *   <table>/_manifest/v<N>/               -- parquet rows: one per
+  *     (path, min_key, max_key, rows)         live data file @ version N
+  * }}}
+  *
+  * Every write is a new manifest that REFERENCES files — never mutates
+  * them — so any historical version stays readable forever (until
+  * vacuumed) and a read is simply "load the file list of version N".
+  * Merge is copy-on-write at FILE granularity driven by the manifest's
+  * per-file key ranges: only files whose [min_key, max_key] intersects
+  * a changed key are rewritten; every other file carries over into the
+  * new manifest by reference. Compaction rewrites the file LAYOUT
+  * under a new version whose logical content is identical — version
+  * identity is preserved and spec-pinned (LedgerSpec).
+  *
+  * Scale shape: the manifest is file-count-sized (a 100 TB table at
+  * 1 GB files is ~10^5 manifest rows — kilobytes of driver state, the
+  * same model-sized class as the IVF centroid table), data files never
+  * move through the driver, the merge's copy-on-write reads only the
+  * intersected files, and the per-file key ranges give readers
+  * O(manifest) partition pruning before any data I/O — exactly the
+  * Iceberg/Delta data-skipping contract. All file I/O goes through the
+  * Hadoop FileSystem API, so the same code addresses HDFS/S3 paths on
+  * a real cluster.
+  */
+object Ledger {
+
+  /** Table root for a corpus dir (rebuilt per run — the sink under
+    * test, same convention as q_sink/q_zorder_write). */
+  def tableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger", dir.replaceAll(".*/", ""))
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(table: String, version: Int) =
+    s"$table/_manifest/v$version"
+
+  /** Write `df` as commit `version`'s data files and return their
+    * manifest rows (path, min_key, max_key, rows) — stats gathered in
+    * one grouped pass over the freshly written files. */
+  private def writeDataFiles(spark: SparkSession, df: DataFrame,
+      table: String, version: Int, keyCol: String): DataFrame = {
+    val out = s"$table/data/v$version"
+    df.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("rows"))
+  }
+
+  private def writeManifest(spark: SparkSession, table: String, version: Int,
+      files: DataFrame): Unit =
+    files.select(col("path"), col("min_key"), col("max_key"), col("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(table, version))
+
+  /** The manifest of version N (file-count-sized). */
+  def manifest(spark: SparkSession, table: String, version: Int): DataFrame =
+    spark.read.parquet(manifestPath(table, version))
+
+  /** TIME TRAVEL: the table's full content AS OF version N. */
+  def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
+    val paths = manifest(spark, table, version)
+      .select(col("path")).collect().map(_.getString(0))
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** Manifest-level data skipping: the live files of version N whose
+    * key range intersects [lo, hi] — the file list a predicate read
+    * touches (O(manifest) work, zero data I/O; spec-pinned). */
+  def pruneFiles(spark: SparkSession, table: String, version: Int,
+      lo: Long, hi: Long): Array[String] =
+    manifest(spark, table, version)
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select(col("path")).collect().map(_.getString(0))
+
+  /** CREATE: version 0 from `df`, range-layout into `nFiles` files so
+    * the per-file key ranges are disjoint and pruning/copy-on-write
+    * have real structure to work with. */
+  def create(spark: SparkSession, table: String, df: DataFrame,
+      keyCol: String, nFiles: Int = 8): Unit = {
+    val root = fs(spark, table)
+    root.delete(new Path(table), true)
+    val files = writeDataFiles(spark,
+      df.repartitionByRange(nFiles, col(keyCol)), table, 0, keyCol)
+    writeManifest(spark, table, 0, files)
+  }
+
+  /** MERGE (upsert + delete changeset) as copy-on-write at file
+    * granularity: `changes` rows carry (key, op, payload...) with op ∈
+    * {upsert, delete}. Files whose key range intersects no change key
+    * carry over BY REFERENCE; intersected files are re-read, full-outer
+    * joined with the changeset, and rewritten; change keys matching no
+    * existing file range become inserts in the rewrite. Produces
+    * version `fromVersion + 1`. PRECONDITION: changeset keys are
+    * UNIQUE (the standard MERGE contract — Delta likewise rejects a
+    * source row matching twice); a key carrying two ops would fan out
+    * in the full-outer join. */
+  def merge(spark: SparkSession, table: String, fromVersion: Int,
+      changes: DataFrame, keyCol: String): Unit = {
+    val version = fromVersion + 1
+    val m = manifest(spark, table, fromVersion)
+    // file-count-sized × changeset range join: which files does any
+    // change key hit? (broadcast the manifest — it is model-sized)
+    val hit = changes.select(col(keyCol).as("ck")).distinct()
+      .join(broadcast(m), col("ck") >= col("min_key") && col("ck") <= col("max_key"))
+      .select(col("path")).distinct().collect().map(_.getString(0)).toSet
+    val carried = m.filter(!col("path").isInCollection(hit.toSeq :+ ""))
+    val existing =
+      if (hit.isEmpty) readVersion(spark, table, fromVersion).limit(0)
+      else spark.read.parquet(hit.toIndexedSeq: _*)
+    // payload = every non-key, non-op column; upsert takes the change
+    // side, carried-through rows keep their own values
+    val payload = changes.columns.filterNot(c => c == keyCol || c == "op").toSeq
+    val ch = changes.select((col(keyCol) +: col("op") +:
+      payload.map(c => col(c).as(s"_$c"))): _*)
+    val merged = existing.join(ch, Seq(keyCol), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select((col(keyCol) +: payload.map(c =>
+        when(col("op") === "upsert", col(s"_$c")).otherwise(col(c)).as(c))): _*)
+    val rewritten = writeDataFiles(spark,
+      merged.repartitionByRange(math.max(1, hit.size), col(keyCol)),
+      table, version, keyCol)
+    writeManifest(spark, table, version,
+      carried.select(col("path"), col("min_key"), col("max_key"), col("rows"))
+        .unionByName(rewritten))
+  }
+
+  /** COMPACT: rewrite version N's file layout into `nFiles` range-
+    * partitioned files under version N+1 — logical content IDENTICAL
+    * (time travel to N still reads the old files; LedgerSpec pins
+    * readVersion(N+1) ≡ readVersion(N) row-for-row). */
+  def compact(spark: SparkSession, table: String, fromVersion: Int,
+      keyCol: String, nFiles: Int = 2): Unit = {
+    val version = fromVersion + 1
+    val files = writeDataFiles(spark,
+      readVersion(spark, table, fromVersion)
+        .repartitionByRange(nFiles, col(keyCol)),
+      table, version, keyCol)
+    writeManifest(spark, table, version, files)
+  }
+
+  // ---- the declared query ----
+
+  /** Deterministic changeset 1 (Snapshot.v2's rules recast as MERGE
+    * ops): delete doc_id%17==3, upsert %13==1 with a " [rev2]" suffix,
+    * insert %29==0 clones at +1e9. */
+  private def changeset1(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 17 === 3)
+      .select(col("doc_id"), lit("delete").as("op"), col("source"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 1 && col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), lit("upsert").as("op"), col("source"),
+          concat(col("text"), lit(" [rev2]")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + Snapshot.addedIdOffset).as("doc_id"),
+          lit("upsert").as("op"), col("source"),
+          concat(lit("new "), col("text")).as("text")))
+
+  /** Deterministic changeset 2 (applies on top of v1): delete
+    * %19==2, upsert %11==5 with " [rev3]", insert %31==0 at +2e9. */
+  private def changeset2(docs: DataFrame): DataFrame = {
+    val v1 = Snapshot.v2of(docs) // the logical content of ledger v1
+    v1.filter(col("doc_id") % 19 === 2)
+      .select(col("doc_id"), lit("delete").as("op"), col("source"), col("text"))
+      .unionByName(v1.filter(col("doc_id") % 11 === 5 && col("doc_id") % 19 =!= 2)
+        .select(col("doc_id"), lit("upsert").as("op"), col("source"),
+          concat(col("text"), lit(" [rev3]")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 2 * Snapshot.addedIdOffset).as("doc_id"),
+          lit("upsert").as("op"), col("source"),
+          concat(lit("new2 "), col("text")).as("text")))
+  }
+
+  /** 15-hex md5 prefix of the text as a BIGINT — the cross-engine
+    * content fingerprint (Spark conv ↔ DuckDB CAST('0x'||…)). */
+  private def textFp(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Q-time-travel: build the ledger table end to end — v0 = the
+    * corpus, v1 = MERGE changeset 1, v2 = MERGE changeset 2, v3 =
+    * COMPACT(v2) — then read EVERY version back snapshot-addressed and
+    * emit one audit row per version (row count, decimal-exact key sum,
+    * content-fingerprint sum). The DuckDB oracle recomputes v0/v1/v2
+    * from the raw corpus + the same deterministic changesets, and v3
+    * must equal v2 exactly — compaction preserving logical version
+    * identity is part of the checked contract, as is the whole
+    * manifest/time-travel read path (a wrong carried-over file, a
+    * duplicated rewrite, or a leaked deleted row breaks the hash). */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = tableRoot(dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    create(spark, table, docs, "doc_id")
+    merge(spark, table, 0, changeset1(docs), "doc_id")
+    merge(spark, table, 1, changeset2(docs), "doc_id")
+    compact(spark, table, 2, "doc_id")
+    // checksums accumulate in decimal(38,0) and reduce mod 1e18 before
+    // the BIGINT cast (the fp sum is ~6e17 per row — a raw long sum
+    // wraps at any non-toy row count; DuckDB mirrors with HUGEINT % )
+    val modulus = lit(1000000000000000000L)
+    def checksum(c: Column): Column =
+      (sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))) % modulus)
+        .cast("long")
+    (0 to 3).map { v =>
+      readVersion(spark, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          checksum(col("doc_id")).as("key_sum"),
+          checksum(textFp(col("text"))).as("text_fp_sum"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("key_sum"),
+          col("text_fp_sum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+}

@@ -27,8 +27,12 @@ object Snapshot {
     *  - `doc_id % 29 == 0` → also yields a NEW doc at `doc_id + 1e9`
     *    (becomes `added`)
     */
-  def v2(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+  def v2(spark: SparkSession, dir: String): DataFrame =
+    v2of(Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+
+  /** [[v2]] from an explicit (doc_id, source, text) relation — shared
+    * with the ledger's changeset derivation (etl/Ledger.scala). */
+  def v2of(d: DataFrame): DataFrame = {
     val kept = d.filter(col("doc_id") % 17 =!= 3)
       .withColumn("text", when(col("doc_id") % 13 === 1,
         concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Ledger
+
+/** Structural laws of the manifest-tracked ledger format — the parts
+  * the q_time_travel oracle can't see: copy-on-write at file
+  * granularity (merge must NOT rewrite untouched files), manifest-level
+  * data skipping, layout-only compaction, and historical versions
+  * staying readable after later writes. */
+class LedgerSpec extends AnyFunSuite {
+  import SparkFixture.{spark, sf}
+
+  private val table = Ledger.tableRoot("ledger_spec")
+
+  private lazy val built: Unit = {
+    import spark.implicits._
+    val docs = (0L until 400L)
+      .map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, table, docs, "doc_id", nFiles = 8)
+    // touch ONLY keys 0-49 (one range file of the 8): upsert evens,
+    // delete multiples of 10, insert two new keys far right
+    val changes = ((0L until 50L by 2).filter(_ % 10 != 0)
+        .map(i => (i, "upsert", "srcX", s"edited $i"))
+      ++ (0L until 50L by 10).map(i => (i, "delete", "", ""))
+      ++ Seq((900L, "upsert", "srcN", "brand new 900"), (901L, "upsert", "srcN", "brand new 901")))
+      .toDF("doc_id", "op", "source", "text")
+    Ledger.merge(spark, table, 0, changes, "doc_id")
+    Ledger.compact(spark, table, 1, "doc_id", nFiles = 2)
+  }
+
+  test("merge is copy-on-write: untouched files carry over by reference") {
+    built
+    val v0 = Ledger.manifest(spark, table, 0).select("path").collect().map(_.getString(0)).toSet
+    val v1 = Ledger.manifest(spark, table, 1).select("path").collect().map(_.getString(0)).toSet
+    val carried = v0.intersect(v1)
+    assert(carried.nonEmpty, "at least the untouched range files must be shared")
+    assert(carried.size >= 6, s"change keys 0-49 span ~1 of 8 range files; carried=${carried.size}")
+    assert((v1 -- v0).nonEmpty, "the rewritten file(s) must be new")
+  }
+
+  test("merge semantics: upserts replace, deletes drop, inserts land") {
+    built
+    val v1 = Ledger.readVersion(spark, table, 1).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(!v1.contains(0L) && !v1.contains(10L) && !v1.contains(40L), "deletes must drop")
+    assert(v1(2L) == (("srcX", "edited 2")), "upsert must replace payload")
+    assert(v1(3L) == (("src3", "document body 3")), "untouched row must survive")
+    assert(v1(900L) == (("srcN", "brand new 900")), "insert must land")
+    assert(v1.size == 400 - 5 + 2) // 400 - deletes(0,10,20,30,40) + 2 inserts
+  }
+
+  test("compaction preserves logical version identity and shrinks the layout") {
+    built
+    val v1 = Ledger.readVersion(spark, table, 1).orderBy("doc_id").collect().toSeq
+    val v2 = Ledger.readVersion(spark, table, 2).orderBy("doc_id").collect().toSeq
+    assert(v1 == v2, "compact must not change a single row")
+    val f1 = Ledger.manifest(spark, table, 1).count()
+    val f2 = Ledger.manifest(spark, table, 2).count()
+    assert(f2 < f1, s"compaction must reduce file count ($f1 -> $f2)")
+  }
+
+  test("time travel: version 0 stays byte-stable through merge and compaction") {
+    built
+    val v0 = Ledger.readVersion(spark, table, 0)
+    assert(v0.count() == 400)
+    val r = v0.filter(col("doc_id") === 0L).collect().head
+    assert(r.getString(2) == "document body 0", "pre-merge content must survive")
+  }
+
+  test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {
+    built
+    val all = Ledger.manifest(spark, table, 0).count()
+    val pruned = Ledger.pruneFiles(spark, table, 0, 100, 120)
+    assert(pruned.length < all, s"range [100,120] must prune ($all files total)")
+    // lossless: the pruned file set contains every row in the range
+    val fromPruned = spark.read.parquet(pruned.toIndexedSeq: _*)
+      .filter(col("doc_id").between(100, 120)).count()
+    assert(fromPruned == 21)
+  }
+}
