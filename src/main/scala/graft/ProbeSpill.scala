@@ -49,6 +49,10 @@ object ProbeSpill {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).count()
       val first = (System.nanoTime() - t0) / 1e9
+      // let the ContextCleaner reap run-1's shuffle files before run 2:
+      // without this, two ~25 GB shuffle footprints coexist and the
+      // one-disk cell dies on a full filesystem (measured r6)
+      System.gc(); Thread.sleep(3000)
       val t1 = System.nanoTime()
       val (_, rep) = graft.obs.Metrics.measure(spark) {
         SparkEntry.queries(q)(spark, sfDir).count()
