@@ -179,6 +179,7 @@ object SparkEntry {
     "q_bpe_train" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qBpeTrain(s, d)),
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => graft.etl.Snapshot.qSnapshotDiff(s, d)),
     "q_time_travel" -> (graft.etl.Ledger.qTimeTravel _),
+    "q_ledger_changes" -> (graft.etl.Ledger.qLedgerChanges _),
     "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
     "q_shard_write" -> (graft.ops.Sink.qShardWrite _),
     "q_zorder_write" -> (graft.ops.ZOrder.qZorderWrite _),
@@ -1978,6 +1979,48 @@ object SparkEntry {
         |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
         |FROM all_v GROUP BY version ORDER BY version""".stripMargin,
+    // q_ledger_changes: the oracle recomputes the adjacent-version
+    // change feed by full-outer diffing the logically recomputed
+    // versions (same v0/v1/v2 CTEs as q_time_travel) — and emits
+    // NOTHING for the 2→3 compaction pair, so any row the engine's
+    // manifest-diff CDF produced for a pure layout rewrite would break
+    // the compare. Post-image fingerprint (pre-image for deletes) via
+    // the shared 15-hex md5→BIGINT scheme.
+    "q_ledger_changes" ->
+      """WITH v0 AS (SELECT doc_id, source, text FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'new ' || text FROM v0 WHERE doc_id % 29 = 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev3]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 19 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, source, 'new2 ' || text FROM v0 WHERE doc_id % 31 = 0),
+        |d01 AS (
+        |  SELECT 0 AS from_v, 1 AS to_v,
+        |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+        |         WHEN b.doc_id IS NULL THEN 'delete' ELSE 'update' END AS op,
+        |    COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |    CAST(('0x' || substr(md5(COALESCE(b.text, a.text)), 1, 15)) AS BIGINT) AS text_fp
+        |  FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id
+        |  WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+        |     OR a.text IS DISTINCT FROM b.text
+        |     OR a.source IS DISTINCT FROM b.source),
+        |d12 AS (
+        |  SELECT 1 AS from_v, 2 AS to_v,
+        |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+        |         WHEN b.doc_id IS NULL THEN 'delete' ELSE 'update' END AS op,
+        |    COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |    CAST(('0x' || substr(md5(COALESCE(b.text, a.text)), 1, 15)) AS BIGINT) AS text_fp
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |  WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+        |     OR a.text IS DISTINCT FROM b.text
+        |     OR a.source IS DISTINCT FROM b.source)
+        |SELECT * FROM d01 UNION ALL SELECT * FROM d12""".stripMargin,
     "q_chunk_bpe" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |w AS (SELECT doc_id, unnest(t) AS word,

@@ -158,7 +158,49 @@ object Ledger {
     writeManifest(spark, table, version, files)
   }
 
-  // ---- the declared query ----
+  /** CHANGE DATA FEED between two ledger versions, computed from the
+    * MANIFESTS — never by replaying changesets: files referenced by both
+    * manifests are byte-identical (immutable, carried by reference) and
+    * contribute nothing, so only the file-set DIFFERENCE is read — the
+    * before-image from files dropped by `vTo`, the after-image from
+    * files added. A key-level full-outer join then classifies rows:
+    * only-after → insert, only-before → delete, payload differs →
+    * update (post-image); identical rows (unchanged neighbors inside a
+    * copy-on-write rewrite) drop out. Emits the key, `op`, and the
+    * post-image payload (pre-image for deletes).
+    *
+    * Scale shape: I/O and join volume are CHANGED-FILES-sized, not
+    * table-sized — at 100 TB with file-granular copy-on-write, a 0.1 %
+    * merge touches a handful of files and the CDF reads exactly those.
+    * A compaction (pure layout rewrite) diffs to ZERO rows — spec- and
+    * oracle-pinned — so downstream incremental consumers see layout
+    * maintenance as a no-op, the Delta CDF contract. */
+  def readChanges(spark: SparkSession, table: String, vFrom: Int, vTo: Int,
+      keyCol: String): DataFrame = {
+    def paths(v: Int): Set[String] = manifest(spark, table, v)
+      .select(col("path")).collect().map(_.getString(0)).toSet
+    val (pf, pt) = (paths(vFrom), paths(vTo))
+    val schemaSrc = readVersion(spark, table, vTo).limit(0)
+    def rd(ps: Set[String]): DataFrame =
+      if (ps.isEmpty) schemaSrc else spark.read.parquet(ps.toIndexedSeq: _*)
+    val payload = schemaSrc.columns.filterNot(_ == keyCol).toSeq
+    val b = rd(pf -- pt).select(col(keyCol).as("_kb") +:
+      payload.map(c => col(c).as(s"_b_$c")): _*)
+    val a = rd(pt -- pf).select(col(keyCol).as("_ka") +:
+      payload.map(c => col(c).as(s"_a_$c")): _*)
+    // null-safe payload compare (IS DISTINCT FROM in the oracle): a
+    // null-vs-value flip is a change, null-vs-null is not
+    val changed = payload.map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))
+      .reduce(_ || _)
+    b.join(a, col("_kb") === col("_ka"), "full_outer")
+      .filter(col("_kb").isNull || col("_ka").isNull || changed)
+      .select((when(col("_kb").isNull, "insert")
+        .when(col("_ka").isNull, "delete").otherwise("update").as("op") +:
+        coalesce(col("_ka"), col("_kb")).as(keyCol) +:
+        payload.map(c => coalesce(col(s"_a_$c"), col(s"_b_$c")).as(c))): _*)
+  }
+
+  // ---- the declared queries ----
 
   /** Deterministic changeset 1 (Snapshot.v2's rules recast as MERGE
     * ops): delete doc_id%17==3, upsert %13==1 with a " [rev2]" suffix,
@@ -204,6 +246,30 @@ object Ledger {
     * identity is part of the checked contract, as is the whole
     * manifest/time-travel read path (a wrong carried-over file, a
     * duplicated rewrite, or a leaked deleted row breaks the hash). */
+  /** Q-ledger-changes: build the same ledger lineage (v0 corpus → v1
+    * merge → v2 merge → v3 compact) under its own root, then read the
+    * CHANGE FEED of every adjacent version pair from the manifests.
+    * One row per changed key: (from_v, to_v, op, doc_id, text_fp) with
+    * the post-image fingerprint (pre-image for deletes). The DuckDB
+    * oracle recomputes v0/v1/v2 logically and full-outer diffs them —
+    * and emits NOTHING for the 2→3 pair, so any row the compaction
+    * diff produced would break the compare: layout maintenance must be
+    * invisible to incremental consumers. */
+  def qLedgerChanges(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.GraftPaths.sink("graft_ledger_cdf", dir.replaceAll(".*/", ""))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    create(spark, table, docs, "doc_id")
+    merge(spark, table, 0, changeset1(docs), "doc_id")
+    merge(spark, table, 1, changeset2(docs), "doc_id")
+    compact(spark, table, 2, "doc_id")
+    Seq(0 -> 1, 1 -> 2, 2 -> 3).map { case (f, t) =>
+      readChanges(spark, table, f, t, "doc_id")
+        .select(lit(f).as("from_v"), lit(t).as("to_v"), col("op"),
+          col("doc_id"), textFp(col("text")).as("text_fp"))
+    }.reduce(_.unionByName(_))
+  }
+
   def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val table = tableRoot(dir)
     val docs = Tables.documents(spark, dir)

@@ -71,6 +71,29 @@ class LedgerSpec extends AnyFunSuite {
     assert(r.getString(2) == "document body 0", "pre-merge content must survive")
   }
 
+  test("change feed classifies ops from the manifest diff and skips carried files") {
+    built
+    val cdf = Ledger.readChanges(spark, table, 0, 1, "doc_id")
+    val byOp = cdf.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp.getOrElse("delete", 0L) == 5, s"deletes 0/10/20/30/40: $byOp")
+    assert(byOp.getOrElse("insert", 0L) == 2, s"inserts 900/901: $byOp")
+    // upserts = evens in 0-49 minus multiples of 10 = 25 - 5
+    assert(byOp.getOrElse("update", 0L) == 20, s"updates: $byOp")
+    // unchanged neighbors inside the rewritten range file (odd keys
+    // 1..49) must NOT appear — content compare, not file membership
+    assert(cdf.filter(col("doc_id") === 3L).count() == 0)
+    val post = cdf.filter(col("doc_id") === 2L).collect().head
+    assert(post.getAs[String]("text") == "edited 2", "update carries the post-image")
+    val del = cdf.filter(col("doc_id") === 10L).collect().head
+    assert(del.getAs[String]("text") == "document body 10", "delete carries the pre-image")
+  }
+
+  test("change feed across a compaction is EMPTY — layout rewrites are invisible") {
+    built
+    assert(Ledger.readChanges(spark, table, 1, 2, "doc_id").count() == 0)
+  }
+
   test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {
     built
     val all = Ledger.manifest(spark, table, 0).count()
