@@ -158,6 +158,47 @@ object Ledger {
     writeManifest(spark, table, version, files)
   }
 
+  /** Latest committed version — highest v<N> manifest directory. */
+  def latestVersion(spark: SparkSession, table: String): Int = {
+    val dir = new Path(s"$table/_manifest")
+    val f = fs(spark, table)
+    if (!f.exists(dir)) -1
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  /** VACUUM: retention-based physical GC. Keeps every data file
+    * referenced by any manifest of version ≥ `keepFrom` (manifests are
+    * the reference-counting source of truth — a file created at v0 and
+    * carried by reference into v5's manifest SURVIVES a vacuum keeping
+    * v5, which is what makes copy-on-write sharing safe to clean), then
+    * drops the older manifests so the expired versions are gone rather
+    * than half-readable. Returns (filesDeleted, filesKept).
+    *
+    * Scale shape: the reachability set is a union of manifests —
+    * file-count-sized metadata, no data I/O; deletes are per-file
+    * FileSystem calls exactly like Delta's VACUUM. */
+  def vacuum(spark: SparkSession, table: String, keepFrom: Int): (Int, Int) = {
+    val f = fs(spark, table)
+    val latest = latestVersion(spark, table)
+    require(keepFrom <= latest, s"keepFrom=$keepFrom > latest=$latest")
+    val live = (keepFrom to latest).flatMap { v =>
+      manifest(spark, table, v).select(col("path"))
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath)
+    }.toSet
+    val dataDir = new Path(s"$table/data")
+    val all =
+      if (!f.exists(dataDir)) Array.empty[Path]
+      else f.listStatus(dataDir).flatMap(d => f.listStatus(d.getPath))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val (keep, drop) = all.partition(p => live.contains(p.toUri.getPath))
+    drop.foreach(p => f.delete(p, false))
+    (0 until keepFrom).foreach(v =>
+      f.delete(new Path(manifestPath(table, v)), true))
+    (drop.length, keep.length)
+  }
+
   /** CHANGE DATA FEED between two ledger versions, computed from the
     * MANIFESTS — never by replaying changesets: files referenced by both
     * manifests are byte-identical (immutable, carried by reference) and

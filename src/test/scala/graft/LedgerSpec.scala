@@ -94,6 +94,28 @@ class LedgerSpec extends AnyFunSuite {
     assert(Ledger.readChanges(spark, table, 1, 2, "doc_id").count() == 0)
   }
 
+  test("vacuum keeps carried-by-reference files alive and expires old versions") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_vacuum_spec")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    val changes = Seq((5L, "upsert", "srcX", "edited 5"), (10L, "delete", "", ""))
+      .toDF("doc_id", "op", "source", "text")
+    Ledger.merge(spark, t, 0, changes, "doc_id") // rewrites only keys 0-49's file
+    assert(Ledger.latestVersion(spark, t) == 1)
+    val v1Before = Ledger.readVersion(spark, t, 1).orderBy("doc_id").collect().toSeq
+    val (deleted, kept) = Ledger.vacuum(spark, t, keepFrom = 1)
+    // only v0's rewritten file is unreachable from v1; the 7 carried
+    // files were created at v0 but MUST survive (v1 references them)
+    assert(deleted == 1, s"deleted=$deleted")
+    assert(kept >= 8, s"kept=$kept")
+    assert(Ledger.readVersion(spark, t, 1).orderBy("doc_id").collect().toSeq == v1Before,
+      "the kept version must be byte-identical after vacuum")
+    // the expired version is GONE, not half-readable
+    assertThrows[Exception](Ledger.manifest(spark, t, 0).collect())
+  }
+
   test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {
     built
     val all = Ledger.manifest(spark, table, 0).count()
