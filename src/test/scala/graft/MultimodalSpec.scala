@@ -78,6 +78,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG: marker-scan demux, container dispatch, bounded lossy fidelity") {
+    import graft.multimodal.MultimodalOps.VideoCodec
+    import graft.multimodal.MultimodalOps.VideoCodec.Y4mStream
+    // smooth gradient luma + per-frame constant chroma: JPEG-friendly
+    // content so the lossy bound is tight and the test is stable
+    val (w, h) = (32, 16)
+    val frames = (0 until 3).map { f =>
+      val yp = new Array[Byte](w * h)
+      val up = new Array[Byte](w * h)
+      val vp = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * w + x
+        yp(i) = math.min(235, 20 + x * 4 + y * 2 + f * 8).toByte
+        up(i) = (100 + f).toByte
+        vp(i) = (140 - f).toByte
+      }
+      (yp, up, vp)
+    }
+    val src = Y4mStream(w, h, 25, 1, frames)
+    val bytes = VideoCodec.encodeMjpeg(src)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "stream starts at SOI")
+    val back = VideoCodec.decodeVideo(bytes) // dispatch must route to MJPEG
+    assert(back.w == w && back.h == h && back.frames.length == 3)
+    for (f <- 0 until 3; plane <- 0 until 3) {
+      val s = Seq(src.frames(f)._1, src.frames(f)._2, src.frames(f)._3)(plane)
+      val b = Seq(back.frames(f)._1, back.frames(f)._2, back.frames(f)._3)(plane)
+      val diffs = s.indices.map(i => math.abs((s(i) & 0xff) - (b(i) & 0xff)))
+      val mean = diffs.sum.toDouble / diffs.length
+      assert(mean < 5.0, s"frame $f plane $plane mean |err| $mean (lossy bound)")
+      assert(diffs.max <= 24, s"frame $f plane $plane max |err| ${diffs.max}")
+    }
+    // truncated stream (EOI chopped) fails loudly
+    intercept[IllegalArgumentException] {
+      VideoCodec.decodeMjpeg(java.util.Arrays.copyOf(bytes, bytes.length - 4))
+    }
+    // Y4M still routes through the same dispatch, losslessly
+    val y4 = VideoCodec.decodeVideo(VideoCodec.encodeY4m(src))
+    assert(y4.frames(2)._1.toSeq == src.frames(2)._1.toSeq)
+  }
+
   test("Y4M encode/decode round-trips planes losslessly") {
     import graft.multimodal.MultimodalOps.VideoCodec
     val src = VideoCodec.syntheticStream(7L, 11, 5, 3, 1, 4)
