@@ -199,6 +199,36 @@ object Ledger {
     (drop.length, keep.length)
   }
 
+  /** EXACTLY-ONCE STREAMING COMMIT — the `foreachBatch` body that turns
+    * a Structured Streaming micro-batch into one ledger version:
+    * batch `batchId` commits as version `batchId + 1` (v0 is the
+    * initial CREATE). Idempotent under replay, which is the whole
+    * exactly-once contract: after a crash the engine re-delivers the
+    * last uncommitted batch from the checkpoint, and a batch whose
+    * version manifest already exists (its `_SUCCESS` marker — the
+    * manifest write IS the commit point) is a no-op, exactly Delta's
+    * `txnVersion` dedup. A crash BEFORE the manifest lands leaves only
+    * orphan data files under `data/v<N>/`, which the replay overwrites
+    * in place — no state to repair. Returns true iff this call
+    * committed. Rows upsert by default; an `op` column (upsert/delete)
+    * passes through to MERGE for streaming deletes. */
+  def commitBatch(spark: SparkSession, table: String, batchId: Long,
+      batch: DataFrame, keyCol: String): Boolean = {
+    val version = batchId.toInt + 1
+    val committed = new Path(manifestPath(table, version) + "/_SUCCESS")
+    if (fs(spark, table).exists(committed)) false
+    else {
+      require(latestVersion(spark, table) == version - 1,
+        s"batch $batchId expects table at version ${version - 1}, " +
+          s"found ${latestVersion(spark, table)} — streams and batch writers must not interleave")
+      val changes =
+        if (batch.columns.contains("op")) batch
+        else batch.withColumn("op", lit("upsert"))
+      merge(spark, table, version - 1, changes, keyCol)
+      true
+    }
+  }
+
   /** CHANGE DATA FEED between two ledger versions, computed from the
     * MANIFESTS — never by replaying changesets: files referenced by both
     * manifests are byte-identical (immutable, carried by reference) and

@@ -94,6 +94,42 @@ class LedgerSpec extends AnyFunSuite {
     assert(Ledger.readChanges(spark, table, 1, 2, "doc_id").count() == 0)
   }
 
+  test("streaming commits are exactly-once: one version per micro-batch, replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Ledger.tableRoot("ledger_stream_spec")
+    val docs = (0L until 100L).map(i => (i, "src", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 4)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = mem.toDS().toDF("doc_id", "source", "text").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ledger_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Ledger.commitBatch(spark, t, id, batch, "doc_id"); ()
+      }.start()
+    try {
+      mem.addData((5L, "src", "edited 5"))
+      q.processAllAvailable()
+      mem.addData((200L, "src", "brand new 200"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Ledger.latestVersion(spark, t) == 2, "one ledger version per micro-batch")
+    val v2 = Ledger.readVersion(spark, t, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v2(5L) == "edited 5" && v2(200L) == "brand new 200" && v2.size == 101)
+    // REPLAY batch 0 (what the engine does after recovering from a
+    // crash between commit and checkpoint): must be a no-op
+    val redo = Seq((5L, "src", "edited 5")).toDF("doc_id", "source", "text")
+    assert(!Ledger.commitBatch(spark, t, 0L, redo, "doc_id"), "replay must not commit")
+    assert(Ledger.latestVersion(spark, t) == 2)
+    assert(Ledger.readVersion(spark, t, 2).count() == 101)
+    // time travel still addresses the per-batch history
+    assert(Ledger.readVersion(spark, t, 1).count() == 100)
+    assert(Ledger.readVersion(spark, t, 0)
+      .filter(col("doc_id") === 5L).collect().head.getString(2) == "body 5")
+  }
+
   test("vacuum keeps carried-by-reference files alive and expires old versions") {
     import spark.implicits._
     val t = Ledger.tableRoot("ledger_vacuum_spec")
