@@ -273,6 +273,26 @@ object Ledger {
 
   // ---- the declared queries ----
 
+  private val lineageMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** Build the deterministic v0→v3 lineage ONCE per (session, corpus)
+    * — the standing-table discipline: at 100 TB the ledger table
+    * already exists and queries ADDRESS versions, they don't re-create
+    * history per query. Both declared queries read this one table;
+    * `StandingState.release()` clears the memo and the next query
+    * rebuilds from source (same contract as the kNN/BM25 indexes). */
+  private def builtLineage(spark: SparkSession, dir: String): String =
+    lineageMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = tableRoot(dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      create(spark, table, docs, "doc_id")
+      merge(spark, table, 0, changeset1(docs), "doc_id")
+      merge(spark, table, 1, changeset2(docs), "doc_id")
+      compact(spark, table, 2, "doc_id")
+      table
+    })
+
   /** Deterministic changeset 1 (Snapshot.v2's rules recast as MERGE
     * ops): delete doc_id%17==3, upsert %13==1 with a " [rev2]" suffix,
     * insert %29==0 clones at +1e9. */
@@ -327,13 +347,7 @@ object Ledger {
     * diff produced would break the compare: layout maintenance must be
     * invisible to incremental consumers. */
   def qLedgerChanges(spark: SparkSession, dir: String): DataFrame = {
-    val table = graft.GraftPaths.sink("graft_ledger_cdf", dir.replaceAll(".*/", ""))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"))
-    create(spark, table, docs, "doc_id")
-    merge(spark, table, 0, changeset1(docs), "doc_id")
-    merge(spark, table, 1, changeset2(docs), "doc_id")
-    compact(spark, table, 2, "doc_id")
+    val table = builtLineage(spark, dir)
     Seq(0 -> 1, 1 -> 2, 2 -> 3).map { case (f, t) =>
       readChanges(spark, table, f, t, "doc_id")
         .select(lit(f).as("from_v"), lit(t).as("to_v"), col("op"),
@@ -342,13 +356,7 @@ object Ledger {
   }
 
   def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val table = tableRoot(dir)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"))
-    create(spark, table, docs, "doc_id")
-    merge(spark, table, 0, changeset1(docs), "doc_id")
-    merge(spark, table, 1, changeset2(docs), "doc_id")
-    compact(spark, table, 2, "doc_id")
+    val table = builtLineage(spark, dir)
     // checksums accumulate in decimal(38,0) and reduce mod 1e18 before
     // the BIGINT cast (the fp sum is ~6e17 per row — a raw long sum
     // wraps at any non-toy row count; DuckDB mirrors with HUGEINT % )
