@@ -361,10 +361,12 @@ object SparkEntry {
          |dk AS (SELECT vec_id, v,
          |  $dotCols FROM e),
          |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
-         |fl AS (SELECT vec_id, v, b AS bucket, ${argminChain(p0)} AS flip FROM bk),
-         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM fl
-         |  UNION ALL SELECT vec_id, v, xor(bucket, flip) AS bucket FROM fl),
-         |p AS (SELECT q_id, fl.vec_id, $cosineSql AS sim
+         |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+         |  b AS bucket, ${argminChain(p0)} AS flip FROM bk),
+         |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
+         |  UNION ALL SELECT vec_id, va, nv, xor(bucket, flip) AS bucket FROM fl),
+         |p AS (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
          |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
          |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
@@ -395,10 +397,12 @@ object SparkEntry {
          |ld AS (SELECT bk.*, $ldExpr AS ld
          |  FROM bk
          |  $occJoins),
-         |fl AS (SELECT vec_id, v, b, ld, $bucketExpr AS bucket, $flipExpr AS flip FROM ld),
-         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM fl
-         |  UNION ALL SELECT vec_id, v, unnest($probeList) AS bucket FROM fl),
-         |p AS (SELECT q_id, fl.vec_id, $cosineSql AS sim
+         |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+         |  b, ld, $bucketExpr AS bucket, $flipExpr AS flip FROM ld),
+         |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
+         |  UNION ALL SELECT vec_id, va, nv, unnest($probeList) AS bucket FROM fl),
+         |p AS (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
          |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
          |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
