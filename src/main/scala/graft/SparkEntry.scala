@@ -180,6 +180,7 @@ object SparkEntry {
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => graft.etl.Snapshot.qSnapshotDiff(s, d)),
     "q_time_travel" -> (graft.etl.Ledger.qTimeTravel _),
     "q_ledger_changes" -> (graft.etl.Ledger.qLedgerChanges _),
+    "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
     "q_shard_write" -> (graft.ops.Sink.qShardWrite _),
     "q_zorder_write" -> (graft.ops.ZOrder.qZorderWrite _),
@@ -2025,6 +2026,37 @@ object SparkEntry {
         |     OR a.text IS DISTINCT FROM b.text
         |     OR a.source IS DISTINCT FROM b.source)
         |SELECT * FROM d01 UNION ALL SELECT * FROM d12""".stripMargin,
+    // q_schema_evolution: the oracle recomputes all four versions of
+    // the evolution lineage logically — v0 = the 3-column corpus, v1 =
+    // the metadata-only ADD COLUMN (same rows, lang NULL), v2 = the
+    // backfill merge (lang set for %7==0 survivors, %23==4 deleted,
+    // +3e9 inserts born with lang='xx'), v3 = v2 (compaction across the
+    // evolution boundary preserves logical identity). n_cols is pinned
+    // per version (3 before the evolve commit, 4 after): a reader that
+    // failed to apply the sidecar schema — or one that rewrote data for
+    // a metadata-only commit — breaks the hash.
+    "q_schema_evolution" ->
+      """WITH v0 AS (SELECT doc_id, source, text, CAST(NULL AS VARCHAR) AS lang FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+        |    END AS lang
+        |  FROM documents WHERE doc_id % 23 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, source, 'evo ' || text, 'xx'
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |all_v AS (
+        |  SELECT 0 AS version, 3 AS n_cols, * FROM v0
+        |  UNION ALL SELECT 1, 4, * FROM v0
+        |  UNION ALL SELECT 2, 4, * FROM v2
+        |  UNION ALL SELECT 3, 4, * FROM v2)
+        |SELECT CAST(version AS BIGINT) AS version, CAST(max(n_cols) AS BIGINT) AS n_cols,
+        |  count(*) AS n_rows, count(lang) AS n_lang,
+        |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum,
+        |  CAST(COALESCE(sum(CAST(('0x' || substr(md5(lang), 1, 15)) AS BIGINT)), 0) % 1000000000000000000 AS BIGINT) AS lang_fp_sum
+        |FROM all_v GROUP BY version ORDER BY version""".stripMargin,
     "q_chunk_bpe" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |w AS (SELECT doc_id, unnest(t) AS word,

@@ -1,9 +1,12 @@
 package graft.etl
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.Tables
 
@@ -75,12 +78,54 @@ object Ledger {
   def manifest(spark: SparkSession, table: String, version: Int): DataFrame =
     spark.read.parquet(manifestPath(table, version))
 
+  private def schemaPath(table: String, version: Int) =
+    s"$table/_schema/v$version.ddl"
+
+  private def writeSchema(spark: SparkSession, table: String, version: Int,
+      schema: StructType): Unit = {
+    val out = fs(spark, table).create(new Path(schemaPath(table, version)), true)
+    try out.write(schema.toDDL.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** The LOGICAL schema of version N, if this table has ever evolved
+    * (versions written before the first [[evolve]] have no sidecar —
+    * their files all share one physical schema and reads use it as-is). */
+  def schemaOf(spark: SparkSession, table: String, version: Int): Option[StructType] = {
+    val p = new Path(schemaPath(table, version))
+    val f = fs(spark, table)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val ddl = try {
+        val len = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        new String(buf, UTF_8)
+      } finally in.close()
+      // recorded fields are all nullable: pre-evolution files backfill
+      // the added columns with null on read
+      Some(StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+    }
+  }
+
+  /** Read a file set conformed to version N's logical schema: the
+    * schema is passed to the parquet reader (no footer merging — the
+    * manifest/sidecar already knows it), and files written before an
+    * ADD COLUMN yield null for the added columns, the Delta/Iceberg
+    * read contract. */
+  private def readConformed(spark: SparkSession, table: String, version: Int,
+      paths: Seq[String]): DataFrame =
+    schemaOf(spark, table, version) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
+
   /** TIME TRAVEL: the table's full content AS OF version N. */
   def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
     val paths = manifest(spark, table, version)
       .select(col("path")).collect().map(_.getString(0))
     if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(paths.toIndexedSeq: _*)
+    else readConformed(spark, table, version, paths.toIndexedSeq)
   }
 
   /** Manifest-level data skipping: the live files of version N whose
@@ -104,6 +149,34 @@ object Ledger {
     writeManifest(spark, table, 0, files)
   }
 
+  /** SCHEMA EVOLUTION: ADD COLUMN as a METADATA-ONLY commit, the
+    * Delta/Iceberg contract. Version N+1 carries every data file of
+    * version N BY REFERENCE (zero data I/O — at 100 TB an ADD COLUMN
+    * must not touch 100 TB of parquet) and records the widened logical
+    * schema in a sidecar; reads of any file written before the
+    * evolution backfill the added columns with null via the conformed
+    * parquet read. Later merges rewrite only copy-on-write-intersected
+    * files with the new physical schema, so a table converges to the
+    * evolved layout exactly as fast as its keys churn. */
+  def evolve(spark: SparkSession, table: String, fromVersion: Int,
+      addCols: Seq[StructField]): Unit = {
+    val version = fromVersion + 1
+    val base = schemaOf(spark, table, fromVersion)
+      .getOrElse(readVersion(spark, table, fromVersion).schema)
+    val dup = addCols.map(_.name).filter(base.fieldNames.contains)
+    require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
+    writeManifest(spark, table, version, manifest(spark, table, fromVersion))
+    writeSchema(spark, table, version,
+      StructType(base.fields ++ addCols.map(_.copy(nullable = true))))
+  }
+
+  /** Carry version N's schema sidecar (if any) forward to version N+1
+    * — merge and compact change DATA, never the logical schema. */
+  private def carrySchema(spark: SparkSession, table: String,
+      fromVersion: Int, version: Int): Unit =
+    schemaOf(spark, table, fromVersion)
+      .foreach(writeSchema(spark, table, version, _))
+
   /** MERGE (upsert + delete changeset) as copy-on-write at file
     * granularity: `changes` rows carry (key, op, payload...) with op ∈
     * {upsert, delete}. Files whose key range intersects no change key
@@ -126,7 +199,7 @@ object Ledger {
     val carried = m.filter(!col("path").isInCollection(hit.toSeq :+ ""))
     val existing =
       if (hit.isEmpty) readVersion(spark, table, fromVersion).limit(0)
-      else spark.read.parquet(hit.toIndexedSeq: _*)
+      else readConformed(spark, table, fromVersion, hit.toIndexedSeq)
     // payload = every non-key, non-op column; upsert takes the change
     // side, carried-through rows keep their own values
     val payload = changes.columns.filterNot(c => c == keyCol || c == "op").toSeq
@@ -142,6 +215,7 @@ object Ledger {
     writeManifest(spark, table, version,
       carried.select(col("path"), col("min_key"), col("max_key"), col("rows"))
         .unionByName(rewritten))
+    carrySchema(spark, table, fromVersion, version)
   }
 
   /** COMPACT: rewrite version N's file layout into `nFiles` range-
@@ -156,6 +230,7 @@ object Ledger {
         .repartitionByRange(nFiles, col(keyCol)),
       table, version, keyCol)
     writeManifest(spark, table, version, files)
+    carrySchema(spark, table, fromVersion, version)
   }
 
   /** Latest committed version — highest v<N> manifest directory. */
@@ -194,8 +269,10 @@ object Ledger {
         .map(_.getPath).filter(_.getName.endsWith(".parquet"))
     val (keep, drop) = all.partition(p => live.contains(p.toUri.getPath))
     drop.foreach(p => f.delete(p, false))
-    (0 until keepFrom).foreach(v =>
-      f.delete(new Path(manifestPath(table, v)), true))
+    (0 until keepFrom).foreach { v =>
+      f.delete(new Path(manifestPath(table, v)), true)
+      f.delete(new Path(schemaPath(table, v)), false)
+    }
     (drop.length, keep.length)
   }
 
@@ -252,8 +329,12 @@ object Ledger {
       .select(col("path")).collect().map(_.getString(0)).toSet
     val (pf, pt) = (paths(vFrom), paths(vTo))
     val schemaSrc = readVersion(spark, table, vTo).limit(0)
+    // both sides read conformed to vTo's logical schema: an ADD COLUMN
+    // between vFrom and vTo backfills null on the before-image, so the
+    // null-safe compare sees a change only where a value actually landed
     def rd(ps: Set[String]): DataFrame =
-      if (ps.isEmpty) schemaSrc else spark.read.parquet(ps.toIndexedSeq: _*)
+      if (ps.isEmpty) schemaSrc
+      else readConformed(spark, table, vTo, ps.toIndexedSeq)
     val payload = schemaSrc.columns.filterNot(_ == keyCol).toSeq
     val b = rd(pf -- pt).select(col(keyCol).as("_kb") +:
       payload.map(c => col(c).as(s"_b_$c")): _*)
@@ -355,15 +436,16 @@ object Ledger {
     }.reduce(_.unionByName(_))
   }
 
+  // checksums accumulate in decimal(38,0) and reduce mod 1e18 before
+  // the BIGINT cast (the fp sum is ~6e17 per row — a raw long sum
+  // wraps at any non-toy row count; DuckDB mirrors with HUGEINT % )
+  private val modulus = lit(1000000000000000000L)
+  private def checksum(c: Column): Column =
+    (sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))) % modulus)
+      .cast("long")
+
   def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val table = builtLineage(spark, dir)
-    // checksums accumulate in decimal(38,0) and reduce mod 1e18 before
-    // the BIGINT cast (the fp sum is ~6e17 per row — a raw long sum
-    // wraps at any non-toy row count; DuckDB mirrors with HUGEINT % )
-    val modulus = lit(1000000000000000000L)
-    def checksum(c: Column): Column =
-      (sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))) % modulus)
-        .cast("long")
     (0 to 3).map { v =>
       readVersion(spark, table, v)
         .agg(count(lit(1)).as("n_rows"),
@@ -371,6 +453,77 @@ object Ledger {
           checksum(textFp(col("text"))).as("text_fp_sum"))
         .select(lit(v.toLong).as("version"), col("n_rows"), col("key_sum"),
           col("text_fp_sum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  // ---- schema-evolution lineage (its own root — the shared lineage
+  // above stays schema-stable for q_time_travel/q_ledger_changes) ----
+
+  private def evoTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_evo", dir.replaceAll(".*/", ""))
+
+  /** Deterministic post-evolution changeset (applies on v1 = v0 +
+    * null lang): delete %23==4, upsert %7==0 with a backfilled lang,
+    * insert %41==0 clones at +3e9 born with lang='xx'. Changeset keys
+    * stay unique (the upserts exclude the delete residue). */
+  private def evoChangeset(docs: DataFrame): DataFrame = {
+    val lang = when(col("doc_id") % 3 === 0, "en")
+      .when(col("doc_id") % 3 === 1, "de").otherwise("fr")
+    docs.filter(col("doc_id") % 23 === 4)
+      .select(col("doc_id"), lit("delete").as("op"), col("source"),
+        col("text"), lit(null).cast("string").as("lang"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 23 =!= 4)
+        .select(col("doc_id"), lit("upsert").as("op"), col("source"),
+          col("text"), lang.as("lang")))
+      .unionByName(docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 3 * Snapshot.addedIdOffset).as("doc_id"),
+          lit("upsert").as("op"), col("source"),
+          concat(lit("evo "), col("text")).as("text"), lit("xx").as("lang")))
+  }
+
+  private val evoMemo = graft.StandingState.memo[(String, String), String]()
+
+  private def builtEvoLineage(spark: SparkSession, dir: String): String =
+    evoMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = evoTableRoot(dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      create(spark, table, docs, "doc_id")
+      evolve(spark, table, 0,
+        Seq(StructField("lang", org.apache.spark.sql.types.StringType)))
+      merge(spark, table, 1, evoChangeset(docs), "doc_id")
+      compact(spark, table, 2, "doc_id")
+      table
+    })
+
+  /** Q-schema-evolution: v0 = the corpus (3 columns), v1 = METADATA-ONLY
+    * ADD COLUMN lang (every v0 file carried by reference, nulls on
+    * read), v2 = MERGE that backfills lang for a key subset and inserts
+    * rows born with the new column, v3 = COMPACT (first physical
+    * materialization of the evolved schema for old rows). One audit row
+    * per version: column count (3→4 pins the metadata commit), row
+    * count, non-null lang count (0 at v0/v1 — null backfill; positive
+    * only after the data actually changes), and key/text/lang
+    * fingerprint checksums. The DuckDB oracle recomputes all four
+    * versions logically; v3 must equal v2 — compaction across an
+    * evolution boundary preserves logical identity. */
+  def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtEvoLineage(spark, dir)
+    (0 to 3).map { v =>
+      val df = readVersion(spark, table, v)
+      val langCol =
+        if (df.columns.contains("lang")) col("lang")
+        else lit(null).cast("string")
+      df.select(col("doc_id"), col("text"), langCol.as("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("lang")).as("n_lang"),
+          checksum(col("doc_id")).as("key_sum"),
+          checksum(textFp(col("text"))).as("text_fp_sum"),
+          coalesce(checksum(when(col("lang").isNotNull, textFp(col("lang")))),
+            lit(0L)).as("lang_fp_sum"))
+        .select(lit(v.toLong).as("version"), lit(df.schema.size.toLong).as("n_cols"),
+          col("n_rows"), col("n_lang"), col("key_sum"), col("text_fp_sum"),
+          col("lang_fp_sum"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 }

@@ -152,6 +152,53 @@ class LedgerSpec extends AnyFunSuite {
     assertThrows[Exception](Ledger.manifest(spark, t, 0).collect())
   }
 
+  test("schema evolution: ADD COLUMN is metadata-only, reads backfill null, merges converge") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_evo_spec")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    Ledger.evolve(spark, t, 0, Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    // METADATA-ONLY: v1 references exactly v0's files; no data/v1 dir
+    val p0 = Ledger.manifest(spark, t, 0).select("path").collect().map(_.getString(0)).toSet
+    val p1 = Ledger.manifest(spark, t, 1).select("path").collect().map(_.getString(0)).toSet
+    assert(p0 == p1, "ADD COLUMN must not touch a single data file")
+    assert(!new java.io.File(s"$t/data/v1").exists, "no data files for a metadata commit")
+    // null backfill on read, schema widened in declared order
+    val v1 = Ledger.readVersion(spark, t, 1)
+    assert(v1.columns.toSeq == Seq("doc_id", "source", "text", "lang"))
+    assert(v1.filter(col("lang").isNotNull).count() == 0)
+    assert(v1.count() == 400)
+    // evolution pair is invisible to the change feed (no data changed)
+    assert(Ledger.readChanges(spark, t, 0, 1, "doc_id").count() == 0)
+    // a merge on the evolved table backfills the new column for its
+    // keys and leaves carried old-schema files readable
+    val changes = Seq((5L, "upsert", "srcX", "edited 5", "en"),
+        (900L, "upsert", "srcN", "born evolved", "xx"))
+      .toDF("doc_id", "op", "source", "text", "lang")
+    Ledger.merge(spark, t, 1, changes, "doc_id")
+    val v2 = Ledger.readVersion(spark, t, 2)
+    assert(v2.count() == 401)
+    val byId = v2.filter(col("doc_id").isin(5L, 6L, 900L)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), Option(r.getString(3))))).toMap
+    assert(byId(5L) == (("edited 5", Some("en"))), "merge backfills the evolved column")
+    assert(byId(6L) == (("document body 6", None)), "untouched old rows stay null")
+    assert(byId(900L) == (("born evolved", Some("xx"))))
+    // CDF across the backfill merge sees exactly the changed keys —
+    // null-vs-value on the evolved column IS a change
+    val cdf = Ledger.readChanges(spark, t, 1, 2, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cdf == Set(5L, 900L))
+    // compaction materializes the evolved schema physically, same rows
+    Ledger.compact(spark, t, 2, "doc_id", nFiles = 2)
+    assert(Ledger.readVersion(spark, t, 3).orderBy("doc_id").collect().toSeq ==
+      v2.orderBy("doc_id").collect().toSeq)
+    // time travel to v0 still reads the ORIGINAL 3-column shape
+    assert(Ledger.readVersion(spark, t, 0).columns.toSeq == Seq("doc_id", "source", "text"))
+  }
+
   test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {
     built
     val all = Ledger.manifest(spark, table, 0).count()
