@@ -181,6 +181,7 @@ object SparkEntry {
     "q_time_travel" -> (graft.etl.Ledger.qTimeTravel _),
     "q_ledger_changes" -> (graft.etl.Ledger.qLedgerChanges _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
+    "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
     "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
     "q_shard_write" -> (graft.ops.Sink.qShardWrite _),
     "q_zorder_write" -> (graft.ops.ZOrder.qZorderWrite _),
@@ -2056,6 +2057,32 @@ object SparkEntry {
         |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum,
         |  CAST(COALESCE(sum(CAST(('0x' || substr(md5(lang), 1, 15)) AS BIGINT)), 0) % 1000000000000000000 AS BIGINT) AS lang_fp_sum
+        |FROM all_v GROUP BY version ORDER BY version""".stripMargin,
+    // q_deletion_vectors: the oracle recomputes all four versions of
+    // the merge-on-read lineage logically — v1 hides %5==2 behind the
+    // deletion vector (no files move), v2's merge re-inserts the
+    // %10==2 subset (the vector must release those keys), upserts
+    // %13==7 / deletes %17==9 among survivors, and inserts +4e9
+    // clones; v3 = v2 (compaction materializes the vector away).
+    "q_deletion_vectors" ->
+      """WITH v0 AS (SELECT doc_id, source, text FROM documents),
+        |v1 AS (SELECT * FROM v0 WHERE doc_id % 5 <> 2),
+        |v2 AS (
+        |  SELECT doc_id, source, 'back ' || text AS text FROM v0 WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 7 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 5 <> 2 AND NOT (doc_id % 17 = 9 AND doc_id % 13 <> 7)
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, source, 'dv ' || text FROM v0 WHERE doc_id % 43 = 0),
+        |all_v AS (
+        |  SELECT 0 AS version, * FROM v0
+        |  UNION ALL SELECT 1, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v2)
+        |SELECT CAST(version AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
         |FROM all_v GROUP BY version ORDER BY version""".stripMargin,
     "q_chunk_bpe" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -120,12 +120,31 @@ object Ledger {
       case None    => spark.read.parquet(paths: _*)
     }
 
-  /** TIME TRAVEL: the table's full content AS OF version N. */
+  private def deletePath(table: String, version: Int) =
+    s"$table/deletes/v$version"
+
+  /** Version N's outstanding DELETION VECTOR — the keys hidden from
+    * reads without rewriting their data files (single column named
+    * after the table's key). None = no merge-on-read deletes pending. */
+  def deletionVector(spark: SparkSession, table: String, version: Int): Option[DataFrame] =
+    if (!fs(spark, table).exists(new Path(deletePath(table, version)))) None
+    else Some(spark.read.parquet(deletePath(table, version)))
+
+  private def applyDv(spark: SparkSession, table: String, version: Int,
+      data: DataFrame): DataFrame =
+    deletionVector(spark, table, version) match {
+      case Some(d) => data.join(d, d.columns.toSeq, "left_anti")
+      case None    => data
+    }
+
+  /** TIME TRAVEL: the table's full content AS OF version N (data files
+    * minus the version's deletion vector — merge-on-read). */
   def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
     val paths = manifest(spark, table, version)
       .select(col("path")).collect().map(_.getString(0))
     if (paths.isEmpty) spark.emptyDataFrame
-    else readConformed(spark, table, version, paths.toIndexedSeq)
+    else applyDv(spark, table, version,
+      readConformed(spark, table, version, paths.toIndexedSeq))
   }
 
   /** Manifest-level data skipping: the live files of version N whose
@@ -165,9 +184,39 @@ object Ledger {
       .getOrElse(readVersion(spark, table, fromVersion).schema)
     val dup = addCols.map(_.name).filter(base.fieldNames.contains)
     require(dup.isEmpty, s"columns already exist: ${dup.mkString(",")}")
-    writeManifest(spark, table, version, manifest(spark, table, fromVersion))
+    // sidecars land BEFORE the manifest — the manifest write is the
+    // commit point, so a reader that sees v<N> sees its schema/DV too
     writeSchema(spark, table, version,
       StructType(base.fields ++ addCols.map(_.copy(nullable = true))))
+    carryDv(spark, table, fromVersion, version)
+    writeManifest(spark, table, version, manifest(spark, table, fromVersion))
+  }
+
+  private def carryDv(spark: SparkSession, table: String,
+      fromVersion: Int, version: Int): Unit =
+    deletionVector(spark, table, fromVersion)
+      .foreach(_.write.mode("overwrite").parquet(deletePath(table, version)))
+
+  /** DELETE WHERE as a MERGE-ON-READ commit (Iceberg v2 / Delta
+    * deletion vectors): the matching KEYS are appended to the deletion
+    * vector and every data file carries over by reference — a 0.001 %
+    * delete on a 100 TB table writes megabytes of keys instead of
+    * rewriting every intersected gigabyte file. Reads anti-join the
+    * vector; the next copy-on-write MERGE drops vector keys whose
+    * files it rewrites, and COMPACT materializes the deletes away
+    * entirely. Returns the number of newly deleted keys. */
+  def deleteWhere(spark: SparkSession, table: String, fromVersion: Int,
+      keyCol: String, pred: Column): Long = {
+    val version = fromVersion + 1
+    val matching = readVersion(spark, table, fromVersion)
+      .filter(pred).select(col(keyCol))
+    val n = matching.count()
+    val dv = deletionVector(spark, table, fromVersion)
+      .map(_.unionByName(matching).distinct()).getOrElse(matching)
+    dv.write.mode("overwrite").parquet(deletePath(table, version))
+    carrySchema(spark, table, fromVersion, version)
+    writeManifest(spark, table, version, manifest(spark, table, fromVersion))
+    n
   }
 
   /** Carry version N's schema sidecar (if any) forward to version N+1
@@ -199,7 +248,8 @@ object Ledger {
     val carried = m.filter(!col("path").isInCollection(hit.toSeq :+ ""))
     val existing =
       if (hit.isEmpty) readVersion(spark, table, fromVersion).limit(0)
-      else readConformed(spark, table, fromVersion, hit.toIndexedSeq)
+      else applyDv(spark, table, fromVersion,
+        readConformed(spark, table, fromVersion, hit.toIndexedSeq))
     // payload = every non-key, non-op column; upsert takes the change
     // side, carried-through rows keep their own values
     val payload = changes.columns.filterNot(c => c == keyCol || c == "op").toSeq
@@ -212,10 +262,25 @@ object Ledger {
     val rewritten = writeDataFiles(spark,
       merged.repartitionByRange(math.max(1, hit.size), col(keyCol)),
       table, version, keyCol)
+    // deletion-vector bookkeeping: keys inside a rewritten file's range
+    // were physically applied by the rewrite, and changeset keys were
+    // resolved by the merge itself (a re-upsert of a DV-deleted key
+    // must become visible again) — both leave the vector; keys hiding
+    // in carried files persist. All joins are against file-count-sized
+    // or changeset-sized relations.
+    deletionVector(spark, table, fromVersion).foreach { d =>
+      val hitRanges = m.filter(col("path").isInCollection(hit.toSeq :+ ""))
+        .select(col("min_key").as("_lo"), col("max_key").as("_hi"))
+      val k = d.columns.head
+      d.join(broadcast(hitRanges),
+          col(k) >= col("_lo") && col(k) <= col("_hi"), "left_anti")
+        .join(changes.select(col(keyCol).as(k)).distinct(), Seq(k), "left_anti")
+        .write.mode("overwrite").parquet(deletePath(table, version))
+    }
+    carrySchema(spark, table, fromVersion, version)
     writeManifest(spark, table, version,
       carried.select(col("path"), col("min_key"), col("max_key"), col("rows"))
         .unionByName(rewritten))
-    carrySchema(spark, table, fromVersion, version)
   }
 
   /** COMPACT: rewrite version N's file layout into `nFiles` range-
@@ -229,8 +294,10 @@ object Ledger {
       readVersion(spark, table, fromVersion)
         .repartitionByRange(nFiles, col(keyCol)),
       table, version, keyCol)
-    writeManifest(spark, table, version, files)
+    // no DV carry: the rewrite read through the vector, so the deletes
+    // are physically applied and the compacted version starts clean
     carrySchema(spark, table, fromVersion, version)
+    writeManifest(spark, table, version, files)
   }
 
   /** Latest committed version — highest v<N> manifest directory. */
@@ -272,6 +339,7 @@ object Ledger {
     (0 until keepFrom).foreach { v =>
       f.delete(new Path(manifestPath(table, v)), true)
       f.delete(new Path(schemaPath(table, v)), false)
+      f.delete(new Path(deletePath(table, v)), true)
     }
     (drop.length, keep.length)
   }
@@ -336,20 +404,48 @@ object Ledger {
       if (ps.isEmpty) schemaSrc
       else readConformed(spark, table, vTo, ps.toIndexedSeq)
     val payload = schemaSrc.columns.filterNot(_ == keyCol).toSeq
-    val b = rd(pf -- pt).select(col(keyCol).as("_kb") +:
+    // each side reads through ITS version's deletion vector, so a
+    // DV-hidden key re-upserted by the merge classifies as an insert
+    // (absent before, present after), not an update
+    val b = applyDv(spark, table, vFrom, rd(pf -- pt)).select(col(keyCol).as("_kb") +:
       payload.map(c => col(c).as(s"_b_$c")): _*)
-    val a = rd(pt -- pf).select(col(keyCol).as("_ka") +:
+    val a = applyDv(spark, table, vTo, rd(pt -- pf)).select(col(keyCol).as("_ka") +:
       payload.map(c => col(c).as(s"_a_$c")): _*)
+    // keys ADDED to the deletion vector between the versions never move
+    // a file, so the file diff cannot see them: emit them as deletes
+    // with the pre-image read from the range-PRUNED shared files only
+    // (changed-keys-sized I/O, never a table scan)
+    val dvDeletes: Option[DataFrame] =
+      deletionVector(spark, table, vTo).map { dt =>
+        val added = deletionVector(spark, table, vFrom)
+          .map(df0 => dt.join(df0, df0.columns.toSeq, "left_anti")).getOrElse(dt)
+        val k = added.columns.head
+        val addedKeys = added.select(col(k).as("_dk"))
+        val sharedHit = manifest(spark, table, vTo)
+          .filter(col("path").isInCollection((pf intersect pt).toSeq :+ ""))
+          .join(addedKeys, col("_dk") >= col("min_key") && col("_dk") <= col("max_key"),
+            "left_semi")
+          .select(col("path")).collect().map(_.getString(0))
+        if (sharedHit.isEmpty) schemaSrc
+        else readConformed(spark, table, vTo, sharedHit.toIndexedSeq)
+          .join(addedKeys, col(keyCol) === col("_dk"), "left_semi")
+      }
     // null-safe payload compare (IS DISTINCT FROM in the oracle): a
     // null-vs-value flip is a change, null-vs-null is not
     val changed = payload.map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))
       .reduce(_ || _)
-    b.join(a, col("_kb") === col("_ka"), "full_outer")
+    val fileDiff = b.join(a, col("_kb") === col("_ka"), "full_outer")
       .filter(col("_kb").isNull || col("_ka").isNull || changed)
       .select((when(col("_kb").isNull, "insert")
         .when(col("_ka").isNull, "delete").otherwise("update").as("op") +:
         coalesce(col("_ka"), col("_kb")).as(keyCol) +:
         payload.map(c => coalesce(col(s"_a_$c"), col(s"_b_$c")).as(c))): _*)
+    dvDeletes match {
+      case None => fileDiff
+      case Some(d) => fileDiff.unionByName(
+        d.select((lit("delete").as("op") +: col(keyCol) +:
+          payload.map(col)): _*))
+    }
   }
 
   // ---- the declared queries ----
@@ -524,6 +620,68 @@ object Ledger {
         .select(lit(v.toLong).as("version"), lit(df.schema.size.toLong).as("n_cols"),
           col("n_rows"), col("n_lang"), col("key_sum"), col("text_fp_sum"),
           col("lang_fp_sum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  // ---- deletion-vector lineage (its own root) ----
+
+  private def dvTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_dv", dir.replaceAll(".*/", ""))
+
+  /** Deterministic post-delete changeset (applies on v1 = v0 minus the
+    * %5==2 deletion vector): re-insert %10==2 (a DV-hidden subset made
+    * visible again — the vector must release those keys), upsert
+    * %13==7 survivors, merge-delete %17==9 survivors, insert %43==0
+    * clones at +4e9. Key sets pairwise disjoint. */
+  private def dvChangeset(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 2)
+      .select(col("doc_id"), lit("upsert").as("op"), col("source"),
+        concat(lit("back "), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 7 && col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"), lit("upsert").as("op"), col("source"),
+          concat(col("text"), lit(" [v2]")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 17 === 9
+          && col("doc_id") % 5 =!= 2 && col("doc_id") % 13 =!= 7)
+        .select(col("doc_id"), lit("delete").as("op"), col("source"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 43 === 0)
+        .select((col("doc_id") + 4 * Snapshot.addedIdOffset).as("doc_id"),
+          lit("upsert").as("op"), col("source"),
+          concat(lit("dv "), col("text")).as("text")))
+
+  private val dvMemo = graft.StandingState.memo[(String, String), String]()
+
+  private def builtDvLineage(spark: SparkSession, dir: String): String =
+    dvMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = dvTableRoot(dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      create(spark, table, docs, "doc_id")
+      deleteWhere(spark, table, 0, "doc_id", col("doc_id") % 5 === 2)
+      merge(spark, table, 1, dvChangeset(docs), "doc_id")
+      compact(spark, table, 2, "doc_id")
+      table
+    })
+
+  /** Q-deletion-vectors: v0 = the corpus, v1 = MERGE-ON-READ DELETE
+    * WHERE doc_id%5==2 (keys land in the deletion vector, zero data
+    * files move), v2 = a MERGE that re-inserts a DV-hidden subset,
+    * upserts/deletes survivors, and inserts fresh rows (the vector
+    * must release exactly the rewritten/changed keys), v3 = COMPACT
+    * (the vector materializes away). One audit row per version with
+    * row count and key/text checksums — the DuckDB oracle recomputes
+    * all four versions logically, so a leaked deleted row, a key the
+    * vector failed to release on re-upsert, or a compaction that
+    * dropped the vector too early all break the hash. The vector-SIZE
+    * bookkeeping (layout-dependent) is pinned in LedgerSpec instead. */
+  def qDeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtDvLineage(spark, dir)
+    (0 to 3).map { v =>
+      readVersion(spark, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          checksum(col("doc_id")).as("key_sum"),
+          checksum(textFp(col("text"))).as("text_fp_sum"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("key_sum"),
+          col("text_fp_sum"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 }

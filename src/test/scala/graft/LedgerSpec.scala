@@ -199,6 +199,54 @@ class LedgerSpec extends AnyFunSuite {
     assert(Ledger.readVersion(spark, t, 0).columns.toSeq == Seq("doc_id", "source", "text"))
   }
 
+  test("deletion vectors: DELETE WHERE moves no data files, reads hide keys, merges release them") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_dv_spec")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    val n = Ledger.deleteWhere(spark, t, 0, "doc_id", col("doc_id") % 5 === 2)
+    assert(n == 80, s"deleted=$n")
+    // MERGE-ON-READ: v1 references exactly v0's files, no data/v1 dir
+    val p0 = Ledger.manifest(spark, t, 0).select("path").collect().map(_.getString(0)).toSet
+    val p1 = Ledger.manifest(spark, t, 1).select("path").collect().map(_.getString(0)).toSet
+    assert(p0 == p1, "DELETE WHERE must not rewrite a single data file")
+    assert(!new java.io.File(s"$t/data/v1").exists, "no data files for a DV commit")
+    assert(Ledger.deletionVector(spark, t, 1).get.count() == 80)
+    // reads hide the vector's keys; v0 time travel still sees them
+    assert(Ledger.readVersion(spark, t, 1).count() == 320)
+    assert(Ledger.readVersion(spark, t, 1).filter(col("doc_id") === 2L).count() == 0)
+    assert(Ledger.readVersion(spark, t, 0).count() == 400)
+    // CDF of the DV commit: exactly the deleted keys, with pre-images
+    val cdf = Ledger.readChanges(spark, t, 0, 1, "doc_id")
+    assert(cdf.filter(col("op") =!= "delete").count() == 0)
+    assert(cdf.count() == 80)
+    assert(cdf.filter(col("doc_id") === 2L).collect().head
+      .getAs[String]("text") == "document body 2", "delete carries the pre-image")
+    // a merge re-upserting a DV-hidden key makes it visible again and
+    // RELEASES it (plus every key in the rewritten file's range) from
+    // the vector; untouched-range DV keys persist
+    val changes = Seq((2L, "upsert", "srcX", "back 2")).toDF("doc_id", "op", "source", "text")
+    Ledger.merge(spark, t, 1, changes, "doc_id")
+    val v2 = Ledger.readVersion(spark, t, 2)
+    assert(v2.filter(col("doc_id") === 2L).collect().head.getAs[String]("text") == "back 2")
+    assert(v2.filter(col("doc_id") === 7L).count() == 0, "unrelated DV key stays hidden")
+    val dv2 = Ledger.deletionVector(spark, t, 2).get.collect().map(_.getLong(0)).toSet
+    assert(!dv2.contains(2L) && dv2.forall(_ >= 50L),
+      s"keys 0-49 (the rewritten range file) must leave the vector: ${dv2.toSeq.sorted.take(5)}")
+    // the re-insert classifies as INSERT in the CDF (absent -> present)
+    val ops12 = Ledger.readChanges(spark, t, 1, 2, "doc_id").collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(ops12(2L) == "insert", s"re-upsert of a DV key is an insert: $ops12")
+    // compaction materializes: vector gone, content identical
+    Ledger.compact(spark, t, 2, "doc_id", nFiles = 2)
+    assert(Ledger.deletionVector(spark, t, 3).isEmpty, "compaction starts clean")
+    assert(Ledger.readVersion(spark, t, 3).orderBy("doc_id").collect().toSeq ==
+      v2.orderBy("doc_id").collect().toSeq)
+    assert(Ledger.readChanges(spark, t, 2, 3, "doc_id").count() == 0,
+      "materializing the vector is invisible to the change feed")
+  }
+
   test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {
     built
     val all = Ledger.manifest(spark, table, 0).count()
