@@ -340,6 +340,7 @@ object Ledger {
       f.delete(new Path(manifestPath(table, v)), true)
       f.delete(new Path(schemaPath(table, v)), false)
       f.delete(new Path(deletePath(table, v)), true)
+      f.delete(new Path(claimPath(table, v)), false)
     }
     (drop.length, keep.length)
   }
@@ -372,6 +373,151 @@ object Ledger {
       merge(spark, table, version - 1, changes, keyCol)
       true
     }
+  }
+
+  // ---- optimistic concurrency (multi-writer commits) ----
+
+  private def claimPath(table: String, version: Int) =
+    s"$table/_claims/v$version"
+
+  /** A MERGE whose expensive work (copy-on-write rewrite) is done but
+    * whose version is not yet claimed — the unit of optimistic
+    * concurrency. Data files live under a commit-id dir (not a version
+    * dir) so the same rewrite can commit as v(N+1) or, after a rebase
+    * over an interleaved disjoint commit, as v(N+2) without moving a
+    * byte. All fields are file-count- or changeset-sized. */
+  final case class PreparedMerge(
+      baseVersion: Int, basePaths: Set[String], hitFiles: Set[String],
+      rewrittenFiles: DataFrame, changeKeys: DataFrame,
+      stagedDv: Option[String], baseSchemaDdl: Option[String],
+      commitId: String)
+
+  /** Phase 1 of an optimistic MERGE: compute the copy-on-write rewrite
+    * against `fromVersion` and stage its outputs, claiming nothing.
+    * Identical merge semantics to [[merge]] (unique changeset keys,
+    * upsert/delete ops); unlike [[merge]] it may run CONCURRENTLY with
+    * other writers — conflicts surface at [[commitPrepared]].
+    * Restriction: a base with a pending deletion vector is rejected —
+    * rebasing key-level vector state across an interleaved commit is
+    * not supported (materialize with [[compact]] first). */
+  def prepareMerge(spark: SparkSession, table: String, fromVersion: Int,
+      changes: DataFrame, keyCol: String): PreparedMerge = {
+    require(deletionVector(spark, table, fromVersion).isEmpty,
+      "prepareMerge on a base with a pending deletion vector is unsupported — compact first")
+    val commitId = java.util.UUID.randomUUID().toString.take(12)
+    val m = manifest(spark, table, fromVersion)
+    val basePaths = m.select(col("path")).collect().map(_.getString(0)).toSet
+    val hit = changes.select(col(keyCol).as("ck")).distinct()
+      .join(broadcast(m), col("ck") >= col("min_key") && col("ck") <= col("max_key"))
+      .select(col("path")).distinct().collect().map(_.getString(0)).toSet
+    val existing =
+      if (hit.isEmpty) readVersion(spark, table, fromVersion).limit(0)
+      else readConformed(spark, table, fromVersion, hit.toIndexedSeq)
+    val payload = changes.columns.filterNot(c => c == keyCol || c == "op").toSeq
+    val ch = changes.select((col(keyCol) +: col("op") +:
+      payload.map(c => col(c).as(s"_$c"))): _*)
+    val merged = existing.join(ch, Seq(keyCol), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select((col(keyCol) +: payload.map(c =>
+        when(col("op") === "upsert", col(s"_$c")).otherwise(col(c)).as(c))): _*)
+    val out = s"$table/data/c$commitId"
+    merged.repartitionByRange(math.max(1, hit.size), col(keyCol))
+      .write.mode("overwrite").parquet(out)
+    val rewritten = spark.read.parquet(out)
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+        count(lit(1)).as("rows"))
+    PreparedMerge(fromVersion, basePaths, hit, rewritten,
+      changes.select(col(keyCol).as("ck")).distinct(), None,
+      schemaOf(spark, table, fromVersion).map(_.toDDL), commitId)
+  }
+
+  /** Phase 2: claim a version for the prepared merge and publish its
+    * manifest — Delta-style OPTIMISTIC concurrency with write
+    * serializability:
+    *
+    *  1. CLAIM version base+1 by atomic create-exclusive of a claim
+    *     file (the FileSystem contract HDFS/local guarantee; on S3 the
+    *     same role is played by a DynamoDB/conditional-put log store).
+    *  2. Claim won → sidecars land, then the manifest (the commit
+    *     point). The interleaving window is conflict-free because the
+    *     claimed version's base IS the prepare-time base.
+    *  3. Claim lost → wait for the winner's manifest `_SUCCESS`, then
+    *     VALIDATE against the new base and REBASE:
+    *     - a hit file missing from the new base → the winner rewrote a
+    *       file this merge read — ABORT (ConcurrentModificationException);
+    *     - a file the winner ADDED whose key range intersects any of
+    *       this merge's change keys → overlapping writes — ABORT;
+    *     - schema sidecar changed under us → ABORT;
+    *     - the winner left a deletion vector → ABORT (key-level state
+    *       can hide conflicts file ranges cannot see);
+    *     - otherwise the commits are DISJOINT: carry the new base's
+    *       files (minus the hit set) and retry one version up — the
+    *       rewrite is NOT recomputed, rebase is metadata-only.
+    *
+    * Returns the committed version. The expensive work (phase 1) runs
+    * once; at 100 TB a retry costs one manifest read, not a re-rewrite. */
+  def commitPrepared(spark: SparkSession, table: String, p: PreparedMerge,
+      maxAttempts: Int = 5, waitMs: Long = 30000): Int = {
+    val f = fs(spark, table)
+    var base = p.baseVersion
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val target = base + 1
+      val committedMarker = new Path(manifestPath(table, target) + "/_SUCCESS")
+      val claimed =
+        try { f.create(new Path(claimPath(table, target)), false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed && !f.exists(committedMarker)) {
+        p.stagedDv.foreach(s =>
+          f.rename(new Path(s), new Path(deletePath(table, target))))
+        p.baseSchemaDdl.foreach(ddl =>
+          writeSchema(spark, table, target, StructType.fromDDL(ddl)))
+        val carried = manifest(spark, table, base)
+          .filter(!col("path").isInCollection(p.hitFiles.toSeq :+ ""))
+          .select(col("path"), col("min_key"), col("max_key"), col("rows"))
+        writeManifest(spark, table, target, carried.unionByName(p.rewrittenFiles))
+        return target
+      }
+      // lost the race (or a non-OCC writer owns the version): wait for
+      // the winner's commit point, then validate + rebase
+      val deadline = System.currentTimeMillis() + waitMs
+      while (!f.exists(committedMarker)) {
+        if (System.currentTimeMillis() > deadline)
+          throw new java.util.concurrent.TimeoutException(
+            s"version $target claimed but never committed (stale claim?)")
+        Thread.sleep(50)
+      }
+      val nb = manifest(spark, table, target)
+      val nbPaths = nb.select(col("path")).collect().map(_.getString(0)).toSet
+      def conflict(why: String) = throw new java.util.ConcurrentModificationException(
+        s"commit ${p.commitId} vs interleaved v$target: $why")
+      val lostHit = p.hitFiles -- nbPaths
+      if (lostHit.nonEmpty)
+        conflict(s"concurrent commit rewrote files this merge read: ${lostHit.take(2).mkString(",")}")
+      if (deletionVector(spark, table, target).isDefined)
+        conflict("concurrent commit left a deletion vector")
+      if (schemaOf(spark, table, target).map(_.toDDL) != p.baseSchemaDdl)
+        conflict("concurrent schema evolution")
+      val added = nb.filter(col("path").isInCollection((nbPaths -- p.basePaths).toSeq :+ ""))
+      val touched = added.join(p.changeKeys,
+        col("ck") >= col("min_key") && col("ck") <= col("max_key"), "left_semi")
+      if (touched.limit(1).count() > 0)
+        conflict("concurrent commit added files overlapping this merge's change keys")
+      base = target
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit ${p.commitId} gave up after $maxAttempts attempts")
+  }
+
+  /** One-call optimistic MERGE against the current latest version:
+    * prepare once, then claim/validate/rebase until committed. */
+  def mergeOcc(spark: SparkSession, table: String, changes: DataFrame,
+      keyCol: String): Int = {
+    val base = latestVersion(spark, table)
+    commitPrepared(spark, table,
+      prepareMerge(spark, table, base, changes, keyCol))
   }
 
   /** CHANGE DATA FEED between two ledger versions, computed from the

@@ -247,6 +247,73 @@ class LedgerSpec extends AnyFunSuite {
       "materializing the vector is invisible to the change feed")
   }
 
+  test("optimistic concurrency: disjoint concurrent merges both commit via rebase") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_occ_disjoint")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    // A and B both prepare against v0, touching DIFFERENT range files
+    val a = Ledger.prepareMerge(spark, t, 0,
+      Seq((2L, "upsert", "srcA", "A wrote 2"), (1000L, "upsert", "srcA", "A new 1000"))
+        .toDF("doc_id", "op", "source", "text"), "doc_id")
+    val b = Ledger.prepareMerge(spark, t, 0,
+      Seq((355L, "upsert", "srcB", "B wrote 355")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    // B wins version 1; A's claim of v1 fails, validates, rebases to v2
+    assert(Ledger.commitPrepared(spark, t, b) == 1)
+    assert(Ledger.commitPrepared(spark, t, a) == 2)
+    val v2 = Ledger.readVersion(spark, t, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v2(2L) == "A wrote 2" && v2(355L) == "B wrote 355" && v2(1000L) == "A new 1000",
+      "both disjoint commits must survive the rebase")
+    assert(v2.size == 401)
+    // rebase is metadata-only: A's rewritten files appear verbatim in v2
+    val aPaths = a.rewrittenFiles.select("path").collect().map(_.getString(0)).toSet
+    val v2Paths = Ledger.manifest(spark, t, 2).select("path").collect().map(_.getString(0)).toSet
+    assert(aPaths.subsetOf(v2Paths), "rebase must not recompute the rewrite")
+    // the change feed stays consistent across the interleaved lineage
+    assert(Ledger.readChanges(spark, t, 0, 2, "doc_id").count() == 3)
+  }
+
+  test("optimistic concurrency: overlapping writers abort instead of losing updates") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_occ_conflict")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    // same FILE, different keys: C read a file B then rewrote
+    val b = Ledger.prepareMerge(spark, t, 0,
+      Seq((355L, "upsert", "srcB", "B wrote 355")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    val c = Ledger.prepareMerge(spark, t, 0,
+      Seq((360L, "upsert", "srcC", "C wrote 360")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    assert(Ledger.commitPrepared(spark, t, b) == 1)
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      Ledger.commitPrepared(spark, t, c)
+    }
+    assert(e1.getMessage.contains("rewrote files this merge read"))
+    // insert-vs-insert collision: D and E both insert key 2000 (no
+    // existing file hit) — the second must abort on the added-file
+    // range check, not silently duplicate the key
+    val d = Ledger.prepareMerge(spark, t, 1,
+      Seq((2000L, "upsert", "srcD", "D new 2000")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    val e = Ledger.prepareMerge(spark, t, 1,
+      Seq((2000L, "upsert", "srcE", "E new 2000")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    assert(Ledger.commitPrepared(spark, t, d) == 2)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      Ledger.commitPrepared(spark, t, e)
+    }
+    assert(e2.getMessage.contains("overlapping this merge's change keys"))
+    // the table is uncorrupted after the aborts
+    val v2 = Ledger.readVersion(spark, t, 2)
+    assert(v2.filter(col("doc_id") === 2000L).count() == 1)
+    assert(v2.count() == 401)
+  }
+
   test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {
     built
     val all = Ledger.manifest(spark, table, 0).count()
