@@ -182,6 +182,7 @@ object SparkEntry {
     "q_ledger_changes" -> (graft.etl.Ledger.qLedgerChanges _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
+    "q_ledger_skip" -> (graft.etl.Ledger.qLedgerSkip _),
     "q_shard" -> ((s: SparkSession, d: String) => graft.text.TrainPrep.qShard(s, d)),
     "q_shard_write" -> (graft.ops.Sink.qShardWrite _),
     "q_zorder_write" -> (graft.ops.ZOrder.qZorderWrite _),
@@ -2084,6 +2085,29 @@ object SparkEntry {
         |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
         |FROM all_v GROUP BY version ORDER BY version""".stripMargin,
+    // q_ledger_skip: bloom-sidecar point lookup by text over ledger v3
+    // (≡ v2, recomputed logically). The lookup texts are those of
+    // doc_ids 7/101/263 — untouched by every changeset — plus any
+    // other doc sharing the same text; a bloom that wrongly pruned a
+    // candidate file would lose rows and break the hash.
+    "q_ledger_skip" ->
+      """WITH v0 AS (SELECT doc_id, source, text FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'new ' || text FROM v0 WHERE doc_id % 29 = 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev3]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 19 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, source, 'new2 ' || text FROM v0 WHERE doc_id % 31 = 0)
+        |SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS text_fp
+        |FROM v2
+        |WHERE text IN (SELECT text FROM documents WHERE doc_id IN (7, 101, 263))""".stripMargin,
     "q_chunk_bpe" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |w AS (SELECT doc_id, unnest(t) AS word,

@@ -375,6 +375,85 @@ object Ledger {
     }
   }
 
+  // ---- secondary-column file skipping (bloom sidecar) ----
+
+  private def statsPath(table: String, version: Int, column: String) =
+    s"$table/_stats/v$version-$column"
+
+  private val bloomProbes = 4
+
+  /** Build version N's per-file BLOOM SIDECAR for a secondary column —
+    * the point-lookup skipping lever the key-range manifest can't give:
+    * on a key-ranged layout every file spans the full domain of a
+    * non-key column, so min/max prunes NOTHING for `WHERE text = ?`,
+    * while a per-file bloom names the one or two files that can
+    * possibly contain the value (Delta's bloom index / Parquet's
+    * column bloom, lifted to MANIFEST level so pruning happens before
+    * any file is even opened). One distributed pass: k=4 positions per
+    * value via xxhash64(value, seed), OR-folded per (file, 64-bit
+    * slot); the sidecar is SPARSE (path, slot, bits) rows. Bloom width
+    * scales with the largest file (~12 bits/row → fpp ≈ 0.6 %), so the
+    * sidecar is ~1.5 bits/row of the table — index-sized, never
+    * data-sized. */
+  def analyzeColumn(spark: SparkSession, table: String, version: Int,
+      column: String): Unit = {
+    val m = manifest(spark, table, version)
+    val paths = m.select(col("path")).collect().map(_.getString(0))
+    val maxRows = m.agg(max(col("rows"))).head().getLong(0)
+    val nbits = math.max(4096L, java.lang.Long.highestOneBit(maxRows * 12) * 2)
+    val pos = (0 until bloomProbes).map(i =>
+      pmod(xxhash64(col(column), lit(i)), lit(nbits)))
+    readConformed(spark, table, version, paths.toIndexedSeq)
+      .select(input_file_name().as("path"), explode(array(pos: _*)).as("pos"))
+      .select(col("path"), shiftright(col("pos"), 6).as("slot"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").as("mask"))
+      .groupBy(col("path"), col("slot"))
+      .agg(expr("bit_or(mask)").as("bits"), lit(nbits).as("nbits"))
+      .write.mode("overwrite").parquet(statsPath(table, version, column))
+  }
+
+  /** The live files of version N that can possibly contain one of
+    * `values` in `column`, per the bloom sidecar ([[analyzeColumn]]
+    * must have run). A candidate file must have ALL k probe bits of at
+    * least one value set. O(sidecar) work, zero data I/O. Values must
+    * be literals of the column's type (the hash is type-sensitive). */
+  def pruneFilesByValue(spark: SparkSession, table: String, version: Int,
+      column: String, values: Seq[Any]): Array[String] = {
+    import spark.implicits._
+    val sc = spark.read.parquet(statsPath(table, version, column))
+    val nbits = sc.select(col("nbits")).head().getLong(0)
+    // probe positions for every (value, seed), computed by the SAME
+    // engine expression as the build (one tiny one-row job)
+    val probes = for (vid <- values.indices; i <- 0 until bloomProbes)
+      yield (vid, i)
+    val posRow = spark.range(1).select(probes.map { case (vid, i) =>
+      pmod(xxhash64(lit(values(vid)), lit(i)), lit(nbits))
+    }: _*).head()
+    val probeDf = probes.zipWithIndex.map { case ((vid, i), idx) =>
+      val p = posRow.getLong(idx)
+      (vid, i, p >> 6, 1L << (p & 63))
+    }.toDF("vid", "pid", "pslot", "pmask")
+    sc.join(broadcast(probeDf),
+        col("slot") === col("pslot") && (col("bits").bitwiseAND(col("pmask")) =!= 0))
+      .groupBy(col("path"), col("vid"))
+      .agg(countDistinct(col("pid")).as("nhit"))
+      .filter(col("nhit") === bloomProbes)
+      .select(col("path")).distinct().collect().map(_.getString(0))
+  }
+
+  /** Point lookup `column IN (values)` over version N reading ONLY the
+    * bloom-candidate files — at 100 TB a needle-in-haystack lookup on
+    * a non-layout column reads a couple of files instead of the table.
+    * Exact (the residual filter removes bloom false positives). */
+  def readWhereIn(spark: SparkSession, table: String, version: Int,
+      column: String, values: Seq[Any]): DataFrame = {
+    val cand = pruneFilesByValue(spark, table, version, column, values)
+    if (cand.isEmpty) readVersion(spark, table, version).limit(0)
+    else applyDv(spark, table, version,
+        readConformed(spark, table, version, cand.toIndexedSeq))
+      .filter(col(column).isInCollection(values))
+  }
+
   // ---- optimistic concurrency (multi-writer commits) ----
 
   private def claimPath(table: String, version: Int) =
@@ -829,5 +908,32 @@ object Ledger {
         .select(lit(v.toLong).as("version"), col("n_rows"), col("key_sum"),
           col("text_fp_sum"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  // ---- bloom-skipping point lookup over the shared lineage ----
+
+  private val skipMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** Q-ledger-skip: point lookup by TEXT — a non-key column on a
+    * key-ranged layout, where the manifest's min/max prunes nothing —
+    * over ledger version 3, read through the bloom sidecar. Lookup
+    * values are the corpus texts of doc_ids 7/101/263 (untouched by
+    * every changeset, so they survive to v3 verbatim; any OTHER doc
+    * sharing the same text matches too, on both engines). The DuckDB
+    * oracle recomputes v2 (≡ v3) logically and filters by the same
+    * text set — a bloom that wrongly prunes a candidate file loses
+    * rows and breaks the hash; false positives are removed by the
+    * residual filter on both sides. The files-read subset itself is
+    * layout-dependent and spec-pinned in LedgerSpec instead. */
+  def qLedgerSkip(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtLineage(spark, dir)
+    skipMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      analyzeColumn(spark, table, 3, "text"); table
+    })
+    val lookups = Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(7L, 101L, 263L))
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    readWhereIn(spark, table, 3, "text", lookups)
+      .select(col("doc_id"), col("source"), textFp(col("text")).as("text_fp"))
   }
 }

@@ -247,6 +247,30 @@ class LedgerSpec extends AnyFunSuite {
       "materializing the vector is invisible to the change feed")
   }
 
+  test("bloom sidecar: point lookup on a non-key column reads a strict file subset, losslessly") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_bloom_spec")
+    // key-ranged layout; `text` is UNCORRELATED with the key, so the
+    // manifest's min/max can never prune a text lookup
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 4}", s"payload number ${i * 7919 % 4000}"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    Ledger.analyzeColumn(spark, t, 0, "text")
+    val needles = Seq("payload number 42", "payload number 3999")
+    val cand = Ledger.pruneFilesByValue(spark, t, 0, "text", needles)
+    val all = Ledger.manifest(spark, t, 0).count()
+    assert(cand.length < all, s"bloom must prune: ${cand.length} of $all files")
+    assert(cand.length <= 4, s"two needles live in <=2 files + fp margin; got ${cand.length}")
+    // lossless: pruned read == full-scan filter, exactly
+    val viaBloom = Ledger.readWhereIn(spark, t, 0, "text", needles)
+      .orderBy("doc_id").collect().toSeq
+    val full = Ledger.readVersion(spark, t, 0)
+      .filter(col("text").isInCollection(needles)).orderBy("doc_id").collect().toSeq
+    assert(viaBloom == full && viaBloom.size == 2)
+    // absent needle: no candidates (or fp-only), still zero rows
+    assert(Ledger.readWhereIn(spark, t, 0, "text", Seq("no such payload")).count() == 0)
+  }
+
   test("optimistic concurrency: disjoint concurrent merges both commit via rebase") {
     import spark.implicits._
     val t = Ledger.tableRoot("ledger_occ_disjoint")
