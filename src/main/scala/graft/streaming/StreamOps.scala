@@ -229,6 +229,70 @@ object StreamOps {
         ()
     }
 
+  /** [[lastEventWithTtl]] re-expressed on Spark 4's transformWithState
+    * — the successor to the (flat)mapGroupsWithState API and the shape
+    * new stateful operators should take: named, individually-typed
+    * state variables (`ValueState`/`ListState`/`MapState`) instead of
+    * one opaque state object, explicit registered TIMERS instead of
+    * the per-key setTimeoutDuration dance, and store-native TTL via
+    * `TTLConfig` when eviction needs no callback. Runs ONLY on the
+    * RocksDB state store provider — which is the 100 TB configuration
+    * anyway. Semantics pinned identical to the fMGWS form in
+    * StreamOpsSpec (same updates, same -1 tombstone on expiry). */
+  class LastEventProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserState] {
+    import org.apache.spark.sql.streaming.{TimerValues, ExpiredTimerInfo, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var last: ValueState[UserState] = _
+    @transient private var armed: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      last = getHandle.getValueState[UserState]("last",
+        Encoders.product[UserState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserState] = {
+      import scala.math.Ordering.Implicits._
+      val latest = rows.maxBy(e => (e.ts.getTime, e.event_id))
+      val cur = if (last.exists()) Some(last.get()) else None
+      val next =
+        if (cur.exists(c => (c.last_ts.getTime, c.last_event_id) >
+          ((latest.ts.getTime, latest.event_id)))) cur.get
+        else UserState(userId, latest.event_id, latest.event_type, latest.ts)
+      last.update(next)
+      if (ttlMs > 0) {
+        // one armed timer per key: re-arm on activity (sliding TTL,
+        // matching the fMGWS twin's setTimeoutDuration semantics)
+        if (armed.exists()) getHandle.deleteTimer(armed.get())
+        val at = timers.getCurrentProcessingTimeInMs + ttlMs
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
+      Iterator.single(next)
+    }
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserState] = {
+      val dead = last.get()
+      last.clear(); armed.clear()
+      Iterator.single(UserState(userId, -1L, dead.last_type, dead.last_ts))
+    }
+  }
+
+  /** transformWithState driver for [[LastEventProcessor]]. TimeMode
+    * mirrors the fMGWS timeout selection: ProcessingTime only when a
+    * TTL arms timers — ProcessingTime mode schedules CONTINUOUS
+    * no-data micro-batches to evaluate timers, which a timerless query
+    * must not pay (and which makes processAllAvailable never settle). */
+  def lastEventWithTtlTws(events: Dataset[Event], ttlMs: Long)(
+      implicit spark: SparkSession): Dataset[UserState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val mode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey(_.user_id)
+      .transformWithState(new LastEventProcessor(ttlMs), mode, OutputMode.Update())
+  }
+
   def lastEventWithTtl(events: Dataset[Event], ttlMs: Long)(
       implicit spark: SparkSession): Dataset[UserState] = {
     import spark.implicits._

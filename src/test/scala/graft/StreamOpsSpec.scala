@@ -119,6 +119,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(latest == Map(1L -> 6L, 2L -> 5L))
   }
 
+  test("transformWithState twin matches the fMGWS keyed-TTL semantics (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // transformWithState runs only on the RocksDB provider — the 100 TB
+    // configuration; the twin must produce exactly the fMGWS results
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.Event]
+      val q = StreamOps.lastEventWithTtlTws(mem.toDS(), ttlMs = 0L).writeStream
+        .format("memory").queryName("tws_out").outputMode("update").start()
+      try {
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        mem.addData(StreamOps.Event(6, ts(40), 1, "c", 6.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val latest = spark.table("tws_out").orderBy(col("last_event_id").desc)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).distinct.groupBy(_._1)
+        .map { case (u, xs) => u -> xs.map(_._2).max }
+      assert(latest == Map(1L -> 6L, 2L -> 5L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join matches the batch twin's pairs") {
     implicit val sqlCtx = spark.sqlContext
     val sMem = MemoryStream[StreamOps.Event]
