@@ -98,6 +98,7 @@ object SparkEntry {
     "q_sim_pq" -> ((s: SparkSession, d: String) => VectorOps.qSimPq(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => VectorOps.qAnnRecall(s, d)),
     "q_sim_pq_refined" -> ((s: SparkSession, d: String) => VectorOps.qSimPqRefined(s, d)),
+    "q_sq8" -> ((s: SparkSession, d: String) => VectorOps.qSq8(s, d)),
     "q_tpch3" -> (Relational.qTpch3 _),
     "q_tpch5" -> (Relational.qTpch5 _),
     "q_tpch2" -> (Relational.qTpch2 _),
@@ -1581,6 +1582,29 @@ object SparkEntry {
         |FROM f JOIN dim ON f.user_id = dim.user_id
         |WHERE f.p_ts >= valid_from AND (valid_to IS NULL OR f.p_ts < valid_to)
         |ORDER BY purchase_id""".stripMargin,
+    // q_sq8: int8 scalar quantization — per-dim corpus min/max, codes
+    // floor((x-mn)/rg*255 + 0.5) (IEEE-correctly-rounded ops only, so
+    // both engines produce identical codes), then INTEGER-exact
+    // quantized dot-product top-k.
+    "q_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM e, (SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS i)
+        |  GROUP BY i),
+        |s AS (SELECT list(mn ORDER BY i) AS mn,
+        |  list(CASE WHEN mx = mn THEN 0 ELSE mx - mn END ORDER BY i) AS rg FROM dims),
+        |qe AS (SELECT vec_id, list_transform(range(1, len(v) + 1),
+        |    i -> CASE WHEN rg[i] = 0 THEN 0
+        |         ELSE CAST(floor((v[i] - mn[i]) / rg[i] * 255 + 0.5) AS BIGINT) END) AS qv
+        |  FROM e, s),
+        |q AS (SELECT vec_id AS q_id, qv AS qq FROM qe WHERE vec_id < 5),
+        |p AS (SELECT q_id, vec_id,
+        |  list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * qv[i])) AS qscore
+        |  FROM qe, q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, qscore,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, vec_id) AS rn FROM p)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, CAST(qscore AS BIGINT) AS qscore
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

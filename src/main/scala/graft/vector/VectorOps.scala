@@ -1038,4 +1038,49 @@ object VectorOps {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"))
+
+  /** Q-sq8: INT8 SCALAR QUANTIZATION of the embedding corpus — the
+    * standard storage-compression step of production vector pipelines
+    * (4× smaller than float32; faiss's SQ8): per-DIMENSION min/max over
+    * the corpus (dim-sized — a model-sized collect, same class as the
+    * IVF centroids), each component mapped to an integer code
+    * round((x-mn)/(mx-mn)*255), then top-k retrieval scored on the
+    * QUANTIZED codes with pure INTEGER dot products — bit-exact by
+    * construction, no float-summation parity risk at all. The
+    * quantization arithmetic itself is only IEEE correctly-rounded
+    * ops (sub/div/mul/floor — no transcendentals), so Spark and DuckDB
+    * produce identical codes; any quantizer drift, wrong dim stats, or
+    * rank flip breaks the hash. Scale shape: stats are one narrow
+    * corpus pass; scoring streams the corpus against a broadcast query
+    * set exactly like [[qSimTopk]], but over 1-byte codes. */
+  def qSq8(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // per-dimension corpus stats: dim-sized, embedded as literal arrays
+    val dims = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mnA = array(dims.map(r => lit(r.getDouble(1))): _*)
+    val rgA = array(dims.map { r =>
+      val rg = r.getDouble(2) - r.getDouble(1)
+      lit(if (rg == 0.0) 0.0 else rg)
+    }: _*)
+    def quantize(v: Column): Column = transform(v, (x, i) =>
+      when(element_at(rgA, i + 1) === 0.0, lit(0L))
+        .otherwise(floor((x - element_at(mnA, i + 1)) / element_at(rgA, i + 1) * 255.0 + 0.5)
+          .cast("long")))
+    val qe = emb.select(col("vec_id"), quantize(col("v")).as("qv"))
+    val queries = qe.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    val iDot = aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, p) => acc + p)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qscore").desc, col("vec_id"))
+    qe.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), iDot.as("qscore"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("qscore"))
+      .orderBy(col("q_id"), col("rn"))
+  }
 }

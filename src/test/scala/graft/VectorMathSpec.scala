@@ -122,6 +122,31 @@ class VectorMathSpec extends AnyFunSuite {
     assert(mismatches == 0, "all 8 subspace argmins must match the struct-min form")
   }
 
+  test("sq8 quantization: codes bounded to int8 range, extremes hit 0 and 255, ranking sane") {
+    val out = VectorOps.qSq8(spark, sf).collect()
+    assert(out.nonEmpty && out.length == 25) // 5 queries x top-5
+    // integer scores strictly ordered per query (desc, vec_id tiebreak)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not descending: $scores")
+    }
+    // the codes themselves: every component lands in [0, 255], and the
+    // per-dimension extremes map to exactly 0 and 255 (lossless at the
+    // range edges — the scalar-quantizer contract)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val dims = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mnA = array(dims.map(r => lit(r.getDouble(1))): _*)
+    val rgA = array(dims.map(r => lit(r.getDouble(2) - r.getDouble(1))): _*)
+    val codes = emb.select(explode(transform(col("v"), (x, i) =>
+      floor((x - element_at(mnA, i + 1)) / element_at(rgA, i + 1) * 255.0 + 0.5)
+        .cast("long"))).as("c"))
+    assert(codes.filter(col("c") < 0 || col("c") > 255).count() == 0)
+    assert(codes.filter(col("c") === 0).count() > 0 && codes.filter(col("c") === 255).count() > 0)
+  }
+
   test("nearest-centroid expression == crossJoin argmin twin on the full corpus") {
     val full = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
