@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures `sbt runMain` output and json-parses the
+// LAST line (BENCH contract). Two sbt behaviors broke that: the
+// `[info] ` prefix the logger adds to forked output, and the
+// `[success] Total time` epilogue printed after the program's final
+// line. StdoutOutput passes the forked JVM's stdout through verbatim;
+// showSuccess=false drops the epilogue — Bench's compact JSON record
+// is then literally the last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -117,10 +117,15 @@ object Bench {
     // final ~2000 chars of output, and the full 176-entry map above
     // overflows that window (BENCH_r05.json lost the total; parsed was
     // null). The complete map still ships via the first line and
-    // target/bench.json.
+    // target/bench.json. Printed AFTER spark.stop() so nothing (not
+    // even a shutdown log line) can land below it; build.sbt's
+    // StdoutOutput + showSuccess=false keep sbt from prefixing it with
+    // `[info] ` or appending a `[success]` epilogue — it must be the
+    // literal last stdout line the driver json-parses.
+    spark.stop()
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_are":"slowest10_of_full_map_in_target/bench.json","sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -74,9 +74,16 @@ object Ledger {
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath(table, version))
 
-  /** The manifest of version N (file-count-sized). */
-  def manifest(spark: SparkSession, table: String, version: Int): DataFrame =
-    spark.read.parquet(manifestPath(table, version))
+  /** The manifest of version N (file-count-sized). A manifest without
+    * its `_SUCCESS` marker is a PARTIAL write from a crashed committer
+    * and must be invisible — reading it as committed would surface a
+    * half-published version. */
+  def manifest(spark: SparkSession, table: String, version: Int): DataFrame = {
+    val p = manifestPath(table, version)
+    require(fs(spark, table).exists(new Path(p + "/_SUCCESS")),
+      s"version $version is not committed (no _SUCCESS marker in $p)")
+    spark.read.parquet(p)
+  }
 
   private def schemaPath(table: String, version: Int) =
     s"$table/_schema/v$version.ddl"
@@ -232,13 +239,27 @@ object Ledger {
     * carry over BY REFERENCE; intersected files are re-read, full-outer
     * joined with the changeset, and rewritten; change keys matching no
     * existing file range become inserts in the rewrite. Produces
-    * version `fromVersion + 1`. PRECONDITION: changeset keys are
-    * UNIQUE (the standard MERGE contract — Delta likewise rejects a
-    * source row matching twice); a key carrying two ops would fan out
-    * in the full-outer join. */
+    * version `fromVersion + 1`. PRECONDITION (checked): changeset keys
+    * are UNIQUE and non-null (the standard MERGE contract — Delta
+    * likewise rejects a source row matching twice); a key carrying two
+    * ops would fan out in the full-outer join, so the guard fails
+    * loudly instead. */
+  /** The MERGE precondition, checked loudly (Delta likewise raises on
+    * a source row matching twice): one cheap changeset-sized agg —
+    * count vs distinct-key count — catches both duplicate and null
+    * keys before they fan out in the full-outer join and silently
+    * write a corrupted version. */
+  private def requireUniqueKeys(changes: DataFrame, keyCol: String): Unit = {
+    val r = changes.agg(count(lit(1)), countDistinct(col(keyCol))).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"changeset keys must be unique and non-null: ${r.getLong(0)} rows " +
+        s"vs ${r.getLong(1)} distinct non-null '$keyCol' values")
+  }
+
   def merge(spark: SparkSession, table: String, fromVersion: Int,
       changes: DataFrame, keyCol: String): Unit = {
     val version = fromVersion + 1
+    requireUniqueKeys(changes, keyCol)
     val m = manifest(spark, table, fromVersion)
     // file-count-sized × changeset range join: which files does any
     // change key hit? (broadcast the manifest — it is model-sized)
@@ -262,18 +283,26 @@ object Ledger {
     val rewritten = writeDataFiles(spark,
       merged.repartitionByRange(math.max(1, hit.size), col(keyCol)),
       table, version, keyCol)
-    // deletion-vector bookkeeping: keys inside a rewritten file's range
-    // were physically applied by the rewrite, and changeset keys were
-    // resolved by the merge itself (a re-upsert of a DV-deleted key
-    // must become visible again) — both leave the vector; keys hiding
-    // in carried files persist. All joins are against file-count-sized
-    // or changeset-sized relations.
+    // deletion-vector bookkeeping: release a DV key only if it was
+    // PHYSICALLY APPLIED — its row lives in a hit file (the rewrite
+    // read through the vector, so the row is gone from the new files)
+    // or the changeset resolved it (a re-upsert of a DV-deleted key
+    // must become visible again; a merge-delete is now materialized).
+    // Range containment is NOT membership: merges can produce
+    // OVERLAPPING file ranges (a far insert widens a rewritten file's
+    // span across carried files), and the earlier release-by-hit-range
+    // logic would drop a DV key hiding in a carried file that merely
+    // falls inside an overlapping hit file's range — silently
+    // resurrecting the deleted row. Membership is checked against the
+    // keys actually present in the hit files: changed-files-sized I/O
+    // (the same files the rewrite just read), key column only.
     deletionVector(spark, table, fromVersion).foreach { d =>
-      val hitRanges = m.filter(col("path").isInCollection(hit.toSeq :+ ""))
-        .select(col("min_key").as("_lo"), col("max_key").as("_hi"))
       val k = d.columns.head
-      d.join(broadcast(hitRanges),
-          col(k) >= col("_lo") && col(k) <= col("_hi"), "left_anti")
+      val hitKeys =
+        if (hit.isEmpty) d.limit(0)
+        else readConformed(spark, table, fromVersion, hit.toIndexedSeq)
+          .select(col(keyCol).as(k))
+      d.join(hitKeys, Seq(k), "left_anti")
         .join(changes.select(col(keyCol).as(k)).distinct(), Seq(k), "left_anti")
         .write.mode("overwrite").parquet(deletePath(table, version))
     }
@@ -300,13 +329,20 @@ object Ledger {
     writeManifest(spark, table, version, files)
   }
 
-  /** Latest committed version — highest v<N> manifest directory. */
+  /** Latest COMMITTED version — highest v<N> manifest directory whose
+    * `_SUCCESS` marker landed. The marker gate is what makes crash
+    * recovery work: a committer that died mid-manifest-write leaves a
+    * partial v<N> dir, and counting it would wedge [[commitBatch]]'s
+    * replay forever (`latestVersion == version` with the commit point
+    * absent). Treating marker-less manifests as nonexistent lets the
+    * replay recompute and overwrite the partial dir in place. */
   def latestVersion(spark: SparkSession, table: String): Int = {
     val dir = new Path(s"$table/_manifest")
     val f = fs(spark, table)
     if (!f.exists(dir)) -1
-    else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+    else f.listStatus(dir).map(_.getPath)
+      .collect { case p if p.getName.startsWith("v")
+          && f.exists(new Path(p, "_SUCCESS")) => p.getName.drop(1).toInt }
       .foldLeft(-1)(math.max)
   }
 
@@ -329,11 +365,29 @@ object Ledger {
       manifest(spark, table, v).select(col("path"))
         .collect().map(r => new Path(r.getString(0)).toUri.getPath)
     }.toSet
+    // Files under data/c<commitId> are OCC staging ([[prepareMerge]]
+    // writes its rewrite there BEFORE any manifest references it): a
+    // c* file unreferenced by any manifest may belong to an IN-FLIGHT
+    // prepared merge, and deleting it would let the later
+    // commitPrepared publish a manifest pointing at vanished files —
+    // silent data loss. So c* files are vacuum candidates ONLY when an
+    // expired (about-to-drop) manifest references them; unreferenced
+    // staging files are left for out-of-band cleanup (an aborted
+    // prepare leaks its dir — the Delta/Iceberg uncommitted-file
+    // contract, cleaned by age, never by reachability).
+    val expired = (0 until keepFrom)
+      .filter(v => f.exists(new Path(manifestPath(table, v) + "/_SUCCESS")))
+      .flatMap { v =>
+        manifest(spark, table, v).select(col("path"))
+          .collect().map(r => new Path(r.getString(0)).toUri.getPath)
+      }.toSet
     val dataDir = new Path(s"$table/data")
     val all =
       if (!f.exists(dataDir)) Array.empty[Path]
       else f.listStatus(dataDir).flatMap(d => f.listStatus(d.getPath))
         .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .filter(p => !p.getParent.getName.startsWith("c")
+          || expired.contains(p.toUri.getPath) || live.contains(p.toUri.getPath))
     val (keep, drop) = all.partition(p => live.contains(p.toUri.getPath))
     drop.foreach(p => f.delete(p, false))
     (0 until keepFrom).foreach { v =>
@@ -483,6 +537,7 @@ object Ledger {
       changes: DataFrame, keyCol: String): PreparedMerge = {
     require(deletionVector(spark, table, fromVersion).isEmpty,
       "prepareMerge on a base with a pending deletion vector is unsupported — compact first")
+    requireUniqueKeys(changes, keyCol)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val m = manifest(spark, table, fromVersion)
     val basePaths = m.select(col("path")).collect().map(_.getString(0)).toSet

@@ -338,6 +338,118 @@ class LedgerSpec extends AnyFunSuite {
     assert(v2.count() == 401)
   }
 
+  test("DV release is membership-based: overlapping file ranges cannot resurrect a delete") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_dv_overlap")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    // v1: a merge with a FAR insert — the rewrite of range file [0,49]
+    // gains key 10000, so the rewritten file's [min,max] = [0,10000]
+    // now OVERLAPS every carried file's range
+    Ledger.merge(spark, t, 0,
+      Seq((25L, "upsert", "srcX", "edited 25"), (10000L, "upsert", "srcN", "far insert"))
+        .toDF("doc_id", "op", "source", "text"), "doc_id")
+    // v2: DELETE a key that physically lives in a CARRIED file [50,99]
+    // but falls inside the wide rewritten file's range
+    Ledger.deleteWhere(spark, t, 1, "doc_id", col("doc_id") === 60L)
+    assert(Ledger.readVersion(spark, t, 2).filter(col("doc_id") === 60L).count() == 0)
+    // v3: a merge touching ONLY the wide file (key 9999 hits no carried
+    // range). Release-by-range would see 60 ∈ [0,10000] and drop it
+    // from the vector WITHOUT rewriting its row — resurrection. The
+    // membership rule keeps it: 60 is not physically in the wide file.
+    Ledger.merge(spark, t, 2,
+      Seq((9999L, "upsert", "srcY", "another far insert"))
+        .toDF("doc_id", "op", "source", "text"), "doc_id")
+    assert(Ledger.readVersion(spark, t, 3).filter(col("doc_id") === 60L).count() == 0,
+      "the deleted row must stay deleted across an overlapping-range merge")
+    assert(Ledger.deletionVector(spark, t, 3).get.collect().map(_.getLong(0)).toSet == Set(60L),
+      "the vector must still carry the key — its file was never rewritten")
+    // and the key IS released once its own file is actually rewritten
+    Ledger.merge(spark, t, 3,
+      Seq((61L, "upsert", "srcZ", "edited 61")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    assert(Ledger.deletionVector(spark, t, 4).get.count() == 0,
+      "rewriting the containing file physically applies the delete")
+    assert(Ledger.readVersion(spark, t, 4).filter(col("doc_id") === 60L).count() == 0)
+  }
+
+  test("a partial manifest (no _SUCCESS) is invisible and replay commits over it") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_partial_manifest")
+    val docs = (0L until 100L).map(i => (i, "src", s"body $i")).toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 4)
+    // simulate a committer crash DURING the v1 manifest write: the dir
+    // exists with data but no _SUCCESS marker
+    val partial = new java.io.File(s"$t/_manifest/v1")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Ledger.latestVersion(spark, t) == 0,
+      "a marker-less manifest must not count as committed")
+    assertThrows[IllegalArgumentException](Ledger.manifest(spark, t, 1))
+    // streaming replay of batch 0 (version 1) must recover: the
+    // latestVersion gate passes and the overwrite replaces the partial
+    val batch = Seq((5L, "src", "edited 5")).toDF("doc_id", "source", "text")
+    assert(Ledger.commitBatch(spark, t, 0L, batch, "doc_id"), "replay must commit")
+    assert(Ledger.latestVersion(spark, t) == 1)
+    assert(Ledger.readVersion(spark, t, 1).filter(col("doc_id") === 5L)
+      .collect().head.getString(2) == "edited 5")
+  }
+
+  test("vacuum never deletes in-flight OCC staging files") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_vacuum_staging")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    // an in-flight prepared merge: rewrite staged under data/c<id>, no
+    // manifest references it yet
+    val p = Ledger.prepareMerge(spark, t, 0,
+      Seq((2L, "upsert", "srcA", "A wrote 2")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    val staged = p.rewrittenFiles.select("path").collect().map(_.getString(0))
+    // an interleaved committed writer bumps the version, then a vacuum
+    // runs while the prepare is still in flight
+    Ledger.merge(spark, t, 0,
+      Seq((355L, "upsert", "srcB", "B wrote 355")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    Ledger.vacuum(spark, t, keepFrom = 1)
+    staged.foreach { s =>
+      assert(new java.io.File(new org.apache.hadoop.fs.Path(s).toUri.getPath).exists,
+        s"vacuum must not touch unreferenced staging file $s")
+    }
+    // the prepare still commits (disjoint → rebase) and reads cleanly
+    val v = Ledger.commitPrepared(spark, t, p)
+    val rows = Ledger.readVersion(spark, t, v).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows(2L) == "A wrote 2" && rows(355L) == "B wrote 355")
+    // once the staged files are committed and later EXPIRED, vacuum
+    // may reclaim them: expire everything below latest
+    Ledger.merge(spark, t, v,
+      Seq((2L, "upsert", "srcC", "C rewrote 2")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    val (deleted, _) = Ledger.vacuum(spark, t, keepFrom = v + 1)
+    assert(deleted > 0, "expired committed files (incl. old staging) must be reclaimable")
+  }
+
+  test("merge rejects duplicate and null changeset keys loudly") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_dup_keys")
+    val docs = (0L until 100L).map(i => (i, "src", s"body $i")).toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 4)
+    val dup = Seq((5L, "upsert", "src", "first"), (5L, "delete", "", ""))
+      .toDF("doc_id", "op", "source", "text")
+    val e = intercept[IllegalArgumentException](Ledger.merge(spark, t, 0, dup, "doc_id"))
+    assert(e.getMessage.contains("unique"))
+    val withNull = Seq((Some(5L), "upsert", "src", "x"), (None, "upsert", "src", "y"))
+      .toDF("doc_id", "op", "source", "text")
+    assertThrows[IllegalArgumentException](Ledger.merge(spark, t, 0, withNull, "doc_id"))
+    // the table is untouched after the rejections
+    assert(Ledger.latestVersion(spark, t) == 0)
+    assert(Ledger.readVersion(spark, t, 0).count() == 100)
+  }
+
   test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {
     built
     val all = Ledger.manifest(spark, table, 0).count()
