@@ -41,3 +41,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // contended bench recordings (machine has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+Global / excludeLintKeys += showSuccess

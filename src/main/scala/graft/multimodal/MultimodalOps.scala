@@ -495,8 +495,11 @@ object MultimodalOps {
       * JPEGs, each a complete SOI…EOI image — what IP cameras and
       * `ffmpeg -f mjpeg` emit; frame-by-frame decodable with the same
       * `javax.imageio` codec the image path uses, the second container
-      * the r5 verdict named). Byte-stuffing guarantees a bare FFD9
-      * appears only as a frame's EOI, so demux is a marker scan. JPEG
+      * the r5 verdict named). Demux walks the JPEG marker-segment
+      * structure ([[jpegFrameEnd]]): byte-stuffing protects only the
+      * entropy-coded data, so a bare-FFD9 scan would mis-split on an
+      * APPn segment that legally contains one (an EXIF APP1 thumbnail
+      * is a complete embedded JPEG ending in FFD9). JPEG
       * is LOSSY — unlike Y4M there is no arithmetic oracle; round-trip
       * fidelity is spec-BOUNDED instead (MultimodalSpec). Decoded
       * frames convert RGB→YUV so every downstream stage — features,
@@ -520,6 +523,47 @@ object MultimodalOps {
       bos.toByteArray
     }
 
+    /** End offset (EXCLUSIVE) of the JPEG frame starting at `start` —
+      * a marker-segment walk, not a bare-FFD9 scan. Length-delimited
+      * segments (APPn/COM/DQT/DHT/SOF/...) are skipped by their length
+      * fields, so an FFD9 INSIDE one (an embedded EXIF thumbnail)
+      * cannot end the frame; after each SOS header the entropy-coded
+      * data is scanned for the next true marker (FF + non-00 /
+      * non-RST — stuffing and restart markers pass through), which
+      * also handles progressive streams with multiple scans; FF fill
+      * bytes before a marker are legal padding. EOI closes the frame. */
+    private def jpegFrameEnd(bytes: Array[Byte], start: Int): Int = {
+      def m(i: Int): Int =
+        if (i < bytes.length) bytes(i) & 0xff
+        else throw new IllegalArgumentException(
+          s"truncated MJPEG frame at byte $start (ran off end at $i)")
+      var i = start + 2 // past SOI
+      while (true) {
+        if (m(i) != 0xff)
+          throw new IllegalArgumentException(
+            s"malformed JPEG at byte $i: expected a marker, got 0x${m(i).toHexString}")
+        while (m(i + 1) == 0xff) i += 1 // fill bytes collapse
+        val mk = m(i + 1)
+        if (mk == 0xd9) return i + 2 // EOI
+        else if (mk == 0x01 || (mk >= 0xd0 && mk <= 0xd7)) i += 2 // standalone
+        else {
+          val len = (m(i + 2) << 8) | m(i + 3) // includes the 2 length bytes
+          if (len < 2) throw new IllegalArgumentException(
+            s"malformed JPEG segment length $len at byte $i")
+          i += 2 + len
+          if (mk == 0xda) { // SOS: scan entropy-coded data to the next true marker
+            var done = false
+            while (!done) {
+              if (m(i) != 0xff) i += 1
+              else if (m(i + 1) == 0x00 || (m(i + 1) >= 0xd0 && m(i + 1) <= 0xd7)) i += 2
+              else done = true // outer walk handles the marker (EOI, DNL, next SOS)
+            }
+          }
+        }
+      }
+      -1 // unreachable
+    }
+
     def decodeMjpeg(bytes: Array[Byte]): Y4mStream = {
       def m(i: Int): Int = bytes(i) & 0xff
       if (bytes.length < 4 || m(0) != 0xff || m(1) != 0xd8)
@@ -531,10 +575,7 @@ object MultimodalOps {
       while (start < bytes.length) {
         if (m(start) != 0xff || m(start + 1) != 0xd8)
           throw new IllegalArgumentException(s"expected JPEG SOI at byte $start")
-        var eoi = start + 2
-        while (eoi + 1 < bytes.length && !(m(eoi) == 0xff && m(eoi + 1) == 0xd9)) eoi += 1
-        if (eoi + 1 >= bytes.length && !(m(eoi) == 0xff && m(eoi + 1) == 0xd9))
-          throw new IllegalArgumentException(s"truncated MJPEG frame at byte $start (no EOI)")
+        val eoi = jpegFrameEnd(bytes, start) - 2
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
           java.util.Arrays.copyOfRange(bytes, start, eoi + 2)))
         if (img == null)

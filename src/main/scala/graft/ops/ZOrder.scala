@@ -89,7 +89,17 @@ object ZOrder {
     * pinning the Morton computation. Oracle recomputes from source. */
   def qZorderWrite(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.GraftPaths.sink("graft_zorder", dir.replaceAll(".*/", ""))
-    writeZOrdered(lineitemZ(spark, dir), out)
+    // Write parallelism scaled to the data: ~10 M rows per range task,
+    // floored at one task per bucket and capped at 4 per bucket. At
+    // sf100 that is the measured spill-free width (64 tasks: 456→97 s,
+    // PERF.md); at sf0.1 the same 64 tasks are pure scheduling
+    // overhead on 600 k rows (the r6 3.7 s regression), so small
+    // corpora write at the bucket count. The count is a parquet
+    // metadata-weight job; layout CONTENT is task-count-invariant.
+    val rows = Tables.lineitem(spark, dir).count()
+    val tasks = math.min(4 << BucketBits,
+      math.max(1 << BucketBits, (rows / 10000000L).toInt))
+    writeZOrdered(lineitemZ(spark, dir), out, tasks)
     spark.read.parquet(out)
       .groupBy(col("zfile").cast("long").as("zfile"))
       .agg(count(lit(1)).as("n"),

@@ -116,6 +116,28 @@ class MultimodalSpec extends AnyFunSuite {
     // Y4M still routes through the same dispatch, losslessly
     val y4 = VideoCodec.decodeVideo(VideoCodec.encodeY4m(src))
     assert(y4.frames(2)._1.toSeq == src.frames(2)._1.toSeq)
+
+    // A frame carrying an APP1 segment that CONTAINS a bare FFD9 (the
+    // EXIF-embedded-thumbnail shape: metadata segments are length-
+    // delimited, not byte-stuffed) must not be split mid-frame — the
+    // marker-segment walk skips it by its length field where a naive
+    // FFD9 scan would end the frame inside the metadata.
+    val payload = Array[Byte](0x45, 0x78, 0x69, 0x66, 0x00, 0x00, // "Exif\0\0"
+      0xff.toByte, 0xd8.toByte, 0x01, 0x02, // an embedded SOI...
+      0xff.toByte, 0xd9.toByte,             // ...and its bare EOI
+      0x07, 0x08)
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    // find the per-frame boundaries of the clean stream to rebuild it
+    // with the APP1 injected right after frame 0's SOI
+    val clean = VideoCodec.decodeVideo(bytes) // 3 frames, known good
+    val withApp1 = bytes.take(2) ++ app1 ++ bytes.drop(2)
+    val demuxed = VideoCodec.decodeVideo(withApp1)
+    assert(demuxed.frames.length == clean.frames.length,
+      "an APP1-embedded EOI must not create a phantom frame boundary")
+    assert(demuxed.frames(0)._1.toSeq == clean.frames(0)._1.toSeq,
+      "frame 0 decodes identically with the metadata segment present")
+    assert(demuxed.frames(2)._2.toSeq == clean.frames(2)._2.toSeq)
   }
 
   test("Y4M encode/decode round-trips planes losslessly") {
