@@ -181,6 +181,7 @@ object SparkEntry {
     "q_snapshot_diff" -> ((s: SparkSession, d: String) => graft.etl.Snapshot.qSnapshotDiff(s, d)),
     "q_time_travel" -> (graft.etl.Ledger.qTimeTravel _),
     "q_ledger_changes" -> (graft.etl.Ledger.qLedgerChanges _),
+    "q_ledger_stream" -> (graft.etl.Ledger.qLedgerStream _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
     "q_ledger_skip" -> (graft.etl.Ledger.qLedgerSkip _),
@@ -2043,6 +2044,46 @@ object SparkEntry {
         |     OR a.source IS DISTINCT FROM b.source),
         |d12 AS (
         |  SELECT 1 AS from_v, 2 AS to_v,
+        |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+        |         WHEN b.doc_id IS NULL THEN 'delete' ELSE 'update' END AS op,
+        |    COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |    CAST(('0x' || substr(md5(COALESCE(b.text, a.text)), 1, 15)) AS BIGINT) AS text_fp
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |  WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+        |     OR a.text IS DISTINCT FROM b.text
+        |     OR a.source IS DISTINCT FROM b.source)
+        |SELECT * FROM d01 UNION ALL SELECT * FROM d12""".stripMargin,
+    // q_ledger_stream: the STREAMING CDF consumer must deliver exactly
+    // the batch change feed — same logical v0/v1/v2 recomputation as
+    // q_ledger_changes, keyed by commit_version instead of the version
+    // pair. The oracle emits NOTHING for the compaction version (v3),
+    // so a subscriber that saw layout maintenance breaks the hash.
+    "q_ledger_stream" ->
+      """WITH v0 AS (SELECT doc_id, source, text FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'new ' || text FROM v0 WHERE doc_id % 29 = 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev3]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 19 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, source, 'new2 ' || text FROM v0 WHERE doc_id % 31 = 0),
+        |d01 AS (
+        |  SELECT 1 AS commit_version,
+        |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+        |         WHEN b.doc_id IS NULL THEN 'delete' ELSE 'update' END AS op,
+        |    COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |    CAST(('0x' || substr(md5(COALESCE(b.text, a.text)), 1, 15)) AS BIGINT) AS text_fp
+        |  FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id
+        |  WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+        |     OR a.text IS DISTINCT FROM b.text
+        |     OR a.source IS DISTINCT FROM b.source),
+        |d12 AS (
+        |  SELECT 2 AS commit_version,
         |    CASE WHEN a.doc_id IS NULL THEN 'insert'
         |         WHEN b.doc_id IS NULL THEN 'delete' ELSE 'update' END AS op,
         |    COALESCE(b.doc_id, a.doc_id) AS doc_id,

@@ -758,6 +758,61 @@ object Ledger {
     }
   }
 
+  // ---- the change feed as a STRUCTURED STREAMING source ----
+
+  private def cdfPath(table: String): String = s"$table/cdf"
+
+  /** Materialize each committed version's change feed under
+    * `cdf/commit_version=<N>/` — the durable CDF log a streaming
+    * consumer subscribes to (Delta's `_change_data` shape, derived
+    * post-hoc from the manifests instead of written by the committer,
+    * so it needs no writer cooperation). Idempotent per version: the
+    * staged dir's `_SUCCESS` marker is the publish point, mirroring
+    * [[commitBatch]]'s manifest contract; the write lands in a hidden
+    * `.stage` dir and RENAMES into place, so no reader — batch or
+    * stream — can ever list a half-staged version. Per-version volume
+    * is changed-files-sized ([[readChanges]]); a compaction version
+    * stages ZERO rows, so layout maintenance stays invisible to
+    * subscribers. Returns how many versions this call staged. */
+  def stageChanges(spark: SparkSession, table: String, keyCol: String): Int = {
+    val f = fs(spark, table)
+    var staged = 0
+    (1 to latestVersion(spark, table)).foreach { v =>
+      val dst = new Path(s"${cdfPath(table)}/commit_version=$v")
+      if (!f.exists(new Path(dst, "_SUCCESS"))) {
+        val tmp = new Path(s"${cdfPath(table)}/.stage_v$v")
+        f.delete(tmp, true); f.delete(dst, true)
+        readChanges(spark, table, v - 1, v, keyCol)
+          .write.mode("overwrite").parquet(tmp.toString)
+        f.mkdirs(dst.getParent)
+        require(f.rename(tmp, dst), s"CDF stage rename failed for version $v")
+        staged += 1
+      }
+    }
+    staged
+  }
+
+  /** SUBSCRIBE to the change feed: the staged CDF as a Structured
+    * Streaming source — the missing half of the incremental story (the
+    * exactly-once SINK writes batches INTO the ledger; this reads
+    * committed changes OUT, continuously). Columns: the key, `op`
+    * (insert/update/delete), the payload (post-image; pre-image for
+    * deletes), and `commit_version` (the partition column of the CDF
+    * log). Micro-batches are file-source increments: Spark's
+    * checkpoint records consumed files, so a crashed consumer resumes
+    * exactly after the last committed batch — end-to-end exactly-once
+    * with any idempotent sink (e.g. `foreachBatch` + [[commitBatch]]
+    * into a downstream ledger). New versions become visible the moment
+    * [[stageChanges]] renames them in; `fromVersion` starts the
+    * subscription later in history (partition-pruned — old version
+    * dirs are listed, never read). */
+  def readChangesStream(spark: SparkSession, table: String,
+      fromVersion: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(cdfPath(table)).schema
+    val s = spark.readStream.schema(schema).parquet(cdfPath(table))
+    if (fromVersion > 1) s.filter(col("commit_version") >= fromVersion) else s
+  }
+
   // ---- the declared queries ----
 
   private val lineageMemo = graft.StandingState.memo[(String, String), String]()
@@ -840,6 +895,33 @@ object Ledger {
         .select(lit(f).as("from_v"), lit(t).as("to_v"), col("op"),
           col("doc_id"), textFp(col("text")).as("text_fp"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Q-ledger-stream: the streaming CDF consumer, run for real — stage
+    * the shared lineage's change feed, SUBSCRIBE with
+    * [[readChangesStream]] under `Trigger.AvailableNow` (the bounded
+    * run of the same continuous query), and return exactly what the
+    * stream delivered: one row per changed key per committed version,
+    * (commit_version, op, doc_id, text_fp). The DuckDB oracle
+    * recomputes versions 0/1/2 logically and full-outer diffs the
+    * adjacent pairs — stream ≡ batch CDF is the checked contract, and
+    * the compaction version (v3) stages zero rows, so any row the
+    * stream delivered for it breaks the hash. */
+  def qLedgerStream(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtLineage(spark, dir)
+    stageChanges(spark, table, "doc_id")
+    val sink = s"graft_ledger_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = readChangesStream(spark, table)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("commit_version"), col("op"), col("doc_id"),
+        textFp(col("text")).as("text_fp"))
+      .orderBy(col("commit_version"), col("doc_id"), col("op"))
   }
 
   // checksums accumulate in decimal(38,0) and reduce mod 1e18 before

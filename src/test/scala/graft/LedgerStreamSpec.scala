@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.etl.Ledger
+
+/** The ledger change feed as a STRUCTURED STREAMING source — the laws
+  * the q_ledger_stream oracle can't see: exactly-once delivery across
+  * a consumer crash/restart (file-source checkpoint over the staged
+  * CDF log), stream ≡ batch parity version by version, and the
+  * end-to-end incremental pipeline the feed exists for (CDF inserts
+  * driving near-dup dedup against a standing band index). */
+class LedgerStreamSpec extends AnyFunSuite {
+  import SparkFixture.spark
+
+  private def ckpt(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("CDF subscription is exactly-once across a consumer restart and equals the batch feed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Ledger.tableRoot("ledger_cdf_stream")
+    val docs = (0L until 300L).map(i => (i, "src", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 4)
+
+    // INGEST side: MemoryStream -> the exactly-once ledger sink (the
+    // bidirectional story: batches stream IN, changes stream OUT)
+    val mem = MemoryStream[(Long, String, String, String)]
+    val qin = mem.toDS().toDF("doc_id", "source", "text", "op").writeStream
+      .option("checkpointLocation", ckpt("cdf_in"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Ledger.commitBatch(spark, t, id, b, "doc_id"); ()
+      }.start()
+
+    // CONSUME side: accumulate delivered rows across consumer lifetimes
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, String)]()
+    val outCkpt = ckpt("cdf_out")
+    def runConsumerToCompletion(): Unit = {
+      val c = Ledger.readChangesStream(spark, t)
+        .writeStream.option("checkpointLocation", outCkpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            got.add((r.getAs[Int]("commit_version"), r.getAs[String]("op"),
+              r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+          }
+          ()
+        }.start()
+      c.processAllAvailable(); c.stop()
+    }
+
+    try {
+      // v1: an update and an insert
+      mem.addData((5L, "src", "edited 5", "upsert"), (400L, "src", "new 400", "upsert"))
+      qin.processAllAvailable()
+      Ledger.stageChanges(spark, t, "doc_id")
+      runConsumerToCompletion()
+      assert(got.size == 2, s"v1 must deliver exactly its 2 changes: $got")
+
+      // two more versions land while the consumer is DOWN
+      mem.addData((6L, "src", "edited 6", "upsert"))
+      qin.processAllAvailable()
+      mem.addData((5L, "src", "", "delete"), (401L, "src", "new 401", "upsert"))
+      qin.processAllAvailable()
+      Ledger.stageChanges(spark, t, "doc_id")
+      // RESTART from the same checkpoint: only the unseen versions flow
+      runConsumerToCompletion()
+    } finally qin.stop()
+
+    val latest = Ledger.latestVersion(spark, t)
+    assert(latest == 3)
+    val expected = (1 to latest).flatMap { v =>
+      Ledger.readChanges(spark, t, v - 1, v, "doc_id").collect().map { r =>
+        (v, r.getAs[String]("op"), r.getAs[Long]("doc_id"), r.getAs[String]("text"))
+      }
+    }
+    val delivered = got.toArray(Array.empty[(Int, String, Long, String)]).toSeq
+    assert(delivered.size == expected.size,
+      s"exactly-once: no duplicates, no gaps (${delivered.size} vs ${expected.size})")
+    assert(delivered.toSet == expected.toSet,
+      "the stream must deliver exactly the batch change feed")
+    // the delete carries its pre-image and the re-run is idempotent
+    assert(delivered.exists(e => e._1 == 3 && e._2 == "delete" && e._3 == 5L))
+    assert(Ledger.stageChanges(spark, t, "doc_id") == 0, "re-staging is a no-op")
+  }
+
+  test("continuous pipeline: CDF inserts drive incremental near-dup dedup against a standing index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val history = (0L until 200L).map(i => (i, "hist", s"$words document $i"))
+      .toDF("doc_id", "source", "text")
+    val t = Ledger.tableRoot("ledger_cdf_dedup")
+    Ledger.create(spark, t, history, "doc_id", nFiles = 4)
+    // the standing band index the daily/streaming job joins against
+    val idx = "graft_cdf_dedup_idx"
+    Dedup.writeBandIndex(history, idx)
+
+    // the delta arrives as TWO ledger commits: exact copies of history
+    // texts under new ids (guaranteed band collisions) + fresh noise
+    val mem = MemoryStream[(Long, String, String)]
+    val qin = mem.toDS().toDF("doc_id", "source", "text").writeStream
+      .option("checkpointLocation", ckpt("cdf_dedup_in"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Ledger.commitBatch(spark, t, id, b, "doc_id"); ()
+      }.start()
+    val cands = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val outCkpt = ckpt("cdf_dedup_out")
+    def consumeOnce(): Unit = {
+      val c = Ledger.readChangesStream(spark, t)
+        .writeStream.option("checkpointLocation", outCkpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // the incremental-dedup kernel, per micro-batch: new docs vs
+          // the standing index — delta-sized work, index Exchange-free
+          val inserts = b.filter(col("op") === "insert")
+            .select(col("doc_id"), col("text"))
+          Dedup.candidatesAgainstIndex(spark, inserts, idx).collect()
+            .foreach(r => cands.add((r.getAs[Long]("doc_id"), r.getAs[Long]("hist_id"))))
+          ()
+        }.start()
+      c.processAllAvailable(); c.stop()
+    }
+    try {
+      mem.addData((1000L, "delta", s"$words document 17"), // copy of doc 17
+        (1001L, "delta", "unrelated fresh content one two three four five six"))
+      qin.processAllAvailable()
+      Ledger.stageChanges(spark, t, "doc_id")
+      consumeOnce()
+      mem.addData((1002L, "delta", s"$words document 42")) // copy of doc 42
+      qin.processAllAvailable()
+      Ledger.stageChanges(spark, t, "doc_id")
+      consumeOnce()
+    } finally qin.stop()
+
+    val streamed = cands.toArray(Array.empty[(Long, Long)]).toSet
+    // batch twin over the SAME delta: the stream must find exactly what
+    // one batch pass over the accumulated delta finds
+    val delta = Seq((1000L, s"$words document 17"),
+      (1001L, "unrelated fresh content one two three four five six"),
+      (1002L, s"$words document 42")).toDF("doc_id", "text")
+    val batch = Dedup.candidatesAgainstIndex(spark, delta, idx).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hist_id"))).toSet
+    assert(streamed == batch, s"stream/batch dedup parity: $streamed vs $batch")
+    assert(streamed.contains((1000L, 17L)) && streamed.contains((1002L, 42L)),
+      s"exact copies must surface as candidates: $streamed")
+    assert(!streamed.exists(_._1 == 1001L), "fresh content must not collide")
+  }
+}
