@@ -182,6 +182,7 @@ object SparkEntry {
     "q_time_travel" -> (graft.etl.Ledger.qTimeTravel _),
     "q_ledger_changes" -> (graft.etl.Ledger.qLedgerChanges _),
     "q_ledger_stream" -> (graft.etl.Ledger.qLedgerStream _),
+    "q_ledger_zorder" -> (graft.etl.Ledger.qLedgerZorder _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
     "q_ledger_skip" -> (graft.etl.Ledger.qLedgerSkip _),
@@ -2093,6 +2094,20 @@ object SparkEntry {
         |     OR a.text IS DISTINCT FROM b.text
         |     OR a.source IS DISTINCT FROM b.source)
         |SELECT * FROM d01 UNION ALL SELECT * FROM d12""".stripMargin,
+    // q_ledger_zorder: secondary-dimension range lookup over the
+    // z-ordered ledger table (v1 = v0 minus the merge-on-read DELETE
+    // event_id%101==7). The oracle recomputes from the raw events
+    // table — a manifest stat that wrongly pruned a candidate file, or
+    // a deletion vector that failed to hide its keys on the pruned
+    // path, breaks the hash. Exact decimal discipline on the double
+    // column (ops/Exact.scala).
+    "q_ledger_zorder" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 120 AND event_id % 101 <> 7
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q_schema_evolution: the oracle recomputes all four versions of
     // the evolution lineage logically — v0 = the 3-column corpus, v1 =
     // the metadata-only ADD COLUMN (same rows, lang NULL), v2 = the

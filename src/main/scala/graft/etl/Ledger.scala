@@ -55,24 +55,45 @@ object Ledger {
   private def manifestPath(table: String, version: Int) =
     s"$table/_manifest/v$version"
 
-  /** Write `df` as commit `version`'s data files and return their
-    * manifest rows (path, min_key, max_key, rows) — stats gathered in
-    * one grouped pass over the freshly written files. */
-  private def writeDataFiles(spark: SparkSession, df: DataFrame,
-      table: String, version: Int, keyCol: String): DataFrame = {
-    val out = s"$table/data/v$version"
-    df.write.mode("overwrite").parquet(out)
+  /** Per-file manifest stats for freshly written files under `out` —
+    * one grouped pass: the key's (min_key, max_key, rows) plus a
+    * (min_<c>, max_<c>) pair per extra stat column. Extra stats are
+    * what make a z-ordered layout prunable on BOTH dimensions at
+    * manifest level (the Iceberg per-file column-stats contract). */
+  private def fileStats(spark: SparkSession, out: String, keyCol: String,
+      statCols: Seq[String]): DataFrame = {
+    val aggs = Seq(max(col(keyCol)).as("max_key"), count(lit(1)).as("rows")) ++
+      statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     spark.read.parquet(out)
       .groupBy(input_file_name().as("path"))
-      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("rows"))
+      .agg(min(col(keyCol)).as("min_key"), aggs: _*)
   }
 
+  /** Write `df` as commit `version`'s data files and return their
+    * manifest rows. */
+  private def writeDataFiles(spark: SparkSession, df: DataFrame,
+      table: String, version: Int, keyCol: String,
+      statCols: Seq[String] = Nil): DataFrame = {
+    val out = s"$table/data/v$version"
+    df.write.mode("overwrite").parquet(out)
+    fileStats(spark, out, keyCol, statCols)
+  }
+
+  /** The extra stat columns a manifest carries beyond the key —
+    * derived from its schema (min_<c>/max_<c> pairs), so merge and
+    * compact MAINTAIN whatever stats the table was created with. */
+  private def statColsOf(m: DataFrame): Seq[String] =
+    m.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      .filterNot(_ == "key").sorted.toSeq
+
   private def writeManifest(spark: SparkSession, table: String, version: Int,
-      files: DataFrame): Unit =
-    files.select(col("path"), col("min_key"), col("max_key"), col("rows"))
+      files: DataFrame): Unit = {
+    val cols = Seq("path", "min_key", "max_key", "rows") ++
+      statColsOf(files).flatMap(c => Seq(s"min_$c", s"max_$c"))
+    files.select(cols.map(col): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestPath(table, version))
+  }
 
   /** The manifest of version N (file-count-sized). A manifest without
     * its `_SUCCESS` marker is a PARTIAL write from a crashed committer
@@ -163,15 +184,55 @@ object Ledger {
       .filter(col("max_key") >= lo && col("min_key") <= hi)
       .select(col("path")).collect().map(_.getString(0))
 
+  /** Manifest-level skipping on a SECONDARY stat column (declared via
+    * `create(statCols = ...)`, typically the second dimension of a
+    * z-ordered layout): the files whose (min_<c>, max_<c>) range
+    * intersects [lo, hi]. On a z layout BOTH dimensions carry narrow
+    * per-file ranges, so a predicate on either one prunes — the
+    * ZOrderSpec stat-width property lifted to manifest level, before
+    * any file is even opened. */
+  def pruneFilesBy(spark: SparkSession, table: String, version: Int,
+      column: String, lo: Long, hi: Long): Array[String] =
+    manifest(spark, table, version)
+      .filter(col(s"max_$column") >= lo && col(s"min_$column") <= hi)
+      .select(col("path")).collect().map(_.getString(0))
+
+  /** Range lookup `column BETWEEN lo AND hi` over version N, reading
+    * ONLY the manifest-pruned candidate files (exact — the residual
+    * filter removes boundary rows), through the version's deletion
+    * vector. The secondary-dimension read path of a z-ordered ledger
+    * table. */
+  def readWhereRange(spark: SparkSession, table: String, version: Int,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    val cand = pruneFilesBy(spark, table, version, column, lo, hi)
+    if (cand.isEmpty) readVersion(spark, table, version).limit(0)
+    else applyDv(spark, table, version,
+        readConformed(spark, table, version, cand.toIndexedSeq))
+      .filter(col(column).between(lo, hi))
+  }
+
   /** CREATE: version 0 from `df`, range-layout into `nFiles` files so
     * the per-file key ranges are disjoint and pruning/copy-on-write
-    * have real structure to work with. */
+    * have real structure to work with.
+    *
+    * `clusterBy` commits an ALTERNATIVE layout — e.g. a z-order column
+    * over (key, dim2) — files are range-partitioned and sorted on the
+    * cluster expression instead of the key; `statCols` adds per-file
+    * (min, max) manifest stats for secondary columns, which is what
+    * makes the z layout prunable on EITHER dimension before any data
+    * I/O ([[pruneFilesBy]]). Key pruning stays correct under any
+    * layout (intersection logic never assumed disjoint ranges), and
+    * later merges/compactions maintain the declared stat columns. */
   def create(spark: SparkSession, table: String, df: DataFrame,
-      keyCol: String, nFiles: Int = 8): Unit = {
+      keyCol: String, nFiles: Int = 8, clusterBy: Option[Column] = None,
+      statCols: Seq[String] = Nil): Unit = {
     val root = fs(spark, table)
     root.delete(new Path(table), true)
-    val files = writeDataFiles(spark,
-      df.repartitionByRange(nFiles, col(keyCol)), table, 0, keyCol)
+    val laid = clusterBy match {
+      case Some(z) => df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+      case None    => df.repartitionByRange(nFiles, col(keyCol))
+    }
+    val files = writeDataFiles(spark, laid, table, 0, keyCol, statCols)
     writeManifest(spark, table, 0, files)
   }
 
@@ -279,9 +340,13 @@ object Ledger {
       .filter(col("op").isNull || col("op") =!= "delete")
       .select((col(keyCol) +: payload.map(c =>
         when(col("op") === "upsert", col(s"_$c")).otherwise(col(c)).as(c))): _*)
+    // rewritten files recompute whatever stat columns the table was
+    // created with (z-dim min/max survive churn; values come from the
+    // actual rewritten rows, so they stay exact even though a key-
+    // ranged rewrite loosens z locality — compaction restores it)
     val rewritten = writeDataFiles(spark,
       merged.repartitionByRange(math.max(1, hit.size), col(keyCol)),
-      table, version, keyCol)
+      table, version, keyCol, statColsOf(m))
     // deletion-vector bookkeeping: release a DV key only if it was
     // PHYSICALLY APPLIED — its row lives in a hit file (the rewrite
     // read through the vector, so the row is gone from the new files)
@@ -306,9 +371,7 @@ object Ledger {
         .write.mode("overwrite").parquet(deletePath(table, version))
     }
     carrySchema(spark, table, fromVersion, version)
-    writeManifest(spark, table, version,
-      carried.select(col("path"), col("min_key"), col("max_key"), col("rows"))
-        .unionByName(rewritten))
+    writeManifest(spark, table, version, carried.unionByName(rewritten))
   }
 
   /** COMPACT: rewrite version N's file layout into `nFiles` range-
@@ -321,7 +384,8 @@ object Ledger {
     val files = writeDataFiles(spark,
       readVersion(spark, table, fromVersion)
         .repartitionByRange(nFiles, col(keyCol)),
-      table, version, keyCol)
+      table, version, keyCol,
+      statColsOf(manifest(spark, table, fromVersion)))
     // no DV carry: the rewrite read through the vector, so the deletes
     // are physically applied and the compacted version starts clean
     carrySchema(spark, table, fromVersion, version)
@@ -585,10 +649,7 @@ object Ledger {
     val out = s"$table/data/c$commitId"
     merged.repartitionByRange(math.max(1, hit.size), col(keyCol))
       .write.mode("overwrite").parquet(out)
-    val rewritten = spark.read.parquet(out)
-      .groupBy(input_file_name().as("path"))
-      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("rows"))
+    val rewritten = fileStats(spark, out, keyCol, statColsOf(m))
     PreparedMerge(fromVersion, basePaths, hit, rewritten,
       changes.select(col(keyCol).as("ck")).distinct(), None,
       schemaOf(spark, table, fromVersion).map(_.toDDL), commitId)
@@ -640,7 +701,6 @@ object Ledger {
           writeSchema(spark, table, target, StructType.fromDDL(ddl)))
         val carried = manifest(spark, table, base)
           .filter(!col("path").isInCollection(p.hitFiles.toSeq :+ ""))
-          .select(col("path"), col("min_key"), col("max_key"), col("rows"))
         writeManifest(spark, table, target, carried.unionByName(p.rewrittenFiles))
         return target
       }
@@ -1077,6 +1137,58 @@ object Ledger {
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  // ---- z-ordered ledger lineage (its own root) ----
+
+  private def zTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_z", dir.replaceAll(".*/", ""))
+
+  private val zMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** The z-ordered ledger table: v0 = events committed under a z-order
+    * layout over (event_id, user_id) with user_id manifest stats —
+    * `create(clusterBy = z, statCols = user_id)` — so BOTH dimensions
+    * carry narrow per-file ranges; v1 = a merge-on-read DELETE (the
+    * vector must compose with the pruned read path). Standing table,
+    * one build per (session, corpus). */
+  private def builtZLineage(spark: SparkSession, dir: String): String =
+    zMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = zTableRoot(dir)
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          col("event_type").cast("string").as("event_type"), col("value"))
+      val Array(mnE, mxE, mnU, mxU) =
+        ev.agg(min("event_id"), max("event_id"), min("user_id"), max("user_id"))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      import graft.ops.ZOrder
+      val z = ZOrder.interleave2(
+        ZOrder.quantize(col("event_id"), mnE, mxE, ZOrder.Bits),
+        ZOrder.quantize(col("user_id"), mnU, mxU, ZOrder.Bits), ZOrder.Bits)
+      create(spark, table, ev, "event_id", nFiles = 16,
+        clusterBy = Some(z), statCols = Seq("user_id"))
+      deleteWhere(spark, table, 0, "event_id", col("event_id") % 101 === 7)
+      table
+    })
+
+  /** Q-ledger-zorder: a range lookup on the SECONDARY dimension
+    * (user_id) of a z-ordered ledger version — the lookup the key-range
+    * manifest alone can never prune (on a key layout every file spans
+    * the full user domain). The read goes through [[pruneFilesBy]]
+    * (manifest stats on user_id) + the deletion vector + the residual
+    * filter; the DuckDB oracle recomputes from the raw events table, so
+    * a wrongly pruned file (lost rows) or a leaked deleted row breaks
+    * the hash. The files-read strict-subset property is layout-
+    * dependent and spec-pinned in LedgerSpec instead. */
+  def qLedgerZorder(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtZLineage(spark, dir)
+    readWhereRange(spark, table, 1, "user_id", 100L, 120L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_event_id"),
+        graft.ops.Exact.decToDouble(
+          sum(graft.ops.Exact.dec(col("value"), 2))).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- bloom-skipping point lookup over the shared lineage ----
 
   private val skipMemo = graft.StandingState.memo[(String, String), String]()
@@ -1103,6 +1215,7 @@ object Ledger {
     builtEvoLineage(spark, dir)
     builtDvLineage(spark, dir)
     builtSkipSidecar(spark, dir)
+    builtZLineage(spark, dir)
     ()
   }
 

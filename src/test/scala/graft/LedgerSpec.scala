@@ -515,6 +515,54 @@ class LedgerSpec extends AnyFunSuite {
     assert(Ledger.readVersion(spark, t, 0).count() == 100)
   }
 
+  test("z-ordered ledger: manifests carry both-dim stats, prune on either dim, survive merges") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_z_spec")
+    // uncorrelated dims: d2 = bit-reversed key, so a key-ranged layout
+    // would give every file a full-width d2 span
+    val rows = (0L until 4096L).map { k =>
+      val d2 = (0 until 12).map(b => ((k >> b) & 1L) << (11 - b)).sum
+      (k, d2, s"payload $k")
+    }.toDF("k", "d2", "text")
+    import graft.ops.ZOrder
+    val z = ZOrder.interleave2(ZOrder.quantize(col("k"), 0, 4095, 12),
+      ZOrder.quantize(col("d2"), 0, 4095, 12), 12)
+    Ledger.create(spark, t, rows, "k", nFiles = 16,
+      clusterBy = Some(z), statCols = Seq("d2"))
+    val m = Ledger.manifest(spark, t, 0)
+    assert(m.columns.toSet ==
+      Set("path", "min_key", "max_key", "rows", "min_d2", "max_d2"),
+      "the manifest must carry per-file ranges for BOTH dimensions")
+    val all = m.count()
+    // the ZOrderSpec stat-width property at manifest level: a narrow
+    // range on EITHER dimension prunes to a strict subset of files
+    val byKey = Ledger.pruneFiles(spark, t, 0, 100, 160)
+    val byD2 = Ledger.pruneFilesBy(spark, t, 0, "d2", 100, 160)
+    assert(byKey.length < all, s"key pruning: ${byKey.length} of $all")
+    assert(byD2.length < all, s"d2 pruning: ${byD2.length} of $all")
+    // lossless: pruned read ≡ full-scan filter on the secondary dim
+    val viaPruned = Ledger.readWhereRange(spark, t, 0, "d2", 100, 160)
+      .orderBy("k").collect().toSeq
+    val full = Ledger.readVersion(spark, t, 0)
+      .filter(col("d2").between(100, 160)).orderBy("k").collect().toSeq
+    assert(viaPruned == full && viaPruned.nonEmpty)
+    // a copy-on-write merge MAINTAINS the declared stats: every v1
+    // manifest row's recorded d2 range equals the file's actual range
+    Ledger.merge(spark, t, 0,
+      Seq((100L, "upsert", 999L, "edited 100")).toDF("k", "op", "d2", "text"), "k")
+    Ledger.manifest(spark, t, 1).collect().foreach { r =>
+      val actual = spark.read.parquet(r.getAs[String]("path"))
+        .agg(min("d2"), max("d2")).head()
+      assert(r.getAs[Long]("min_d2") == actual.getLong(0)
+        && r.getAs[Long]("max_d2") == actual.getLong(1),
+        s"stats must stay exact for ${r.getAs[String]("path")}")
+    }
+    // and the pruned secondary read sees the post-merge truth
+    val got = Ledger.readWhereRange(spark, t, 1, "d2", 999, 999).collect()
+    assert(got.exists(r => r.getAs[Long]("k") == 100L),
+      "the updated row must surface through the pruned read")
+  }
+
   test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {
     built
     val all = Ledger.manifest(spark, table, 0).count()

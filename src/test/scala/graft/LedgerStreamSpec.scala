@@ -97,7 +97,18 @@ class LedgerStreamSpec extends AnyFunSuite {
     val t = Ledger.tableRoot("ledger_cdf_dedup")
     Ledger.create(spark, t, history, "doc_id", nFiles = 4)
     // the standing band index the daily/streaming job joins against
+    // (in-memory catalog forgets tables between JVMs but the warehouse
+    // dir persists — clear both, the SkewSpec pattern)
     val idx = "graft_cdf_dedup_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    val whDir = new java.io.File(s"spark-warehouse/$idx")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(whDir)
+    }
     Dedup.writeBandIndex(history, idx)
 
     // the delta arrives as TWO ledger commits: exact copies of history
