@@ -145,6 +145,7 @@ object SparkEntry {
     "q_media_frames" -> (graft.sources.Fixtures.qMediaFrames _),
     "q_video_frames" -> (graft.sources.Fixtures.qVideoFrames _),
     "q_media_stats" -> (graft.sources.Fixtures.qMediaStats _),
+    "q_audio_adpcm" -> (graft.sources.Fixtures.qAudioAdpcm _),
     "q_media_resize" -> (graft.sources.Fixtures.qMediaResize _),
     "q_nestsel" -> (graft.sources.Fixtures.qNestsel _),
     "q_flatten_intent" -> (graft.sources.Fixtures.qFlattenIntent _),
@@ -1682,6 +1683,35 @@ object SparkEntry {
         |  meta.duration_ms AS duration_ms, meta.format AS format
         |FROM read_parquet('${graft.sources.Fixtures.mediaPath}/*.parquet')
         |ORDER BY media_id""".stripMargin,
+    // q_audio_adpcm: cross-engine check of the IMA-ADPCM container —
+    // DuckDB re-derives the block skeleton arithmetically: n_samples
+    // from the fixture's rate x duration, the block count from the
+    // 505-samples-per-block layout, and every block's RAW header
+    // sample from the planted square+sawtooth formula (block b starts
+    // at t = 505*b). A mis-sized block, a wrong fact-chunk count, or a
+    // header byte-order bug breaks the hash; nibble-level decode is
+    // spec-pinned against an independent reference decoder
+    // (MultimodalSpec).
+    "q_audio_adpcm" ->
+      s"""WITH clips AS (
+        |  SELECT media_id,
+        |    CAST(16000 AS BIGINT) AS sample_rate,
+        |    CAST(16000 * (2000 + (media_id % 5) * 500) // 1000 AS BIGINT) AS n_samples
+        |  FROM read_parquet('${graft.sources.Fixtures.mediaAdpcmPath}/*.parquet')),
+        |b AS (
+        |  SELECT media_id, sample_rate, n_samples,
+        |    unnest(range((n_samples + 504) // 505)) AS block_idx
+        |  FROM clips),
+        |t AS (
+        |  SELECT *, block_idx * 505 AS t0,
+        |    32 + (media_id % 7) * 8 AS p1,
+        |    96 + (media_id % 5) * 32 AS p2
+        |  FROM b)
+        |SELECT media_id, CAST(block_idx AS BIGINT) AS block_idx,
+        |  CAST((CASE WHEN (t0 // p1) % 2 = 0 THEN 6000 ELSE -6000 END)
+        |    + ((t0 % p2) * 8000 // p2) - 4000 AS BIGINT) AS header_sample,
+        |  n_samples, sample_rate
+        |FROM t ORDER BY media_id, block_idx""".stripMargin,
     // q_media_frames: the Spark side re-runs the REAL video pipeline at
     // query time (Y4M demux -> frame select -> PNG still per sample);
     // DuckDB can't encode PNG, so the oracle reads the fixture-time

@@ -244,6 +244,210 @@ object MultimodalOps {
       bos.toByteArray
     }
 
+    // ---- IMA ADPCM (DVI4 / WAVE format 0x0011) — a COMPRESSED audio
+    // codec in pure JVM: the published 4-bit adaptive-predictive
+    // quantizer (IMA 1992 spec; the step/index tables below are the
+    // normative constants) in its standard block-structured WAV
+    // container. Integer-only state machine — encoder advances its
+    // (predictor, index) state by the DECODER's reconstruction, which
+    // is what bounds drift — so decode is bit-deterministic, the same
+    // class of table-defined transform as the BT.601 video math.
+    // Block layout (mono): 4-byte header (raw int16 sample0, uint8
+    // step index, reserved) + 4-bit codes, two per byte, low nibble
+    // first; 256-byte blocks ⇒ 505 samples each. ----
+
+    val AdpcmBlockAlign = 256
+    val AdpcmSamplesPerBlock: Int = (AdpcmBlockAlign - 4) * 2 + 1 // 505
+
+    private val stepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+      5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+      13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+    private val indexAdjust: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    private def clampIndex(i: Int): Int = if (i < 0) 0 else if (i > 88) 88 else i
+    private def clampSample(v: Int): Int =
+      if (v < -32768) -32768 else if (v > 32767) 32767 else v
+
+    /** One DECODE step: reconstruct the quantized diff from a 4-bit
+      * code and advance (predictor, index). */
+    private def adpcmDecStep(code: Int, pred: Int, index: Int): (Int, Int) = {
+      val step = stepTable(index)
+      var diffq = step >> 3
+      if ((code & 4) != 0) diffq += step
+      if ((code & 2) != 0) diffq += step >> 1
+      if ((code & 1) != 0) diffq += step >> 2
+      val p = clampSample(if ((code & 8) != 0) pred - diffq else pred + diffq)
+      (p, clampIndex(index + indexAdjust(code)))
+    }
+
+    /** One ENCODE step: quantize (sample − predictor), then advance
+      * state by the decoder's own reconstruction. */
+    private def adpcmEncStep(sample: Int, pred: Int, index: Int): (Int, Int, Int) = {
+      val step = stepTable(index)
+      val raw = sample - pred
+      var code = if (raw < 0) 8 else 0
+      var d = if (raw < 0) -raw else raw
+      if (d >= step) { code |= 4; d -= step }
+      if (d >= (step >> 1)) { code |= 2; d -= step >> 1 }
+      if (d >= (step >> 2)) code |= 1
+      val (p2, i2) = adpcmDecStep(code, pred, index)
+      (code, p2, i2)
+    }
+
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    /** Encode 16-bit mono PCM as a standard IMA-ADPCM WAV (format tag
+      * 0x0011 with the fact chunk carrying the true sample count —
+      * the final block pads by holding the last sample; decode
+      * truncates back). Each block's first sample is stored RAW in the
+      * block header (the q_audio_adpcm oracle cross-checks those
+      * against the planted formula in SQL); the step index carries
+      * across blocks. */
+    def encodeAdpcmWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      require(samples.nonEmpty, "empty clip")
+      val spb = AdpcmSamplesPerBlock
+      val nBlocks = (samples.length + spb - 1) / spb
+      val dataLen = nBlocks * AdpcmBlockAlign
+      val avgBytes = sampleRate * AdpcmBlockAlign / spb
+      val bos = new ByteArrayOutputStream(dataLen + 60)
+      def w(b: Array[Byte]): Unit = bos.write(b)
+      w("RIFF".getBytes("US-ASCII")); w(le32(4 + 28 + 12 + 8 + dataLen))
+      w("WAVE".getBytes("US-ASCII"))
+      w("fmt ".getBytes("US-ASCII")); w(le32(20))
+      w(le16(0x0011)); w(le16(1)); w(le32(sampleRate)); w(le32(avgBytes))
+      w(le16(AdpcmBlockAlign)); w(le16(4)); w(le16(2)); w(le16(spb))
+      w("fact".getBytes("US-ASCII")); w(le32(4)); w(le32(samples.length))
+      w("data".getBytes("US-ASCII")); w(le32(dataLen))
+      var index = 0
+      var b = 0
+      while (b < nBlocks) {
+        val base = b * spb
+        var pred: Int = samples(base)
+        w(le16(pred & 0xffff)); bos.write(index); bos.write(0)
+        var j = 1
+        while (j < spb) {
+          val t = base + j
+          val s: Int =
+            if (t < samples.length) samples(t)
+            else samples(samples.length - 1) // hold-last padding
+          val (c0, p0, i0) = adpcmEncStep(s, pred, index)
+          pred = p0; index = i0
+          val t2 = base + j + 1
+          val s2: Int =
+            if (j + 1 < spb) {
+              if (t2 < samples.length) samples(t2) else samples(samples.length - 1)
+            } else 0
+          if (j + 1 < spb) {
+            val (c1, p1, i1) = adpcmEncStep(s2, pred, index)
+            pred = p1; index = i1
+            bos.write((c0 & 0xf) | ((c1 & 0xf) << 4))
+          } else bos.write(c0 & 0xf)
+          j += 2
+        }
+        b += 1
+      }
+      bos.toByteArray
+    }
+
+    /** RIFF chunk walk: offset and size of chunk `id`, or -1. */
+    private def findChunk(bytes: Array[Byte], id: String): (Int, Int) = {
+      var o = 12
+      while (o + 8 <= bytes.length) {
+        val tag = new String(bytes, o, 4, "US-ASCII")
+        val len = (bytes(o + 4) & 0xff) | ((bytes(o + 5) & 0xff) << 8) |
+          ((bytes(o + 6) & 0xff) << 16) | ((bytes(o + 7) & 0xff) << 24)
+        if (tag == id) return (o + 8, len)
+        o += 8 + len + (len & 1)
+      }
+      (-1, -1)
+    }
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def s16(b: Array[Byte], o: Int): Int =
+      ((b(o + 1) << 8) | (b(o) & 0xff)).toShort.toInt
+    private def u32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    /** True iff `bytes` are a WAV whose fmt tag is IMA ADPCM (0x11). */
+    def isAdpcmWav(bytes: Array[Byte]): Boolean =
+      bytes.length > 20 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" && {
+        val (fo, _) = findChunk(bytes, "fmt ")
+        fo > 0 && u16(bytes, fo) == 0x0011
+      }
+
+    /** The RAW block-header samples of an IMA-ADPCM WAV — the exactly
+      * recoverable skeleton (every block's sample 0 is stored verbatim)
+      * the cross-engine oracle checks without running the state
+      * machine. */
+    def adpcmHeaderSamples(bytes: Array[Byte]): Array[Int] = {
+      val (fo, _) = findChunk(bytes, "fmt ")
+      require(fo > 0 && u16(bytes, fo) == 0x0011, "not an IMA ADPCM WAV")
+      val blockAlign = u16(bytes, fo + 12)
+      val (dOff, dLen) = findChunk(bytes, "data")
+      Array.tabulate(dLen / blockAlign)(b => s16(bytes, dOff + b * blockAlign))
+    }
+
+    /** Decode an IMA-ADPCM WAV to 16-bit mono PCM + sample rate: chunk
+      * walk → per-block header (raw sample 0 + step index) → nibble
+      * state machine, truncated to the fact chunk's true count. */
+    def decodeAdpcmWav(bytes: Array[Byte]): (Array[Short], Int) = {
+      val (fo, _) = findChunk(bytes, "fmt ")
+      require(fo > 0, "no fmt chunk")
+      require(u16(bytes, fo) == 0x0011, s"fmt tag 0x${u16(bytes, fo).toHexString} is not IMA ADPCM")
+      require(u16(bytes, fo + 2) == 1, "only mono ADPCM supported")
+      val rate = u32(bytes, fo + 4)
+      val blockAlign = u16(bytes, fo + 12)
+      val spb = (blockAlign - 4) * 2 + 1
+      val (factOff, _) = findChunk(bytes, "fact")
+      val (dOff, dLen) = findChunk(bytes, "data")
+      require(dOff > 0, "no data chunk")
+      val nBlocks = dLen / blockAlign
+      val total = if (factOff > 0) u32(bytes, factOff) else nBlocks * spb
+      val out = new Array[Short](total)
+      var b = 0
+      var n = 0
+      while (b < nBlocks && n < total) {
+        val base = dOff + b * blockAlign
+        var pred = s16(bytes, base)
+        var index = clampIndex(bytes(base + 2) & 0xff)
+        out(n) = pred.toShort; n += 1
+        var j = 0
+        while (j < blockAlign - 4 && n < total) {
+          val byte = bytes(base + 4 + j) & 0xff
+          var k = 0
+          while (k < 2 && n < total) {
+            val code = if (k == 0) byte & 0xf else (byte >> 4) & 0xf
+            val (p2, i2) = adpcmDecStep(code, pred, index)
+            pred = p2; index = i2
+            out(n) = pred.toShort; n += 1
+            k += 1
+          }
+          j += 1
+        }
+        b += 1
+      }
+      (out, rate)
+    }
+
+    /** Container dispatch: IMA-ADPCM WAV decodes through the
+      * hand-rolled state machine; everything else (PCM WAV/AIFF/AU)
+      * through the JDK reader. The decode entry the pipeline uses. */
+    def decodeAudio(bytes: Array[Byte]): (Array[Short], Int) =
+      if (isAdpcmWav(bytes)) decodeAdpcmWav(bytes) else decodeWav(bytes)
+
     /** Decode or fail LOUDLY — an audio-kind row whose bytes don't
       * decode is corrupt data, not a row to silently skip. Accepts any
       * 16-bit signed PCM container the JDK reads (WAV/AIFF/AU);
@@ -776,7 +980,7 @@ object MultimodalOps {
           MediaFeatures(m.media_id, m.kind, b.length.toLong,
             ImageCodec.entropy(img), ImageCodec.features(img))
         } else if (m.kind == "audio" && b.nonEmpty) {
-          val (samples, _) = AudioCodec.decodeWav(b)
+          val (samples, _) = AudioCodec.decodeAudio(b)
           MediaFeatures(m.media_id, m.kind, b.length.toLong,
             AudioCodec.entropy(samples), AudioCodec.features(samples))
         } else if (m.kind == "video" && b.nonEmpty) {

@@ -26,6 +26,7 @@ object Fixtures {
   val dir = "/root/repo/target/graft_fixtures_v4"
 
   val mediaPath = s"$dir/media.parquet"
+  val mediaAdpcmPath = s"$dir/media_adpcm.parquet"
   val mediaFeaturesPath = s"$dir/media_features.parquet"
   val mediaResizedPath = s"$dir/media_resized.parquet"
   val mediaFramesPath = s"$dir/media_frames.parquet"
@@ -43,14 +44,29 @@ object Fixtures {
   /** Write-once guard: the fixture set is complete iff every parquet
     * dir has its _SUCCESS marker. */
   def ensure(spark: SparkSession): Unit = lock.synchronized {
-    val done = Seq(mediaPath, mediaFeaturesPath, mediaResizedPath, mediaFramesPath,
-        nftPath, embDupPath,
+    val done = Seq(mediaPath, mediaAdpcmPath, mediaFeaturesPath, mediaResizedPath,
+        mediaFramesPath, nftPath, embDupPath,
         bpeMergesPath, bpeVocabPath, substrPath, skewFactPath, skewDimPath)
       .forall(p => new java.io.File(s"$p/_SUCCESS").exists())
     if (done) return
     implicit val s: SparkSession = spark
     val media = MultimodalOps.syntheticMedia(spark, 300)
     media.write.mode("overwrite").parquet(mediaPath)
+    // the COMPRESSED-audio twin: the same planted clips (same ids,
+    // rate, durations) re-encoded as IMA ADPCM — the lossy 4-bit
+    // codec's container/state-machine surface for q_audio_adpcm;
+    // sample-level fidelity is spec-bounded (MultimodalSpec), the
+    // block-header skeleton is oracle-exact.
+    locally {
+      import spark.implicits._
+      media.filter(_.kind == "audio").map { m =>
+        val rate = m.meta.sample_rate.get
+        val durMs = m.meta.duration_ms.get
+        (m.media_id, MultimodalOps.AudioCodec.encodeAdpcmWav(
+          MultimodalOps.AudioCodec.syntheticPcm(m.media_id, rate, durMs), rate))
+      }.toDF("media_id", "bytes")
+        .write.mode("overwrite").parquet(mediaAdpcmPath)
+    }
     // features are computed by the real mapPartitions plumbing at
     // fixture-build time (image rows: true decoded pixels); both engines
     // then aggregate the same stored values, making mediaStats
@@ -256,6 +272,33 @@ object Fixtures {
         col("meta.duration_ms").as("duration_ms"),
         col("meta.format").as("format"))
       .orderBy(col("media_id"))
+  }
+
+  /** Q-audio-adpcm: the compressed-audio read path — parse every IMA
+    * ADPCM clip's container (fmt/fact/data chunk walk), run the FULL
+    * 4-bit state-machine decode (a decode crash fails the gate), and
+    * emit one row per BLOCK carrying the raw header sample — the
+    * exactly recoverable skeleton of the format (each block stores its
+    * first sample verbatim), which the DuckDB oracle re-derives from
+    * the planted PCM formula + the fixture's rate/duration/block
+    * constants. Lossy nibble-level fidelity is spec-bounded and
+    * reference-decoder-exact in MultimodalSpec — the same
+    * oracle/spec split as MJPEG. */
+  def qAudioAdpcm(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark)
+    import spark.implicits._
+    spark.read.parquet(mediaAdpcmPath)
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          val (samples, rate) = MultimodalOps.AudioCodec.decodeAdpcmWav(b)
+          MultimodalOps.AudioCodec.adpcmHeaderSamples(b).iterator.zipWithIndex.map {
+            case (hs, bi) =>
+              (id, bi.toLong, hs.toLong, samples.length.toLong, rate.toLong)
+          }
+        }
+      }.toDF("media_id", "block_idx", "header_sample", "n_samples", "sample_rate")
+      .orderBy(col("media_id"), col("block_idx"))
   }
 
   /** The frame-sampling output surface both engines compare: index,

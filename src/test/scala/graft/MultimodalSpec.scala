@@ -140,6 +140,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(demuxed.frames(2)._2.toSeq == clean.frames(2)._2.toSeq)
   }
 
+  test("IMA ADPCM: raw block headers, reference-decoder exactness, bounded lossy fidelity") {
+    import graft.multimodal.MultimodalOps.AudioCodec
+    val rate = 16000
+    val src = AudioCodec.syntheticPcm(3L, rate, 1200) // 19200 samples → 39 blocks
+    val bytes = AudioCodec.encodeAdpcmWav(src, rate)
+    assert(AudioCodec.isAdpcmWav(bytes), "fmt tag 0x11 must be detected")
+    assert(!AudioCodec.isAdpcmWav(AudioCodec.encodeWav(src, rate)),
+      "PCM WAV must not route to the ADPCM path")
+    val (back, r) = AudioCodec.decodeAudio(bytes) // dispatch
+    assert(r == rate && back.length == src.length,
+      "the fact chunk must truncate the padded final block")
+    // every block's first sample is stored RAW (the oracle skeleton)
+    val headers = AudioCodec.adpcmHeaderSamples(bytes)
+    assert(headers.length == (src.length + 504) / 505)
+    headers.zipWithIndex.foreach { case (h, b) =>
+      assert(h == src(b * 505), s"block $b header must be the raw sample")
+    }
+    // SAMPLE-EXACT vs an INDEPENDENT reference decoder: re-implement
+    // the published IMA state machine from the normative tables and
+    // walk the fixed container layout (RIFF 12 + fmt 28 + fact 12 +
+    // data hdr 8 = data at 60; 256-byte blocks). Must match the engine
+    // decode bit for bit.
+    val stepT = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+      5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+      13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val idxT = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    val ref = new Array[Short](src.length)
+    var n = 0
+    var blk = 0
+    while (n < src.length) {
+      val base = 60 + blk * 256
+      var pred = (((bytes(base + 1) << 8) | (bytes(base) & 0xff)).toShort).toInt
+      var idx = bytes(base + 2) & 0xff
+      ref(n) = pred.toShort; n += 1
+      var j = 0
+      while (j < 252 && n < src.length) {
+        val by = bytes(base + 4 + j) & 0xff
+        var k = 0
+        while (k < 2 && n < src.length) {
+          val code = if (k == 0) by & 0xf else (by >> 4) & 0xf
+          val step = stepT(idx)
+          var dq = step >> 3
+          if ((code & 4) != 0) dq += step
+          if ((code & 2) != 0) dq += step >> 1
+          if ((code & 1) != 0) dq += step >> 2
+          pred = math.max(-32768, math.min(32767, if ((code & 8) != 0) pred - dq else pred + dq))
+          idx = math.max(0, math.min(88, idx + idxT(code)))
+          ref(n) = pred.toShort; n += 1
+          k += 1
+        }
+        j += 1
+      }
+      blk += 1
+    }
+    assert(back.toSeq == ref.toSeq, "engine decode must equal the reference state machine")
+    // lossy fidelity bound vs the original: the planted square+saw is
+    // a worst case for a slew-limited quantizer (±12000 jumps every
+    // ~56 samples keep the step table re-adapting), measured mean |err|
+    // ≈ 990 on an RMS-7000 signal — bound it with margin; the EXACT
+    // contract is the reference-decoder equality above, not fidelity
+    val errs = src.indices.map(i => math.abs(src(i) - back(i)))
+    val mean = errs.sum.toDouble / errs.length
+    assert(mean < 1500.0, s"mean |err| $mean exceeds the ADPCM bound")
+    // a truncated container fails loudly, not with garbage samples
+    intercept[IllegalArgumentException] {
+      AudioCodec.decodeAdpcmWav("RIFFxxxxWAVE".getBytes("US-ASCII"))
+    }
+  }
+
   test("Y4M encode/decode round-trips planes losslessly") {
     import graft.multimodal.MultimodalOps.VideoCodec
     val src = VideoCodec.syntheticStream(7L, 11, 5, 3, 1, 4)
