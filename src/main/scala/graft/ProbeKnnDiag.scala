@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
 object ProbeKnnDiag {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/repo/target/scaledata/sf10"
+    // args(1): query-sample modulus (hash(q_id) % M == 0 → ~n/M
+    // queries; 401 default; ~20000 at sf100 for a ~100-query exact
+    // check). args(2) = "recall" skips the occupancy/stage diagnostics
+    // and runs only the answer-level verification (sf100 protocol).
+    val sampleMod = if (args.length > 1) args(1).toInt else 401
+    val recallOnly = args.length > 2 && args(2) == "recall"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -19,8 +25,10 @@ object ProbeKnnDiag {
     spark.sparkContext.setLogLevel("WARN")
     val (emb, p0, maxD) = graft.vector.VectorOps.knnIndexed(spark, dir)
     val n = Tables.embeddings(spark, dir).count()
-    println(s"n=$n dial p0=$p0 maxD=$maxD")
-    emb.groupBy("ld").agg(count(lit(1)).as("vectors")).orderBy("ld").show()
+    println(s"n=$n dial p0=$p0 maxD=$maxD sampleMod=$sampleMod recallOnly=$recallOnly")
+    if (!recallOnly)
+      emb.groupBy("ld").agg(count(lit(1)).as("vectors")).orderBy("ld").show()
+    if (recallOnly) { runRecall(spark, dir, emb, sampleMod); spark.stop(); return }
     val occ = emb.groupBy("bucket").count()
     occ.agg(count(lit(1)).as("n_buckets"), min("count"), max("count"),
       avg("count"), sum(col("count") * col("count")).as("sum_occ_sq")).show()
@@ -57,22 +65,7 @@ object ProbeKnnDiag {
     // Queries are broadcast (bounded sample), so exact top-3 is one
     // map-side cosine pass + a q_id-partitioned window.
     import org.apache.spark.sql.expressions.Window
-    val t3 = System.nanoTime()
-    val qs = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .filter(pmod(hash(col("q_id")), lit(401)) === 0)
-    val nq = qs.count()
-    val exact = emb.select(col("vec_id"), col("v"))
-      .crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", graft.vector.VectorOps.cosine(col("qv"), col("v")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
-    val approx = graft.vector.VectorOps.qKnnJoin(spark, dir)
-      .join(qs.select("q_id"), Seq("q_id")).select(col("q_id"), col("vec_id"))
-    val hits = exact.join(approx, Seq("q_id", "vec_id")).count()
-    println(f"recall@3 over $nq queries = ${hits.toDouble / (3.0 * nq)}%.4f " +
-      f"t=${(System.nanoTime() - t3) / 1e9}%.2f")
+    val (qs, exact) = runRecall(spark, dir, emb, sampleMod)
     // flat-p0 comparison: same corpus bucketed at depth p0 with NO
     // trie splitting (occupancy unbounded — the shape the adaptive
     // dial replaced). Shows what the hot-cell splits cost in recall
@@ -95,8 +88,54 @@ object ProbeKnnDiag {
           Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
         .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
       val fHits = exact.join(fTop, Seq("q_id", "vec_id")).count()
+      val nq = qs.count()
       println(f"flat-p0 recall@3 over $nq queries = ${fHits.toDouble / (3.0 * nq)}%.4f")
     }
     spark.stop()
+  }
+
+  /** ANSWER-LEVEL verification of the trie kNN join against exact
+    * brute force on a deterministic hash-sampled query set (the sf100
+    * protocol — the trie oracle SQL is DuckDB-hostile at n=2M, so the
+    * ≥sf100 evidence is engine-side):
+    *  1. recall@3: |trie-edges ∩ exact-top-3| / (3·|sample|);
+    *  2. EDGE EXACTNESS: every trie edge's reported sim must equal the
+    *     independently recomputed cosine of its two vectors, and every
+    *     trie edge's endpoints must exist — a wrong-vector, stale-
+    *     index, or join-key bug fails here even when recall looks
+    *     plausible. Returns (sample, exact top-3) for reuse. */
+  private def runRecall(spark: SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame, sampleMod: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val t3 = System.nanoTime()
+    val qs = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .filter(pmod(hash(col("q_id")), lit(sampleMod)) === 0)
+    val nq = qs.count()
+    val exact = emb.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graft.vector.VectorOps.cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
+    val trie = graft.vector.VectorOps.qKnnJoin(spark, dir)
+      .join(broadcast(qs.select("q_id")), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val hits = exact.join(trie, Seq("q_id", "vec_id")).count()
+    println(f"recall@3 over $nq queries = ${hits.toDouble / (3.0 * nq)}%.4f " +
+      f"t=${(System.nanoTime() - t3) / 1e9}%.2f")
+    val t4 = System.nanoTime()
+    val recheck = trie
+      .join(qs.select(col("q_id"), col("qv")), Seq("q_id"))
+      .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("sim"),
+        graft.vector.VectorOps.cosine(col("qv"), col("v")).as("sim2"))
+    val nEdges = recheck.count()
+    val badSim = recheck.filter(abs(col("sim") - col("sim2")) > 1e-12).count()
+    val dangling = trie.count() - nEdges
+    println(f"edge exactness: $nEdges edges rechecked, $badSim sim mismatches, " +
+      f"$dangling dangling endpoints t=${(System.nanoTime() - t4) / 1e9}%.2f")
+    (qs, exact)
   }
 }

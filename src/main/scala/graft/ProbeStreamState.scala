@@ -45,7 +45,7 @@ object ProbeStreamState {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
-    val outPath = java.nio.file.Paths.get("/tmp/probe_stream_state_r6.txt")
+    val outPath = java.nio.file.Paths.get("/tmp/probe_stream_state_r7.txt")
     def record(line: String): Unit = {
       println(line)
       java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"),
@@ -109,6 +109,52 @@ object ProbeStreamState {
         .format("noop").outputMode("update")
         .start()
     }((b, i) => 1000L * (i % 600))
+
+    // ---- CRASH RECOVERY at the 10M-key horizon (r7): build the full
+    // dedup state under a CHECKPOINT, leave a cohort IN FLIGHT, kill
+    // the query (stop() cancels the uncommitted batch — exactly the
+    // replay position a crash leaves), then restart from the
+    // checkpoint and measure (a) recovery wall time — dominated by the
+    // RocksDB state reload across 32 partitions — and (b) state-size
+    // CONTINUITY: the restored run must replay the pending cohort and
+    // land on the same working-set size the uninterrupted curve shows
+    // (two event-time horizons), with no lost and no duplicated state.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    locally {
+      val ckpt = java.nio.file.Files.createTempDirectory("probe_recovery").toString
+      val mem = MemoryStream[StreamOps.Event]
+      def startQ() = StreamOps.dedupFirst(mem.toDF(), delay = "10 minutes")
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      def eventTs(b: Int, i: Int): Long = 10L * 60 * 1000 * b + (i % 600) * 1000
+      var q = startQ()
+      record(s"== recovery: $cohorts cohorts x $perCohort keys, kill mid-stream + restore")
+      try {
+        (0 until cohorts).foreach { b =>
+          mem.addData((0 until perCohort).map { i =>
+            val key = b.toLong * perCohort + i
+            StreamOps.Event(key, new java.sql.Timestamp(eventTs(b, i)), key, "a", 1.0)
+          }: _*)
+          q.processAllAvailable()
+        }
+        val rowsBefore = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        val mibBefore = q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum / 1024.0 / 1024.0
+        // one cohort IN FLIGHT, then kill
+        mem.addData((0 until perCohort).map { i =>
+          val key = cohorts.toLong * perCohort + i
+          StreamOps.Event(key, new java.sql.Timestamp(eventTs(cohorts, i)), key, "a", 1.0)
+        }: _*)
+        q.stop() // uncommitted batch: the crash point
+        val t0 = System.nanoTime()
+        q = startQ()
+        q.processAllAvailable() // state reload + pending-cohort replay
+        val recoverS = (System.nanoTime() - t0) / 1e9
+        val rowsAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        val mibAfter = q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum / 1024.0 / 1024.0
+        record(f"recovery: rows_before=$rowsBefore%9d (${mibBefore}%8.1f MiB) " +
+          f"rows_after=$rowsAfter%9d (${mibAfter}%8.1f MiB) recover_s=$recoverS%6.2f")
+      } finally q.stop()
+    }
 
     spark.stop()
   }
