@@ -377,14 +377,23 @@ object Ledger {
   /** COMPACT: rewrite version N's file layout into `nFiles` range-
     * partitioned files under version N+1 — logical content IDENTICAL
     * (time travel to N still reads the old files; LedgerSpec pins
-    * readVersion(N+1) ≡ readVersion(N) row-for-row). */
+    * readVersion(N+1) ≡ readVersion(N) row-for-row).
+    *
+    * `clusterBy` compacts into an ALTERNATIVE layout — passing the
+    * same z-order expression the table was created with RESTORES
+    * z-locality that key-ranged merge rewrites progressively loosen
+    * (Delta's `OPTIMIZE ZORDER BY`): per-file secondary-dim ranges
+    * narrow again, so [[pruneFilesBy]] is back to a tight subset. */
   def compact(spark: SparkSession, table: String, fromVersion: Int,
-      keyCol: String, nFiles: Int = 2): Unit = {
+      keyCol: String, nFiles: Int = 2,
+      clusterBy: Option[Column] = None): Unit = {
     val version = fromVersion + 1
-    val files = writeDataFiles(spark,
-      readVersion(spark, table, fromVersion)
-        .repartitionByRange(nFiles, col(keyCol)),
-      table, version, keyCol,
+    val content = readVersion(spark, table, fromVersion)
+    val laid = clusterBy match {
+      case Some(z) => content.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+      case None    => content.repartitionByRange(nFiles, col(keyCol))
+    }
+    val files = writeDataFiles(spark, laid, table, version, keyCol,
       statColsOf(manifest(spark, table, fromVersion)))
     // no DV carry: the rewrite read through the vector, so the deletes
     // are physically applied and the compacted version starts clean
@@ -1211,7 +1220,7 @@ object Ledger {
     * still clears these between bench passes, bounding resident
     * memory at one pass's accumulation. */
   def warm(spark: SparkSession, dir: String): Unit = {
-    builtLineage(spark, dir)
+    stageChanges(spark, builtLineage(spark, dir), "doc_id")
     builtEvoLineage(spark, dir)
     builtDvLineage(spark, dir)
     builtSkipSidecar(spark, dir)

@@ -561,6 +561,17 @@ class LedgerSpec extends AnyFunSuite {
     val got = Ledger.readWhereRange(spark, t, 1, "d2", 999, 999).collect()
     assert(got.exists(r => r.getAs[Long]("k") == 100L),
       "the updated row must surface through the pruned read")
+    // z-aware compaction (OPTIMIZE ZORDER BY): key-ranged merge
+    // rewrites loosen z-locality; compacting WITH the cluster
+    // expression restores it — content identical, secondary-dim
+    // pruning back to a strict subset
+    Ledger.compact(spark, t, 1, "k", nFiles = 16, clusterBy = Some(z))
+    assert(Ledger.readVersion(spark, t, 2).orderBy("k").collect().toSeq ==
+      Ledger.readVersion(spark, t, 1).orderBy("k").collect().toSeq,
+      "z compaction must not change a single row")
+    val m2 = Ledger.manifest(spark, t, 2)
+    assert(Ledger.pruneFilesBy(spark, t, 2, "d2", 100, 160).length < m2.count(),
+      "restored z layout must prune the secondary dim again")
   }
 
   test("manifest pruning: a narrow key range touches a strict subset of files, losslessly") {

@@ -88,6 +88,60 @@ class LedgerStreamSpec extends AnyFunSuite {
     assert(Ledger.stageChanges(spark, t, "doc_id") == 0, "re-staging is a no-op")
   }
 
+  test("ledger-to-ledger replication: the CDF stream + exactly-once sink reproduce the table downstream") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val up = Ledger.tableRoot("ledger_repl_up")
+    val down = Ledger.tableRoot("ledger_repl_down")
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, up, docs, "doc_id", nFiles = 4)
+    // seed the replica from the upstream snapshot (the standard CDC
+    // bootstrap), then apply the change feed continuously
+    Ledger.create(spark, down, Ledger.readVersion(spark, up, 0), "doc_id", nFiles = 4)
+    Ledger.merge(spark, up, 0,
+      Seq((5L, "upsert", "srcX", "edited 5"), (400L, "upsert", "srcN", "new 400"))
+        .toDF("doc_id", "op", "source", "text"), "doc_id")
+    Ledger.merge(spark, up, 1,
+      Seq((5L, "delete", "", ""), (6L, "upsert", "srcY", "edited 6"))
+        .toDF("doc_id", "op", "source", "text"), "doc_id")
+    Ledger.stageChanges(spark, up, "doc_id")
+    val q = Ledger.readChangesStream(spark, up)
+      .writeStream.option("checkpointLocation", ckpt("repl"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // one micro-batch can span several upstream versions; the NET
+        // effect per key is the latest version's op (a key upserted in
+        // v1 and deleted in v2 must replicate as a delete) — the merge
+        // contract requires unique keys, so reduce first
+        val net = b.withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("commit_version").desc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"),
+            when(col("op") === "delete", "delete").otherwise("upsert").as("op"),
+            col("source"), col("text"))
+        Ledger.commitBatch(spark, down, id, net, "doc_id"); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // the replica converges to the upstream head
+      val want = Ledger.readVersion(spark, up, 2).orderBy("doc_id").collect().toSeq
+      val have = Ledger.readVersion(spark, down,
+        Ledger.latestVersion(spark, down)).orderBy("doc_id").collect().toSeq
+      assert(have == want, "replica must equal the upstream head after one drain")
+      assert(have.exists(_.getLong(0) == 400L) && !have.exists(_.getLong(0) == 5L))
+      // more upstream history while the replica stream keeps running
+      Ledger.merge(spark, up, 2,
+        Seq((400L, "delete", "", ""), (7L, "upsert", "srcZ", "edited 7"))
+          .toDF("doc_id", "op", "source", "text"), "doc_id")
+      Ledger.stageChanges(spark, up, "doc_id")
+      q.processAllAvailable()
+      val want2 = Ledger.readVersion(spark, up, 3).orderBy("doc_id").collect().toSeq
+      val have2 = Ledger.readVersion(spark, down,
+        Ledger.latestVersion(spark, down)).orderBy("doc_id").collect().toSeq
+      assert(have2 == want2, "the replica must track new upstream commits incrementally")
+    } finally q.stop()
+  }
+
   test("continuous pipeline: CDF inserts drive incremental near-dup dedup against a standing index") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
