@@ -183,6 +183,7 @@ object SparkEntry {
     "q_time_travel" -> (graft.etl.Ledger.qTimeTravel _),
     "q_ledger_changes" -> (graft.etl.Ledger.qLedgerChanges _),
     "q_ledger_stream" -> (graft.etl.Ledger.qLedgerStream _),
+    "q_ledger_replicate" -> (graft.etl.Ledger.qLedgerReplicate _),
     "q_ledger_zorder" -> (graft.etl.Ledger.qLedgerZorder _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
@@ -2084,6 +2085,30 @@ object SparkEntry {
         |     OR a.text IS DISTINCT FROM b.text
         |     OR a.source IS DISTINCT FROM b.source)
         |SELECT * FROM d01 UNION ALL SELECT * FROM d12""".stripMargin,
+    // q_ledger_replicate: a replica bootstrapped from v0 and fed by
+    // the CDF stream (net per-key reduction + exactly-once merges)
+    // must converge to the upstream logical head — the same v0/v1/v2
+    // recomputation, audited as one (n_rows, key_sum, text_fp_sum)
+    // row. A stale op winning the net-reduction, a skipped version,
+    // or a double-applied batch each shift the checksum.
+    "q_ledger_replicate" ->
+      """WITH v0 AS (SELECT doc_id, source, text FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'new ' || text FROM v0 WHERE doc_id % 29 = 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev3]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 19 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, source, 'new2 ' || text FROM v0 WHERE doc_id % 31 = 0)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
+        |FROM v2""".stripMargin,
     // q_ledger_stream: the STREAMING CDF consumer must deliver exactly
     // the batch change feed — same logical v0/v1/v2 recomputation as
     // q_ledger_changes, keyed by commit_version instead of the version

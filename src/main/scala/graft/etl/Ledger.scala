@@ -882,6 +882,44 @@ object Ledger {
     if (fromVersion > 1) s.filter(col("commit_version") >= fromVersion) else s
   }
 
+  /** Net per-key effect of a multi-version CDF slice. One micro-batch
+    * (or one catch-up read) can span several upstream versions, so the
+    * same key may appear more than once — upserted in v1, deleted in
+    * v2 — while [[merge]] requires unique keys. A replica must apply
+    * the LATEST version's op per key; everything earlier is history it
+    * can skip (the post-images compose, they don't accumulate). Cost
+    * is one shuffle over changed keys only, never table-sized. */
+  def netChanges(changes: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("commit_version").desc)
+    val payload = changes.columns
+      .filterNot(Set(keyCol, "op", "commit_version")).toSeq
+    changes.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(keyCol) +:
+        when(col("op") === "delete", "delete").otherwise("upsert").as("op") +:
+        payload.map(col): _*)
+  }
+
+  /** REPLICATE: subscribe to `from`'s staged change feed and apply it
+    * to the `to` ledger continuously — CDC fan-out as one declaration.
+    * Bootstrap the replica first (`create` from a [[readVersion]]
+    * snapshot), then this stream keeps it converged to the upstream
+    * head: each micro-batch is net-reduced ([[netChanges]]) and merged
+    * via [[commitBatch]], whose batch-id manifest commit point plus the
+    * file-source's checkpointed offsets make the pipeline end-to-end
+    * exactly-once across consumer crashes (a replayed batch is a
+    * manifest-level no-op). Returns the running query; the caller owns
+    * its lifecycle. LedgerStreamSpec proves replica ≡ upstream head
+    * across multiple commits and a mid-stream topology of new merges. */
+  def replicate(spark: SparkSession, from: String, to: String,
+      keyCol: String, checkpoint: String, fromVersion: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readChangesStream(spark, from, fromVersion)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        commitBatch(spark, to, id, netChanges(b, keyCol), keyCol); ()
+      }.start()
+
   // ---- the declared queries ----
 
   private val lineageMemo = graft.StandingState.memo[(String, String), String]()
@@ -1011,6 +1049,32 @@ object Ledger {
         .select(lit(v.toLong).as("version"), col("n_rows"), col("key_sum"),
           col("text_fp_sum"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** Q-ledger-replicate: CDC fan-out end to end. Bootstrap a fresh
+    * replica ledger from the shared lineage's v0 snapshot, then drive
+    * [[replicate]] — CDF stream → net per-key reduction → exactly-once
+    * merge — until the feed drains, and audit the replica HEAD. The
+    * oracle recomputes the upstream logical head (v2, which v3's
+    * compaction must preserve) straight from the corpus + changesets;
+    * a wrong net-reduction (a stale op winning inside a multi-version
+    * micro-batch), a skipped version, or a double-applied batch all
+    * break the audit. The replica is rebuilt per run so the query is
+    * self-contained and deterministic; its cost is v0-sized, and the
+    * stream consumes the SAME staged CDF q_ledger_stream reads. */
+  def qLedgerReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val up = builtLineage(spark, dir)
+    stageChanges(spark, up, "doc_id")
+    val down = graft.GraftPaths.sink("graft_ledger_repl", dir.replaceAll(".*/", ""))
+    fs(spark, down).delete(new Path(down), true)
+    create(spark, down, readVersion(spark, up, 0), "doc_id")
+    val q = replicate(spark, up, down, "doc_id",
+      java.nio.file.Files.createTempDirectory("graft_repl_ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    readVersion(spark, down, latestVersion(spark, down))
+      .agg(count(lit(1)).as("n_rows"),
+        checksum(col("doc_id")).as("key_sum"),
+        checksum(textFp(col("text"))).as("text_fp_sum"))
   }
 
   // ---- schema-evolution lineage (its own root — the shared lineage

@@ -89,16 +89,23 @@ object ZOrder {
     * pinning the Morton computation. Oracle recomputes from source. */
   def qZorderWrite(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.GraftPaths.sink("graft_zorder", dir.replaceAll(".*/", ""))
-    // Write parallelism scaled to the data: ~10 M rows per range task,
-    // floored at one task per bucket and capped at 4 per bucket. At
-    // sf100 that is the measured spill-free width (64 tasks: 456→97 s,
-    // PERF.md); at sf0.1 the same 64 tasks are pure scheduling
-    // overhead on 600 k rows (the r6 3.7 s regression), so small
-    // corpora write at the bucket count. The count is a parquet
-    // metadata-weight job; layout CONTENT is task-count-invariant.
+    // Write parallelism scaled to the data: ~2 M rows per range task,
+    // floored at one task per bucket and capped at 4 per bucket. The
+    // cap is the measured sf100 spill-free width (64 tasks on 600 M
+    // rows: 456→97 s, PERF.md); the floor keeps small corpora at the
+    // bucket count (the fixed 64-task width was pure scheduling
+    // overhead on sf0.1's 600 k rows — the r6 3.7 s regression). The
+    // divisor is tuned on the only decade that lands BETWEEN floor and
+    // cap: sf10's 60 M rows measured 19.5 s steady at 16 tasks
+    // (10 M/task — half the cores idle through the sort) and 11.6 s at
+    // 30 (2 M/task); widening further to 60 tasks (1 M/task) bought
+    // nothing (11.8 s — this box is one disk, so past ~a task per core
+    // the writers queue on IO, PERF.md r7). The count that sizes it is
+    // a parquet metadata-weight job; layout CONTENT is
+    // task-count-invariant.
     val rows = Tables.lineitem(spark, dir).count()
     val tasks = math.min(4 << BucketBits,
-      math.max(1 << BucketBits, (rows / 10000000L).toInt))
+      math.max(1 << BucketBits, (rows / 2000000L).toInt))
     writeZOrdered(lineitemZ(spark, dir), out, tasks)
     spark.read.parquet(out)
       .groupBy(col("zfile").cast("long").as("zfile"))

@@ -90,7 +90,6 @@ class LedgerStreamSpec extends AnyFunSuite {
 
   test("ledger-to-ledger replication: the CDF stream + exactly-once sink reproduce the table downstream") {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val up = Ledger.tableRoot("ledger_repl_up")
     val down = Ledger.tableRoot("ledger_repl_down")
     val docs = (0L until 300L).map(i => (i, s"src${i % 3}", s"body $i"))
@@ -106,21 +105,11 @@ class LedgerStreamSpec extends AnyFunSuite {
       Seq((5L, "delete", "", ""), (6L, "upsert", "srcY", "edited 6"))
         .toDF("doc_id", "op", "source", "text"), "doc_id")
     Ledger.stageChanges(spark, up, "doc_id")
-    val q = Ledger.readChangesStream(spark, up)
-      .writeStream.option("checkpointLocation", ckpt("repl"))
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        // one micro-batch can span several upstream versions; the NET
-        // effect per key is the latest version's op (a key upserted in
-        // v1 and deleted in v2 must replicate as a delete) — the merge
-        // contract requires unique keys, so reduce first
-        val net = b.withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("commit_version").desc)))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"),
-            when(col("op") === "delete", "delete").otherwise("upsert").as("op"),
-            col("source"), col("text"))
-        Ledger.commitBatch(spark, down, id, net, "doc_id"); ()
-      }.start()
+    // one micro-batch can span several upstream versions; the NET
+    // effect per key is the latest version's op (a key upserted in
+    // v1 and deleted in v2 must replicate as a delete) — replicate()
+    // net-reduces each batch before the exactly-once merge
+    val q = Ledger.replicate(spark, up, down, "doc_id", ckpt("repl"))
     try {
       q.processAllAvailable()
       // the replica converges to the upstream head
