@@ -131,6 +131,36 @@ class LedgerStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vacuumed history: staging skips unstageable version pairs, already-staged CDF survives") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_cdf_vacuum")
+    val docs = (0L until 200L).map(i => (i, "src", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 4)
+    Ledger.merge(spark, t, 0,
+      Seq((5L, "upsert", "src", "edited 5")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    // stage v1 BEFORE vacuum — the Delta-style contract: CDF couples
+    // to snapshot retention, consumers stage ahead of it
+    assert(Ledger.stageChanges(spark, t, "doc_id") == 1)
+    Ledger.merge(spark, t, 1,
+      Seq((6L, "delete", "", "")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    Ledger.merge(spark, t, 2,
+      Seq((7L, "upsert", "src", "edited 7")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    Ledger.vacuum(spark, t, keepFrom = 2)
+    // v2's pair (1,2) straddles the dropped v1 manifest -> SKIPPED,
+    // not thrown; v3's pair (2,3) is intact -> staged
+    assert(Ledger.stageChanges(spark, t, "doc_id") == 1,
+      "only the fully-retained version pair must stage after vacuum")
+    val feed = spark.read.parquet(s"$t/cdf")
+      .select("commit_version", "op", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((1, "update", 5L), (3, "update", 7L)),
+      "pre-vacuum staged v1 survives; v3 staged; vacuum-straddling v2 absent")
+  }
+
   test("continuous pipeline: CDF inserts drive incremental near-dup dedup against a standing index") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
