@@ -104,7 +104,12 @@ for tag, path in [("spot_sf10_r7", "/tmp/spot_sf10_r7.json"),
 sf10 = ("/tmp/bench_sf10_r7b.json"
         if os.path.exists("/tmp/bench_sf10_r7b.json")
         else "/tmp/bench_sf10_r7.json")
-for sf, path in [("sf0.1", "/tmp/bench_sf01_r7.json"),
+# sf0.1 prefers the session-2 final run: 187 queries (adds
+# q_ledger_replicate), 70.7 s with the ledger family at 7.8 s
+sf01 = ("/tmp/bench_sf01_r7c.json"
+        if os.path.exists("/tmp/bench_sf01_r7c.json")
+        else "/tmp/bench_sf01_r7.json")
+for sf, path in [("sf0.1", sf01),
                  ("sf1", "/tmp/bench_sf1_r7.json"),
                  ("sf10", sf10),
                  ("sf100", "/tmp/bench_sf100_r7.json")]:
