@@ -861,20 +861,32 @@ object Ledger {
     * is changed-files-sized ([[readChanges]]); a compaction version
     * stages ZERO rows, so layout maintenance stays invisible to
     * subscribers. Returns how many versions this call staged. */
-  def stageChanges(spark: SparkSession, table: String, keyCol: String): Int = {
+  def stageChanges(spark: SparkSession, table: String, keyCol: String,
+      allowGaps: Boolean = false): Int = {
     val f = fs(spark, table)
     var staged = 0
     (1 to latestVersion(spark, table)).foreach { v =>
       val dst = new Path(s"${cdfPath(table)}/commit_version=$v")
       // a version pair straddling VACUUMed history is unstageable (the
-      // dropped manifests are gone) — skip it instead of failing the
-      // whole feed; like Delta, the change feed couples to snapshot
-      // retention, so CDF consumers stage BEFORE vacuuming (already-
-      // staged partitions survive vacuum untouched — it never lists
-      // cdf/). LedgerStreamSpec pins the post-vacuum behavior.
+      // dropped manifests are gone). Like Delta, the change feed
+      // couples to snapshot retention, so consumers stage BEFORE
+      // vacuuming (already-staged partitions survive vacuum untouched
+      // — it never lists cdf/). Encountering an unstageable version
+      // that was never staged FAILS by default — a silent skip would
+      // hand every subscriber a permanent, undetectable hole in the
+      // feed (a delete they never see); `allowGaps` opts into skipping
+      // when the operator has decided the lost history is acceptable.
+      // LedgerStreamSpec pins both behaviors.
+      val alreadyStaged = f.exists(new Path(dst, "_SUCCESS"))
       val stageable = (v - 1 to v).forall(u =>
         f.exists(new Path(manifestPath(table, u) + "/_SUCCESS")))
-      if (stageable && !f.exists(new Path(dst, "_SUCCESS"))) {
+      if (!stageable && !alreadyStaged && !allowGaps)
+        throw new IllegalStateException(
+          s"change feed for version $v of $table straddles vacuumed history " +
+          "and was never staged — subscribers would silently lose these " +
+          "changes. Stage before vacuuming, or pass allowGaps=true to accept " +
+          "the hole.")
+      if (stageable && !alreadyStaged) {
         val tmp = new Path(s"${cdfPath(table)}/.stage_v$v")
         f.delete(tmp, true); f.delete(dst, true)
         readChanges(spark, table, v - 1, v, keyCol)
@@ -903,6 +915,14 @@ object Ledger {
     * dirs are listed, never read). */
   def readChangesStream(spark: SparkSession, table: String,
       fromVersion: Int = 1): DataFrame = {
+    // the subscription reads the staged CDF log, whose parquet footer
+    // fixes the source schema — subscribing before anything is staged
+    // has no schema to freeze, so fail with the action, not with the
+    // file source's PATH_NOT_FOUND
+    require(fs(spark, table).exists(new Path(cdfPath(table))),
+      s"no change feed staged for $table yet — run stageChanges(...) " +
+      "once before subscribing (it is idempotent; new versions staged " +
+      "later become visible to a running stream)")
     val schema = spark.read.parquet(cdfPath(table)).schema
     val s = spark.readStream.schema(schema).parquet(cdfPath(table))
     if (fromVersion > 1) s.filter(col("commit_version") >= fromVersion) else s
@@ -943,6 +963,21 @@ object Ledger {
     readChangesStream(spark, from, fromVersion)
       .writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        // the file source froze its schema at subscription time; if the
+        // upstream evolved a wider schema since, new columns would be
+        // silently projected away and the replica would diverge without
+        // error — fail loudly instead (Delta's CDF stream has the same
+        // restart-on-schema-change contract). Cost: one sidecar read
+        // per micro-batch.
+        schemaOf(spark, from, latestVersion(spark, from)).foreach { want =>
+          val missing = want.fieldNames.toSet --
+            (b.columns.toSet - "op" - "commit_version")
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"upstream $from evolved columns ${missing.mkString(",")} after " +
+              "this subscription started — restart replicate() so the stream " +
+              "picks up the widened CDF schema")
+        }
         commitBatch(spark, to, id, netChanges(b, keyCol), keyCol); ()
       }.start()
 
@@ -1101,8 +1136,8 @@ object Ledger {
       val up = builtLineage(spark, dir)
       stageChanges(spark, up, "doc_id")
       val down = graft.GraftPaths.sink("graft_ledger_repl", dir.replaceAll(".*/", ""))
-      fs(spark, down).delete(new Path(down), true)
-      create(spark, down, readVersion(spark, up, 0), "doc_id")
+      create(spark, down, readVersion(spark, up, 0), "doc_id") // create() clears the root
+
       val q = replicate(spark, up, down, "doc_id",
         java.nio.file.Files.createTempDirectory("graft_repl_ckpt").toString)
       try q.processAllAvailable() finally q.stop()
@@ -1324,8 +1359,7 @@ object Ledger {
     * still clears these between bench passes, bounding resident
     * memory at one pass's accumulation. */
   def warm(spark: SparkSession, dir: String): Unit = {
-    stageChanges(spark, builtLineage(spark, dir), "doc_id")
-    builtReplica(spark, dir)
+    builtReplica(spark, dir) // builds the lineage + stages its CDF first
     builtEvoLineage(spark, dir)
     builtDvLineage(spark, dir)
     builtSkipSidecar(spark, dir)

@@ -131,6 +131,18 @@ class LedgerStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("subscribing before anything is staged fails with an actionable error, not PATH_NOT_FOUND") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_cdf_unstaged")
+    Ledger.create(spark, t,
+      (0L until 10L).map(i => (i, "src", s"b$i")).toDF("doc_id", "source", "text"),
+      "doc_id", nFiles = 1)
+    val e = intercept[IllegalArgumentException] {
+      Ledger.readChangesStream(spark, t)
+    }
+    assert(e.getMessage.contains("stageChanges"))
+  }
+
   test("vacuumed history: staging skips unstageable version pairs, already-staged CDF survives") {
     import spark.implicits._
     val t = Ledger.tableRoot("ledger_cdf_vacuum")
@@ -150,9 +162,16 @@ class LedgerStreamSpec extends AnyFunSuite {
       Seq((7L, "upsert", "src", "edited 7")).toDF("doc_id", "op", "source", "text"),
       "doc_id")
     Ledger.vacuum(spark, t, keepFrom = 2)
-    // v2's pair (1,2) straddles the dropped v1 manifest -> SKIPPED,
-    // not thrown; v3's pair (2,3) is intact -> staged
-    assert(Ledger.stageChanges(spark, t, "doc_id") == 1,
+    // v2's pair (1,2) straddles the dropped v1 manifest: the default
+    // FAILS LOUDLY (a silent skip would hand subscribers an
+    // undetectable hole — a delete they never see) ...
+    val e = intercept[IllegalStateException] {
+      Ledger.stageChanges(spark, t, "doc_id")
+    }
+    assert(e.getMessage.contains("straddles vacuumed history"))
+    // ... and allowGaps opts into skipping it; v3's intact pair (2,3)
+    // still stages
+    assert(Ledger.stageChanges(spark, t, "doc_id", allowGaps = true) == 1,
       "only the fully-retained version pair must stage after vacuum")
     val feed = spark.read.parquet(s"$t/cdf")
       .select("commit_version", "op", "doc_id").collect()

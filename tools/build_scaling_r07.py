@@ -79,8 +79,12 @@ if os.path.exists(knn):
                            "recomputation of every reported edge's cosine")
         if "recall_at_3" in rec and "n_vectors" in rec:
             # random-chance baseline: P(an exact top-3 member is among
-            # the ~2*cap candidates an occupancy-capped leaf examines)
-            chance = 2.0 * 250 / rec["n_vectors"]
+            # the ~2*cap candidates an occupancy-capped leaf examines).
+            # cap=250 is the default dial (VectorOps.KnnCapOcc); a probe
+            # run with -Dgraft.knn.cap overridden invalidates this
+            # baseline — recompute with the overridden cap.
+            rec["assumed_cap"] = 250
+            chance = 2.0 * rec["assumed_cap"] / rec["n_vectors"]
             rec["recall_chance_baseline"] = round(chance, 6)
             rec["recall_lift_vs_chance"] = round(rec["recall_at_3"] / chance, 1)
             rec["note"] = ("absolute recall is structural to this corpus's "
