@@ -119,9 +119,16 @@ object ProbeKnnDiag {
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
+    // localCheckpoint: four counts consume this relation (hits, edge
+    // recheck x2, dangling) and each would otherwise recompute the
+    // corpus-wide kNN join — the suite's heaviest job at sf100. The
+    // checkpointed result is sample-sized (~3 edges x ~n/sampleMod
+    // queries) and StandingState-tracked for release.
+    import graft.StandingState.CkptOps
     val trie = graft.vector.VectorOps.qKnnJoin(spark, dir)
       .join(broadcast(qs.select("q_id")), Seq("q_id"))
       .select(col("q_id"), col("vec_id"), col("sim"))
+      .localCheckpointTracked()
     val hits = exact.join(trie, Seq("q_id", "vec_id")).count()
     println(f"recall@3 over $nq queries = ${hits.toDouble / (3.0 * nq)}%.4f " +
       f"t=${(System.nanoTime() - t3) / 1e9}%.2f")

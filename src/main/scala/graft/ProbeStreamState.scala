@@ -22,7 +22,7 @@ import graft.streaming.StreamOps
   *    trigger — see the note at the call site for why it must stay
   *    default). A final drain pause past the TTL shows the reap.
   *
-  * Results append to /tmp/probe_stream_state_r6.txt (unbuffered, so a
+  * Results append to /tmp/probe_stream_state_r7.txt (unbuffered, so a
   * long run is observable) and print to stdout.
   *
   * Usage: runMain graft.ProbeStreamState [keysPerCohort] [cohorts]

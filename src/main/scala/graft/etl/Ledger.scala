@@ -887,13 +887,26 @@ object Ledger {
           "changes. Stage before vacuuming, or pass allowGaps=true to accept " +
           "the hole.")
       if (stageable && !alreadyStaged) {
-        val tmp = new Path(s"${cdfPath(table)}/.stage_v$v")
-        f.delete(tmp, true); f.delete(dst, true)
+        // publish is RENAME-ONLY: dst is only ever created by an atomic
+        // rename, so it can never exist half-written, and there is
+        // nothing to pre-delete — a pre-delete would race a concurrent
+        // stager (check-delete-rename could remove a version the other
+        // process just published while consumers hold its file paths in
+        // checkpoints). The tmp dir is attempt-unique, so concurrent
+        // stagers never collide; the rename LOSER sees dst already
+        // present, verifies the winner's _SUCCESS, and discards its tmp.
+        val tmp = new Path(
+          s"${cdfPath(table)}/.stage_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
         readChanges(spark, table, v - 1, v, keyCol)
           .write.mode("overwrite").parquet(tmp.toString)
         f.mkdirs(dst.getParent)
-        require(f.rename(tmp, dst), s"CDF stage rename failed for version $v")
-        staged += 1
+        if (f.rename(tmp, dst)) staged += 1
+        else {
+          f.delete(tmp, true)
+          require(f.exists(new Path(dst, "_SUCCESS")),
+            s"CDF stage rename failed for version $v and no committed " +
+            "version is present")
+        }
       }
     }
     staged
@@ -1078,15 +1091,27 @@ object Ledger {
   def qLedgerStream(spark: SparkSession, dir: String): DataFrame = {
     val table = builtLineage(spark, dir)
     stageChanges(spark, table, "doc_id")
-    val sink = s"graft_ledger_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    // deliver to PARQUET, not a memory sink: a memory sink pins every
+    // delivered row on the driver for the session lifetime (and
+    // StandingState.release cannot free an anonymous per-run table) —
+    // at sf100 that is a full CDF copy per bench pass, the exact
+    // pass-accumulated driver footprint the 64 GB release() work
+    // removed. The file delivery also mirrors the production shape:
+    // stream out of one table, land in storage.
+    val out = graft.GraftPaths.sink("graft_ledger_stream",
+      s"${dir.replaceAll(".*/", "")}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt")
     val q = readChangesStream(spark, table)
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
+    // the one-shot delivery is complete: the checkpoint has no replay
+    // value and would otherwise accumulate one dir per invocation
+    fs(spark, out).delete(new Path(ckpt.toString), true)
+    spark.read.parquet(out)
       .select(col("commit_version"), col("op"), col("doc_id"),
         textFp(col("text")).as("text_fp"))
       .orderBy(col("commit_version"), col("doc_id"), col("op"))

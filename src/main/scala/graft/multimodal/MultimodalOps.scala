@@ -368,6 +368,9 @@ object MultimodalOps {
         val len = (bytes(o + 4) & 0xff) | ((bytes(o + 5) & 0xff) << 8) |
           ((bytes(o + 6) & 0xff) << 16) | ((bytes(o + 7) & 0xff) << 24)
         if (tag == id) return (o + 8, len)
+        // a negative/corrupt length would leave o unchanged and spin the
+        // walk forever on an executor — decode-or-fail-LOUDLY applies
+        require(len >= 0, s"corrupt RIFF chunk '$tag' length $len at byte $o")
         o += 8 + len + (len & 1)
       }
       (-1, -1)

@@ -116,15 +116,15 @@ object Retrieval {
     floor(lit(1e6) * (tfD * log(nD / dfD)) + lit(0.5)).cast("long")
   }
 
-  /** Q-bm25: top-10 documents for the fixed query under BM25
-    * (k1=1.2, b=0.75). One corpus pass → posting-sized aggregation →
-    * global top-k (TakeOrderedAndProject — never a full sort). */
   /** Pre-build the standing doc index (bench warmup hook): the
     * localCheckpoint is eager, so one call materializes it. Queries
     * then time the ranking read path, not index construction —
     * `StandingState.release()` between bench passes still frees it. */
   def warm(spark: SparkSession, dir: String): Unit = { byDoc(spark, dir); () }
 
+  /** Q-bm25: top-10 documents for the fixed query under BM25
+    * (k1=1.2, b=0.75). One corpus pass → posting-sized aggregation →
+    * global top-k (TakeOrderedAndProject — never a full sort). */
   def qBm25(spark: SparkSession, dir: String): DataFrame =
     postings(spark, dir)
       .select(col("doc_id"), bm25U.as("u"))

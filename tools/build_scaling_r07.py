@@ -73,7 +73,7 @@ if os.path.exists(knn):
             rec["dangling_endpoints"] = int(m.group(3))
             rec["edge_check_s"] = float(m.group(4))
     if rec:
-        rec["protocol"] = ("deterministic hash(q_id)%%M sample, brute-force "
+        rec["protocol"] = ("deterministic hash(q_id) mod M sample, brute-force "
                            "exact top-3 over the full corpus (broadcast "
                            "queries, one cosine pass), plus independent "
                            "recomputation of every reported edge's cosine")
@@ -126,7 +126,10 @@ for sf, path in [("sf0.1", sf01),
     d = json.load(open(path))
     key = sf.replace(".", "")
     out[f"{key}_total_sec"] = d["value"]
-    out[f"n_queries_{key}"] = len(d["queries"])
+    # the driver-parsed compact record carries only the slowest-10 map
+    # plus the true count in n_queries; the full SPARK_GRAFT_BENCH_OUT
+    # file carries every query. Prefer the declared count either way.
+    out[f"n_queries_{key}"] = d.get("n_queries", len(d["queries"]))
     out[f"queries_{key}"] = d["queries"]
 
 json.dump(out, open("SCALING_r07.json", "w"), indent=1)
