@@ -184,6 +184,7 @@ object SparkEntry {
     "q_ledger_changes" -> (graft.etl.Ledger.qLedgerChanges _),
     "q_ledger_stream" -> (graft.etl.Ledger.qLedgerStream _),
     "q_ledger_replicate" -> (graft.etl.Ledger.qLedgerReplicate _),
+    "q_ledger_occ" -> (graft.etl.Ledger.qLedgerOcc _),
     "q_ledger_zorder" -> (graft.etl.Ledger.qLedgerZorder _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
@@ -2109,6 +2110,26 @@ object SparkEntry {
         |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
         |FROM v2""".stripMargin,
+    // q_ledger_occ: two writers prepared against one base (which
+    // carries a pending deletion vector), the loser REBASED — the head
+    // must hold BOTH writers' edits, none of the vector's deleted rows,
+    // and sit at version 3 (create + delete + two serialized commits).
+    // The oracle recomputes the head logically: corpus minus %7==3,
+    // with the smallest/largest surviving keys' texts tag-prefixed.
+    "q_ledger_occ" ->
+      """WITH live AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 3),
+        |ends AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM live),
+        |head AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id = (SELECT mn FROM ends) THEN 'occA ' || text
+        |         WHEN doc_id = (SELECT mx FROM ends) THEN 'occB ' || text
+        |         ELSE text END AS text
+        |  FROM live)
+        |SELECT CAST(3 AS BIGINT) AS n_versions,
+        |  count(*) AS n_rows,
+        |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
+        |FROM head""".stripMargin,
     // q_ledger_stream: the STREAMING CDF consumer must deliver exactly
     // the batch change feed — same logical v0/v1/v2 recomputation as
     // q_ledger_changes, keyed by commit_version instead of the version

@@ -55,6 +55,24 @@ object Ledger {
   private def manifestPath(table: String, version: Int) =
     s"$table/_manifest/v$version"
 
+  /** Read a small metadata file (sidecar-sized) fully as UTF-8. */
+  private def readSmallFile(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      new String(buf, UTF_8)
+    } finally in.close()
+  }
+
+  /** Overwrite a small metadata file with UTF-8 content. */
+  private def writeSmallFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
+      content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+  }
+
   /** Per-file manifest stats for freshly written files under `out` —
     * one grouped pass: the key's (min_key, max_key, rows) plus a
     * (min_<c>, max_<c>) pair per extra stat column. Extra stats are
@@ -467,37 +485,122 @@ object Ledger {
       f.delete(new Path(schemaPath(table, v)), false)
       f.delete(new Path(deletePath(table, v)), true)
       f.delete(new Path(claimPath(table, v)), false)
+      // txn markers couple to snapshot retention, like Delta's
+      // SetTransaction: a streaming writer idle past the retention
+      // window loses its replay token (see [[lastTxn]])
+      f.delete(new Path(txnPath(table, v)), false)
     }
     (drop.length, keep.length)
   }
 
+  /** AGE-BASED GC for leaked OCC staging — the out-of-band cleanup the
+    * [[vacuum]] contract names: an ABORTED [[prepareMerge]] leaks its
+    * `data/c<commitId>` dir forever, because reachability can never
+    * distinguish it from an IN-FLIGHT prepare (vacuum deliberately
+    * skips both). Age can: a staging dir untouched for longer than any
+    * plausible prepare-to-commit latency is abandoned. Deletes every
+    * c* dir that is (a) unreferenced by ANY committed manifest — a
+    * referenced c* dir is live table data — and (b) older than
+    * `olderThanMs` (newest of dir + file mtimes). The operator owns
+    * the age contract: set it above the longest prepare-to-commit
+    * window in the deployment (the Delta/Iceberg uncommitted-file
+    * cleanup contract). Returns the number of dirs collected. */
+  def cleanStaging(spark: SparkSession, table: String, olderThanMs: Long): Int = {
+    val f = fs(spark, table)
+    val dataDir = new Path(s"$table/data")
+    if (!f.exists(dataDir)) return 0
+    val live = (0 to latestVersion(spark, table)).iterator
+      .filter(v => f.exists(new Path(manifestPath(table, v) + "/_SUCCESS")))
+      .flatMap(v => manifest(spark, table, v).select(col("path"))
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath))
+      .toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var collected = 0
+    f.listStatus(dataDir)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("c"))
+      .foreach { d =>
+        val kids = f.listStatus(d.getPath)
+        val newest = (d.getModificationTime +: kids.map(_.getModificationTime)).max
+        val referenced = kids.exists(k => live.contains(k.getPath.toUri.getPath))
+        if (!referenced && newest < cutoff) {
+          f.delete(d.getPath, true)
+          collected += 1
+        }
+      }
+    collected
+  }
+
   /** EXACTLY-ONCE STREAMING COMMIT — the `foreachBatch` body that turns
-    * a Structured Streaming micro-batch into one ledger version:
-    * batch `batchId` commits as version `batchId + 1` (v0 is the
-    * initial CREATE). Idempotent under replay, which is the whole
-    * exactly-once contract: after a crash the engine re-delivers the
-    * last uncommitted batch from the checkpoint, and a batch whose
-    * version manifest already exists (its `_SUCCESS` marker — the
-    * manifest write IS the commit point) is a no-op, exactly Delta's
-    * `txnVersion` dedup. A crash BEFORE the manifest lands leaves only
-    * orphan data files under `data/v<N>/`, which the replay overwrites
-    * in place — no state to repair. Returns true iff this call
-    * committed. Rows upsert by default; an `op` column (upsert/delete)
-    * passes through to MERGE for streaming deletes. */
+    * a Structured Streaming micro-batch into one ledger version,
+    * routed THROUGH the optimistic-concurrency path so the stream can
+    * COEXIST with any other writer on the same table (replicate + OCC
+    * batch merges serialize instead of aborting — LedgerStreamSpec).
+    * Idempotency is Delta's per-writer transaction marker, not version
+    * arithmetic: the (appId, batchId) pair is recorded in the commit's
+    * txn sidecar, and a replayed batch — delivered again after a crash
+    * between commit and checkpoint — no-ops on the [[lastTxn]] check
+    * EVEN IF other writers advanced the version in between (the old
+    * `version == batchId + 1` gate broke exactly there). A conflict
+    * with a concurrent writer (hit-file overlap) re-prepares against
+    * the new head and retries: a stream cannot drop a batch, so it
+    * pays the re-rewrite where a batch job would surface the abort.
+    *
+    * A batch carrying columns the table lacks — upstream schema
+    * evolution flowing through a CDC feed — auto-widens the target
+    * first ([[evolve]] under a claim), the Delta `mergeSchema` sink
+    * behavior; the restart contract is proven end to end in
+    * LedgerStreamSpec. Returns true iff this call committed. Rows
+    * upsert by default; an `op` column (upsert/delete) passes through
+    * to MERGE for streaming deletes. */
   def commitBatch(spark: SparkSession, table: String, batchId: Long,
-      batch: DataFrame, keyCol: String): Boolean = {
-    val version = batchId.toInt + 1
-    val committed = new Path(manifestPath(table, version) + "/_SUCCESS")
-    if (fs(spark, table).exists(committed)) false
-    else {
-      require(latestVersion(spark, table) == version - 1,
-        s"batch $batchId expects table at version ${version - 1}, " +
-          s"found ${latestVersion(spark, table)} — streams and batch writers must not interleave")
-      val changes =
-        if (batch.columns.contains("op")) batch
-        else batch.withColumn("op", lit("upsert"))
-      merge(spark, table, version - 1, changes, keyCol)
-      true
+      batch: DataFrame, keyCol: String, appId: String = "stream",
+      logStore: LogStore = AtomicCreateLogStore): Boolean = {
+    if (lastTxn(spark, table, appId).exists(_ >= batchId)) return false
+    val changes =
+      if (batch.columns.contains("op")) batch
+      else batch.withColumn("op", lit("upsert"))
+    ensureColumns(spark, table, changes, logStore)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = latestVersion(spark, table)
+      val p = prepareMerge(spark, table, base, changes, keyCol)
+      try {
+        return commitPrepared(spark, table, p, logStore = logStore,
+          txn = Some((appId, batchId))) >= 0
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // a conflicting interleaved commit: the staged rewrite is
+          // unusable (it read files the winner replaced) — re-prepare
+          // against the new head. Bounded: persistent livelock means
+          // a misconfigured pipeline (two writers fighting over the
+          // same keys forever) and must surface.
+          if (attempt >= 8) throw e
+      }
+    }
+    false // unreachable
+  }
+
+  /** Widen `table` so it carries every non-op column of `changes` —
+    * ADD COLUMN under a LogStore claim, so the metadata commit
+    * serializes with concurrent OCC writers. No-op when the schema
+    * already covers the batch. */
+  private def ensureColumns(spark: SparkSession, table: String,
+      changes: DataFrame, logStore: LogStore): Unit = {
+    val want = changes.schema.fields.filterNot(_.name == "op")
+    var done = false
+    while (!done) {
+      val latest = latestVersion(spark, table)
+      val have = schemaOf(spark, table, latest)
+        .getOrElse(readVersion(spark, table, latest).schema).fieldNames.toSet
+      val missing = want.filterNot(f => have(f.name))
+      if (missing.isEmpty) done = true
+      else if (logStore.tryClaim(spark, table, latest + 1))
+        evolve(spark, table, latest, missing.toIndexedSeq)
+      else
+        // another writer owns the next version: wait for its commit
+        // point, then re-evaluate against the new head
+        waitForCommitted(spark, table, latest + 1, 30000)
     }
   }
 
@@ -647,15 +750,17 @@ object Ledger {
   /** Phase 1 of an optimistic MERGE: compute the copy-on-write rewrite
     * against `fromVersion` and stage its outputs, claiming nothing.
     * Identical merge semantics to [[merge]] (unique changeset keys,
-    * upsert/delete ops); unlike [[merge]] it may run CONCURRENTLY with
-    * other writers — conflicts surface at [[commitPrepared]].
-    * Restriction: a base with a pending deletion vector is rejected —
-    * rebasing key-level vector state across an interleaved commit is
-    * not supported (materialize with [[compact]] first). */
+    * upsert/delete ops, membership-based deletion-vector release);
+    * unlike [[merge]] it may run CONCURRENTLY with other writers —
+    * conflicts surface at [[commitPrepared]]. A base carrying a pending
+    * deletion vector is supported: the rewrite reads THROUGH the
+    * vector (hidden rows never resurrect), and the successor vector
+    * (base DV minus physically-applied minus changeset-resolved keys)
+    * is STAGED under the commit-id dir, renamed into place only at
+    * commit — so an interleaved commit can still validate/rebase
+    * against it ([[commitPrepared]]'s DV rules). */
   def prepareMerge(spark: SparkSession, table: String, fromVersion: Int,
       changes: DataFrame, keyCol: String): PreparedMerge = {
-    require(deletionVector(spark, table, fromVersion).isEmpty,
-      "prepareMerge on a base with a pending deletion vector is unsupported — compact first")
     requireUniqueKeys(changes, keyCol)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val m = manifest(spark, table, fromVersion)
@@ -665,7 +770,8 @@ object Ledger {
       .select(col("path")).distinct().collect().map(_.getString(0)).toSet
     val existing =
       if (hit.isEmpty) readVersion(spark, table, fromVersion).limit(0)
-      else readConformed(spark, table, fromVersion, hit.toIndexedSeq)
+      else applyDv(spark, table, fromVersion,
+        readConformed(spark, table, fromVersion, hit.toIndexedSeq))
     val payload = changes.columns.filterNot(c => c == keyCol || c == "op").toSeq
     val ch = changes.select((col(keyCol) +: col("op") +:
       payload.map(c => col(c).as(s"_$c"))): _*)
@@ -677,9 +783,88 @@ object Ledger {
     merged.repartitionByRange(math.max(1, hit.size), col(keyCol))
       .write.mode("overwrite").parquet(out)
     val rewritten = fileStats(spark, out, keyCol, statColsOf(m))
+    // successor deletion vector, same membership discipline as [[merge]]:
+    // release a key only if its row was physically applied (lives in a
+    // hit file the rewrite just read through the vector) or resolved by
+    // the changeset. Staged under the commit-id namespace (vacuum-safe,
+    // [[vacuum]]'s c* rule) and renamed to deletes/v<target> at commit.
+    val stagedDv = deletionVector(spark, table, fromVersion).map { d =>
+      val k = d.columns.head
+      val hitKeys =
+        if (hit.isEmpty) d.limit(0)
+        else readConformed(spark, table, fromVersion, hit.toIndexedSeq)
+          .select(col(keyCol).as(k))
+      val dvOut = s"$table/data/c$commitId-dv"
+      d.join(hitKeys, Seq(k), "left_anti")
+        .join(changes.select(col(keyCol).as(k)).distinct(), Seq(k), "left_anti")
+        .write.mode("overwrite").parquet(dvOut)
+      dvOut
+    }
     PreparedMerge(fromVersion, basePaths, hit, rewritten,
-      changes.select(col(keyCol).as("ck")).distinct(), None,
+      changes.select(col(keyCol).as("ck")).distinct(), stagedDv,
       schemaOf(spark, table, fromVersion).map(_.toDDL), commitId)
+  }
+
+  /** A JVM-local CONDITIONAL-PUT claim store — the semantic stand-in
+    * for the coordination service a plain-S3 deployment needs (S3
+    * `PutObject If-None-Match: *`, or Delta's S3DynamoDBLogStore):
+    * claiming is a compare-and-set on an external table, not a
+    * filesystem create. `putIfAbsent` on a concurrent map IS the
+    * conditional put's contract — exactly one of any number of
+    * concurrent claimants observes "absent" — so the same 8-writer
+    * contention stress that certifies [[AtomicCreateLogStore]] runs
+    * unchanged through this impl (LedgerSpec), proving the TRAIT
+    * carries the serializability guarantee, not one storage's create
+    * semantics. JVM-scoped by construction: a real deployment swaps in
+    * the service-backed equivalent; `reset()` clears claims for tests
+    * that rebuild a table root within one JVM. */
+  object CasLogStore extends LogStore {
+    private val claims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def tryClaim(spark: SparkSession, table: String, version: Int): Boolean =
+      claims.add(s"$table#v$version")
+    def reset(): Unit = claims.clear()
+  }
+
+  // ---- per-writer transaction markers (streaming idempotency) ----
+
+  private def txnPath(table: String, version: Int) = s"$table/_txns/v$version"
+
+  /** The highest batch id writer `appId` has COMMITTED to `table` —
+    * Delta's SetTransaction/txnVersion, the idempotency token that
+    * lets a streaming sink replay safely even when OTHER writers have
+    * advanced the version in between (version == batchId + 1 stops
+    * holding the moment a second writer exists). Scan is newest-first
+    * with early exit: the last commit by a live stream is normally
+    * within the last few versions. Like Delta, the marker couples to
+    * snapshot retention — [[vacuum]] drops expired versions' txn
+    * sidecars, so a writer idle past the retention window loses its
+    * replay token (and must restart from a fresh checkpoint). */
+  def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
+    val f = fs(spark, table)
+    var v = latestVersion(spark, table)
+    while (v >= 0) {
+      val p = new Path(txnPath(table, v))
+      if (f.exists(p)) {
+        val parts = readSmallFile(f, p).split("\t", 2)
+        if (parts.length == 2 && parts(0) == appId) return Some(parts(1).toLong)
+      }
+      v -= 1
+    }
+    None
+  }
+
+  /** Block until version N's manifest commit point lands. */
+  private def waitForCommitted(spark: SparkSession, table: String,
+      version: Int, waitMs: Long): Unit = {
+    val f = fs(spark, table)
+    val marker = new Path(manifestPath(table, version) + "/_SUCCESS")
+    val deadline = System.currentTimeMillis() + waitMs
+    while (!f.exists(marker)) {
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.concurrent.TimeoutException(
+          s"version $version claimed but never committed (stale claim?)")
+      Thread.sleep(50)
+    }
   }
 
   /** Phase 2: claim a version for the prepared merge and publish its
@@ -690,8 +875,9 @@ object Ledger {
     *     storage-portability boundary. The shipped
     *     [[AtomicCreateLogStore]] uses atomic create-exclusive (the
     *     FileSystem contract on HDFS/local/ABFS); a plain-S3
-    *     deployment swaps in a conditional-put/DynamoDB impl, the
-    *     commit protocol unchanged.
+    *     deployment swaps in a conditional-put/DynamoDB impl
+    *     ([[CasLogStore]] is the in-JVM semantic twin), the commit
+    *     protocol unchanged.
     *  2. Claim won → sidecars land, then the manifest (the commit
     *     point). The interleaving window is conflict-free because the
     *     claimed version's base IS the prepare-time base.
@@ -702,28 +888,66 @@ object Ledger {
     *     - a file the winner ADDED whose key range intersects any of
     *       this merge's change keys → overlapping writes — ABORT;
     *     - schema sidecar changed under us → ABORT;
-    *     - the winner left a deletion vector → ABORT (key-level state
-    *       can hide conflicts file ranges cannot see);
+    *     - deletion-vector rules (key-level state composes only when
+    *       provably conflict-free):
+    *       · the winner ADDED vector keys (an interleaved DELETE WHERE)
+    *         → ABORT — this merge's staged vector predates them and
+    *         publishing it would resurrect the winner's deletes;
+    *       · the winner RELEASED vector keys whose rows are LIVE in its
+    *         added files (a changeset re-upsert of a hidden key) →
+    *         ABORT — this merge's staged vector would re-hide the
+    *         winner's update;
+    *       · the winner released keys only by PHYSICAL APPLICATION
+    *         (rows dropped in its rewrite) → SAFE: this merge's staged
+    *         vector may still name those keys, but their rows no longer
+    *         exist anywhere, so the extra entries are inert — rebase
+    *         proceeds. (Checked by reading ONLY the winner's added
+    *         files, changed-files-sized I/O.)
     *     - otherwise the commits are DISJOINT: carry the new base's
     *       files (minus the hit set) and retry one version up — the
     *       rewrite is NOT recomputed, rebase is metadata-only.
     *
-    * Returns the committed version. The expensive work (phase 1) runs
-    * once; at 100 TB a retry costs one manifest read, not a re-rewrite. */
+    * `txn = Some((appId, batchId))` makes the commit IDEMPOTENT per
+    * writer: the pair is recorded in a per-version sidecar at the
+    * commit point, and a caller whose (appId, batchId) is already
+    * recorded at or above this batch returns -1 WITHOUT committing —
+    * Delta's txnVersion dedup, which keeps a replayed streaming batch
+    * a no-op even when other writers advanced the version in between.
+    * The check runs before each claim attempt; Structured Streaming
+    * runs one active instance per checkpoint, so replays are
+    * sequential and the check-then-claim window is not raced.
+    *
+    * Returns the committed version (or -1 for a txn-deduped no-op).
+    * The expensive work (phase 1) runs once; at 100 TB a retry costs
+    * one manifest read, not a re-rewrite. */
   def commitPrepared(spark: SparkSession, table: String, p: PreparedMerge,
       maxAttempts: Int = 5, waitMs: Long = 30000,
-      logStore: LogStore = AtomicCreateLogStore): Int = {
+      logStore: LogStore = AtomicCreateLogStore,
+      txn: Option[(String, Long)] = None): Int = {
     val f = fs(spark, table)
     var base = p.baseVersion
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
+      txn.foreach { case (app, bid) =>
+        if (lastTxn(spark, table, app).exists(_ >= bid)) return -1
+      }
       val target = base + 1
       val committedMarker = new Path(manifestPath(table, target) + "/_SUCCESS")
       val claimed = logStore.tryClaim(spark, table, target)
       if (claimed && !f.exists(committedMarker)) {
-        p.stagedDv.foreach(s =>
-          f.rename(new Path(s), new Path(deletePath(table, target))))
+        // clear any stale txn sidecar left by a committer that crashed
+        // after writing it but before the manifest landed — it must not
+        // masquerade as THIS version's transaction
+        f.delete(new Path(txnPath(table, target)), false)
+        txn.foreach { case (app, bid) =>
+          writeSmallFile(f, new Path(txnPath(table, target)), s"$app\t$bid")
+        }
+        p.stagedDv.foreach { s =>
+          val dst = new Path(deletePath(table, target))
+          f.mkdirs(dst.getParent)
+          f.rename(new Path(s), dst)
+        }
         p.baseSchemaDdl.foreach(ddl =>
           writeSchema(spark, table, target, StructType.fromDDL(ddl)))
         val carried = manifest(spark, table, base)
@@ -733,13 +957,7 @@ object Ledger {
       }
       // lost the race (or a non-OCC writer owns the version): wait for
       // the winner's commit point, then validate + rebase
-      val deadline = System.currentTimeMillis() + waitMs
-      while (!f.exists(committedMarker)) {
-        if (System.currentTimeMillis() > deadline)
-          throw new java.util.concurrent.TimeoutException(
-            s"version $target claimed but never committed (stale claim?)")
-        Thread.sleep(50)
-      }
+      waitForCommitted(spark, table, target, waitMs)
       val nb = manifest(spark, table, target)
       val nbPaths = nb.select(col("path")).collect().map(_.getString(0)).toSet
       def conflict(why: String) = throw new java.util.ConcurrentModificationException(
@@ -747,11 +965,32 @@ object Ledger {
       val lostHit = p.hitFiles -- nbPaths
       if (lostHit.nonEmpty)
         conflict(s"concurrent commit rewrote files this merge read: ${lostHit.take(2).mkString(",")}")
-      if (deletionVector(spark, table, target).isDefined)
-        conflict("concurrent commit left a deletion vector")
       if (schemaOf(spark, table, target).map(_.toDDL) != p.baseSchemaDdl)
         conflict("concurrent schema evolution")
-      val added = nb.filter(col("path").isInCollection((nbPaths -- p.basePaths).toSeq :+ ""))
+      // deletion-vector validation (rules in the doc comment above)
+      val dvBase = deletionVector(spark, table, base)
+      val dvNew = deletionVector(spark, table, target)
+      val addedPaths = (nbPaths -- p.basePaths).toSeq
+      (dvBase, dvNew) match {
+        case (None, Some(dn)) if dn.limit(1).count() > 0 =>
+          conflict("concurrent commit added deletion-vector keys")
+        case (Some(db), dnOpt) =>
+          val k = db.columns.head
+          val dn = dnOpt.getOrElse(db.limit(0))
+          if (dn.join(db, Seq(k), "left_anti").limit(1).count() > 0)
+            conflict("concurrent commit added deletion-vector keys")
+          val released = db.join(dn, Seq(k), "left_anti")
+          if (released.limit(1).count() > 0 && addedPaths.nonEmpty) {
+            // the vector's single column is named after the table's key
+            val keyAtK = readConformed(spark, table, target, addedPaths.toIndexedSeq)
+              .select(col(k))
+            if (released.join(keyAtK, Seq(k), "left_semi").limit(1).count() > 0)
+              conflict("concurrent commit re-inserted a deletion-vector key " +
+                "this merge's staged vector would re-hide")
+          }
+        case _ => ()
+      }
+      val added = nb.filter(col("path").isInCollection(addedPaths :+ ""))
       val touched = added.join(p.changeKeys,
         col("ck") >= col("min_key") && col("ck") <= col("max_key"), "left_semi")
       if (touched.limit(1).count() > 0)
@@ -861,11 +1100,36 @@ object Ledger {
     * is changed-files-sized ([[readChanges]]); a compaction version
     * stages ZERO rows, so layout maintenance stays invisible to
     * subscribers. Returns how many versions this call staged. */
+  /** Versions examined by [[stageChanges]] loops since JVM start — a
+    * test probe pinning the high-water-mark contract (a re-stage of an
+    * already-current feed must examine ZERO versions, not O(all)). */
+  private[graft] val stageScanProbes = new java.util.concurrent.atomic.AtomicLong
+
+  private def cdfHwmPath(table: String) = s"${cdfPath(table)}/_hwm"
+  private def gapMarkerPath(table: String, v: Int) = s"${cdfPath(table)}/_gap_v$v"
+
   def stageChanges(spark: SparkSession, table: String, keyCol: String,
       allowGaps: Boolean = false): Int = {
     val f = fs(spark, table)
     var staged = 0
-    (1 to latestVersion(spark, table)).foreach { v =>
+    // staged HIGH-WATER MARK: every version ≤ hwm is already staged (or
+    // durably gap-marked), so the scan starts there — O(new versions)
+    // exists-probes per tick instead of O(all versions); at a 100k-
+    // commit table that is the difference between 2 and 200k namenode
+    // round-trips per staging tick. The mark is a monotone HINT with
+    // the safe failure mode: absent/corrupt reads as 0 and the loop
+    // falls back to the full idempotent scan; it is only ever advanced
+    // over versions this call VERIFIED staged, so a racing stager's
+    // last-write-wins overwrite still records a true statement.
+    // Underscore-prefixed, so batch and streaming parquet readers of
+    // cdf/ never see it.
+    val hwmP = new Path(cdfHwmPath(table))
+    val hwm =
+      try { if (f.exists(hwmP)) readSmallFile(f, hwmP).trim.toInt else 0 }
+      catch { case _: Exception => 0 }
+    val latest = latestVersion(spark, table)
+    ((hwm + 1) to latest).foreach { v =>
+      stageScanProbes.incrementAndGet()
       val dst = new Path(s"${cdfPath(table)}/commit_version=$v")
       // a version pair straddling VACUUMed history is unstageable (the
       // dropped manifests are gone). Like Delta, the change feed
@@ -878,14 +1142,21 @@ object Ledger {
       // when the operator has decided the lost history is acceptable.
       // LedgerStreamSpec pins both behaviors.
       val alreadyStaged = f.exists(new Path(dst, "_SUCCESS"))
+      // an accepted hole is recorded DURABLY (_gap_v<N>): later calls
+      // without allowGaps don't re-throw for a hole the operator
+      // already accepted, and subscribers can enumerate the markers to
+      // know exactly which versions the feed is missing
+      val gapAccepted = f.exists(new Path(gapMarkerPath(table, v)))
       val stageable = (v - 1 to v).forall(u =>
         f.exists(new Path(manifestPath(table, u) + "/_SUCCESS")))
-      if (!stageable && !alreadyStaged && !allowGaps)
+      if (!stageable && !alreadyStaged && !gapAccepted && !allowGaps)
         throw new IllegalStateException(
           s"change feed for version $v of $table straddles vacuumed history " +
           "and was never staged — subscribers would silently lose these " +
           "changes. Stage before vacuuming, or pass allowGaps=true to accept " +
           "the hole.")
+      if (!stageable && !alreadyStaged && !gapAccepted)
+        writeSmallFile(f, new Path(gapMarkerPath(table, v)), "")
       if (stageable && !alreadyStaged) {
         // publish is RENAME-ONLY: dst is only ever created by an atomic
         // rename, so it can never exist half-written, and there is
@@ -909,6 +1180,9 @@ object Ledger {
         }
       }
     }
+    // every version ≤ latest is now verified staged or durably
+    // gap-marked (the loop threw otherwise): advance the mark
+    if (latest > hwm) writeSmallFile(f, hwmP, latest.toString)
     staged
   }
 
@@ -936,7 +1210,21 @@ object Ledger {
       s"no change feed staged for $table yet — run stageChanges(...) " +
       "once before subscribing (it is idempotent; new versions staged " +
       "later become visible to a running stream)")
-    val schema = spark.read.parquet(cdfPath(table)).schema
+    // the subscription's schema is derived from the TABLE's current
+    // logical schema (op + payload + the commit_version partition
+    // column), never from a sampled parquet footer: after a schema
+    // evolution the cdf dir holds MIXED physical schemas, and a footer
+    // sampled from a pre-evolution partition would silently project
+    // the new columns away. The explicit schema makes the unified read
+    // null-fill pre-evolution partitions instead — so a subscription
+    // RESTARTED after an upstream evolve picks up the widened schema
+    // across old and new partitions alike (the Delta CDF
+    // restart-on-schema-change contract, proven in LedgerStreamSpec).
+    val payload = readVersion(spark, table, latestVersion(spark, table))
+      .schema.fields.map(_.copy(nullable = true))
+    val schema = StructType(
+      StructField("op", org.apache.spark.sql.types.StringType) +: payload :+
+        StructField("commit_version", org.apache.spark.sql.types.IntegerType))
     val s = spark.readStream.schema(schema).parquet(cdfPath(table))
     if (fromVersion > 1) s.filter(col("commit_version") >= fromVersion) else s
   }
@@ -972,7 +1260,14 @@ object Ledger {
     * across multiple commits and a mid-stream topology of new merges. */
   def replicate(spark: SparkSession, from: String, to: String,
       keyCol: String, checkpoint: String, fromVersion: Int = 1)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one stable writer identity per SUBSCRIPTION (checkpoint): the
+    // txn-marker appId that makes replayed batches no-op across
+    // restarts, and the namespace of the replica's version high-water
+    // mark below
+    val app = "repl_" + java.util.UUID.nameUUIDFromBytes(
+      new Path(checkpoint).toString.getBytes(UTF_8)).toString.take(12)
+    val hwmFile = new Path(s"$to/_cdc_hwm/$app")
     readChangesStream(spark, from, fromVersion)
       .writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -980,8 +1275,10 @@ object Ledger {
         // upstream evolved a wider schema since, new columns would be
         // silently projected away and the replica would diverge without
         // error — fail loudly instead (Delta's CDF stream has the same
-        // restart-on-schema-change contract). Cost: one sidecar read
-        // per micro-batch.
+        // restart-on-schema-change contract; the RESTARTED subscription
+        // reads the widened schema — readChangesStream derives it from
+        // the upstream table, not a sampled footer — and commitBatch
+        // auto-widens the replica). Cost: one sidecar read per batch.
         schemaOf(spark, from, latestVersion(spark, from)).foreach { want =>
           val missing = want.fieldNames.toSet --
             (b.columns.toSet - "op" - "commit_version")
@@ -991,8 +1288,34 @@ object Ledger {
               "this subscription started — restart replicate() so the stream " +
               "picks up the widened CDF schema")
         }
-        commitBatch(spark, to, id, netChanges(b, keyCol), keyCol); ()
+        val span = b.agg(min(col("commit_version")), max(col("commit_version"))).head()
+        if (!span.isNullAt(0)) {
+          val (mn, mx) = (span.getInt(0), span.getInt(1))
+          val f = fs(spark, to)
+          val hwm = if (f.exists(hwmFile)) readSmallFile(f, hwmFile).trim.toInt else 0
+          if (!lastTxn(spark, to, app).exists(_ >= id)) {
+            // VERSION ORDER is an explicit invariant, not an mtime
+            // artifact: netChanges orders WITHIN a batch, so cross-batch
+            // order rests on the file source delivering staged versions
+            // monotonically. If a listing tie ever hands a batch an
+            // upstream version OLDER than one already applied (mn < the
+            // replica's high-water mark), applying it would silently
+            // regress keys — fail loudly instead. Equal is legal: one
+            // version's files may split across adjacent micro-batches
+            // (each key's row lives in exactly one file, so per-key
+            // order still holds).
+            require(mn >= hwm,
+              s"out-of-order CDF delivery to $to: micro-batch $id spans " +
+              s"commit_versions [$mn,$mx] but version $hwm was already " +
+              "applied — the source's file order broke the version " +
+              "invariant; rebuild the replica from a fresh checkpoint")
+            commitBatch(spark, to, id, netChanges(b, keyCol), keyCol, app)
+          }
+          writeSmallFile(f, hwmFile, math.max(hwm, mx).toString)
+        }
+        ()
       }.start()
+  }
 
   // ---- the declared queries ----
 
@@ -1097,9 +1420,15 @@ object Ledger {
     // at sf100 that is a full CDF copy per bench pass, the exact
     // pass-accumulated driver footprint the 64 GB release() work
     // removed. The file delivery also mirrors the production shape:
-    // stream out of one table, land in storage.
-    val out = graft.GraftPaths.sink("graft_ledger_stream",
-      s"${dir.replaceAll(".*/", "")}_${java.util.UUID.randomUUID().toString.take(8)}")
+    // stream out of one table, land in storage. The delivery path is
+    // FIXED per corpus and cleared at query start (overwrite
+    // semantics), so repeated invocations hold at most ONE full CDF
+    // copy on disk instead of accumulating a UUID-suffixed dir per
+    // run; the pre-delete also clears the file sink's _spark_metadata
+    // log, so the fresh checkpoint's batch 0 is never mistaken for an
+    // already-committed batch of a previous delivery.
+    val out = graft.GraftPaths.sink("graft_ledger_stream", dir.replaceAll(".*/", ""))
+    fs(spark, out).delete(new Path(out), true)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt")
     val q = readChangesStream(spark, table)
       .writeStream.format("parquet")
@@ -1109,8 +1438,10 @@ object Ledger {
       .start()
     q.awaitTermination()
     // the one-shot delivery is complete: the checkpoint has no replay
-    // value and would otherwise accumulate one dir per invocation
-    fs(spark, out).delete(new Path(ckpt.toString), true)
+    // value and would otherwise accumulate one dir per invocation —
+    // deleted through the CHECKPOINT path's own filesystem (the sink
+    // path may live on a different FS than the local temp dir)
+    fs(spark, ckpt.toString).delete(new Path(ckpt.toString), true)
     spark.read.parquet(out)
       .select(col("commit_version"), col("op"), col("doc_id"),
         textFp(col("text")).as("text_fp"))
@@ -1175,6 +1506,70 @@ object Ledger {
       .agg(count(lit(1)).as("n_rows"),
         checksum(col("doc_id")).as("key_sum"),
         checksum(textFp(col("text"))).as("text_fp_sum"))
+  }
+
+  // ---- optimistic-concurrency lineage (its own root): two writers
+  // prepared against one base UNDER A PENDING DELETION VECTOR, the
+  // loser rebasing — the multi-writer commit path as an oracle query ----
+
+  private def occTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_occ", dir.replaceAll(".*/", ""))
+
+  private val occMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** v0 = the corpus; v1 = MERGE-ON-READ DELETE WHERE doc_id%7==3 (a
+    * pending deletion vector, zero files moved); then TWO merges are
+    * PREPARED concurrently against v1 — both copy-on-write rewrites
+    * computed before either claims a version — touching the extreme
+    * range files (writer A upserts the smallest surviving key, writer
+    * B the largest). B claims v2; A's claim of v2 fails, so A
+    * validates against B's commit — including the deletion-vector
+    * rebase rules (B's vector releases are physical-only, so A's
+    * staged vector stays sound) — and rebases to v3 without
+    * recomputing its rewrite. Standing table, one build per
+    * (session, corpus). */
+  private def builtOccLineage(spark: SparkSession, dir: String): String =
+    occMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = occTableRoot(dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      create(spark, table, docs, "doc_id")
+      deleteWhere(spark, table, 0, "doc_id", col("doc_id") % 7 === 3)
+      // change keys chosen OUTSIDE the vector: upserting a DV-hidden
+      // key releases it by changeset, which the loser's rebase rightly
+      // rejects (it would re-hide the winner's re-insert) — that abort
+      // path is spec-pinned in LedgerSpec; the query pins the commit path
+      val surviving = docs.filter(col("doc_id") % 7 =!= 3)
+      val ends = surviving.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      def changeFor(key: Long, tag: String): DataFrame =
+        docs.filter(col("doc_id") === key)
+          .select(col("doc_id"), lit("upsert").as("op"), col("source"),
+            concat(lit(tag), col("text")).as("text"))
+      val a = prepareMerge(spark, table, 1, changeFor(ends.getLong(0), "occA "), "doc_id")
+      val b = prepareMerge(spark, table, 1, changeFor(ends.getLong(1), "occB "), "doc_id")
+      require(commitPrepared(spark, table, b) == 2, "writer B claims v2")
+      require(commitPrepared(spark, table, a) == 3, "writer A rebases to v3")
+      table
+    })
+
+  /** Q-ledger-occ: audit the head (v3) of the OCC lineage — count,
+    * key checksum, text-fingerprint checksum, plus the version number
+    * itself (3 pins that the loser REBASED one version up rather than
+    * overwriting the winner). The DuckDB oracle recomputes the head
+    * logically: the corpus minus the %7==3 deletes, with the smallest
+    * and largest surviving keys' texts prefixed by their writer tags.
+    * A lost update (either writer's edit missing), a resurrected
+    * deleted row (the vector mishandled across the rebase), or a
+    * double-applied rewrite all break the hash. */
+  def qLedgerOcc(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtOccLineage(spark, dir)
+    val head = latestVersion(spark, table)
+    readVersion(spark, table, head)
+      .agg(count(lit(1)).as("n_rows"),
+        checksum(col("doc_id")).as("key_sum"),
+        checksum(textFp(col("text"))).as("text_fp_sum"))
+      .select(lit(head.toLong).as("n_versions"), col("n_rows"),
+        col("key_sum"), col("text_fp_sum"))
   }
 
   // ---- schema-evolution lineage (its own root — the shared lineage
@@ -1389,6 +1784,7 @@ object Ledger {
     builtDvLineage(spark, dir)
     builtSkipSidecar(spark, dir)
     builtZLineage(spark, dir)
+    builtOccLineage(spark, dir)
     ()
   }
 

@@ -384,12 +384,19 @@ object MultimodalOps {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
-    /** True iff `bytes` are a WAV whose fmt tag is IMA ADPCM (0x11). */
+    /** True iff `bytes` are a WAV whose fmt tag is IMA ADPCM (0x11).
+      * A dispatch PROBE, so it never throws: a structurally anomalous
+      * RIFF (corrupt chunk length, truncated fmt) is simply "not ADPCM"
+      * and falls through to the real decode path, whose own loud error
+      * names the actual corruption — failing inside the sniffer would
+      * mask a plain PCM WAV's real decode error with a misleading
+      * 'corrupt RIFF' message from a codec the caller never asked for. */
     def isAdpcmWav(bytes: Array[Byte]): Boolean =
-      bytes.length > 20 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" && {
-        val (fo, _) = findChunk(bytes, "fmt ")
-        fo > 0 && u16(bytes, fo) == 0x0011
-      }
+      bytes.length > 20 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        (try {
+          val (fo, _) = findChunk(bytes, "fmt ")
+          fo > 0 && fo + 2 <= bytes.length && u16(bytes, fo) == 0x0011
+        } catch { case _: IllegalArgumentException => false })
 
     /** The RAW block-header samples of an IMA-ADPCM WAV — the exactly
       * recoverable skeleton (every block's sample 0 is stored verbatim)

@@ -391,16 +391,135 @@ class LedgerSpec extends AnyFunSuite {
     raceDisjointWriters("ledger_occ_stress_fs", 8, Ledger.AtomicCreateLogStore)
   }
 
-  test("OCC stress: the LogStore trait swaps the claim primitive without protocol change") {
-    // an in-memory coordinator standing in for a conditional-put/
-    // DynamoDB store — proves the commit protocol above the trait is
-    // storage-agnostic (the S3 portability boundary)
-    val claims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val memStore = new Ledger.LogStore {
-      def tryClaim(spark: org.apache.spark.sql.SparkSession,
-          table: String, version: Int): Boolean = claims.add(s"$table#v$version")
+  test("OCC stress: the conditional-put LogStore carries the same guarantee at full contention") {
+    // the SHIPPED second impl — conditional-put semantics (S3
+    // `If-None-Match: *` / DynamoDB CAS, in-JVM twin) — under the SAME
+    // 8-writer stress as the FS claim primitive: the serializability
+    // guarantee lives in the TRAIT contract, not in one storage's
+    // create-exclusive semantics
+    Ledger.CasLogStore.reset()
+    raceDisjointWriters("ledger_occ_stress_cas", 8, Ledger.CasLogStore)
+  }
+
+  test("OCC composes with deletion vectors: disjoint commits rebase, vector conflicts abort") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_occ_dv")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    // v1: a pending deletion vector over every range file
+    Ledger.deleteWhere(spark, t, 0, "doc_id", col("doc_id") % 10 === 3)
+    assert(Ledger.deletionVector(spark, t, 1).get.count() == 40)
+    // A and B prepare CONCURRENTLY against the DV-carrying base,
+    // touching different range files, neither touching a vector key
+    val a = Ledger.prepareMerge(spark, t, 1,
+      Seq((2L, "upsert", "srcA", "A wrote 2")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    val b = Ledger.prepareMerge(spark, t, 1,
+      Seq((355L, "upsert", "srcB", "B wrote 355")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    assert(Ledger.commitPrepared(spark, t, b) == 2)
+    // B's rewrite physically applied file [350,399]'s vector keys
+    // (353,363,...): releases are PHYSICAL-ONLY, so A's rebase is safe
+    assert(Ledger.commitPrepared(spark, t, a) == 3)
+    val v3 = Ledger.readVersion(spark, t, 3).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v3(2L) == "A wrote 2" && v3(355L) == "B wrote 355",
+      "both disjoint commits must survive the rebase over a DV base")
+    assert(!v3.contains(3L) && !v3.contains(353L) && !v3.contains(63L),
+      "every vector key must stay deleted through claim-win AND rebase paths")
+    assert(v3.size == 360)
+    // the head's CDF vs v1 sees exactly the two edits, no resurrections
+    assert(Ledger.readChanges(spark, t, 1, 3, "doc_id").count() == 2)
+
+    // ABORT row 1: an interleaved DELETE WHERE adds vector keys the
+    // loser's staged vector predates — publishing it would resurrect
+    val c = Ledger.prepareMerge(spark, t, 3,
+      Seq((100L, "upsert", "srcC", "C wrote 100")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    Ledger.deleteWhere(spark, t, 3, "doc_id", col("doc_id") === 200L) // v4
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      Ledger.commitPrepared(spark, t, c)
     }
-    raceDisjointWriters("ledger_occ_stress_mem", 4, memStore)
+    assert(e1.getMessage.contains("added deletion-vector keys"))
+    assert(Ledger.readVersion(spark, t, Ledger.latestVersion(spark, t))
+      .filter(col("doc_id") === 200L).count() == 0,
+      "the interleaved delete must survive the aborted commit")
+
+    // ABORT row 2: the winner re-upserts a vector key (release BY
+    // CHANGESET — the key is live in its added files); the loser's
+    // staged vector would re-hide that update
+    val d = Ledger.prepareMerge(spark, t, 4,
+      Seq((100L, "upsert", "srcD", "D wrote 100")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    Ledger.merge(spark, t, 4,
+      Seq((343L, "upsert", "srcW", "343 is back")).toDF("doc_id", "op", "source", "text"),
+      "doc_id") // v5: 343 was a vector key; now live again
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      Ledger.commitPrepared(spark, t, d)
+    }
+    assert(e2.getMessage.contains("re-inserted a deletion-vector key"))
+    assert(Ledger.readVersion(spark, t, 5).filter(col("doc_id") === 343L)
+      .collect().head.getString(2) == "343 is back",
+      "the winner's re-insert must survive the aborted commit")
+  }
+
+  test("cleanStaging: stale leaked staging is collected by age, in-flight and committed survive") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_clean_staging")
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 8)
+    // leaked: prepared, then abandoned (never committed)
+    val leaked = Ledger.prepareMerge(spark, t, 0,
+      Seq((2L, "upsert", "srcL", "leaked 2")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    val leakedDir = new java.io.File(
+      new org.apache.hadoop.fs.Path(
+        leaked.rewrittenFiles.select("path").head().getString(0)).getParent.toUri.getPath)
+    // committed: prepared and published — its c* files are LIVE data
+    val kept = Ledger.prepareMerge(spark, t, 0,
+      Seq((355L, "upsert", "srcK", "kept 355")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    assert(Ledger.commitPrepared(spark, t, kept) == 1)
+    // in-flight discipline: a young staging dir is NEVER collected,
+    // whatever its commit fate (the age contract)
+    assert(Ledger.cleanStaging(spark, t, olderThanMs = 3600000L) == 0)
+    assert(leakedDir.exists, "a young (possibly in-flight) prepare must survive")
+    // past the age horizon: the unreferenced leak is collected, the
+    // committed (manifest-referenced) staging survives at ANY age
+    assert(Ledger.cleanStaging(spark, t, olderThanMs = -60000L) == 1)
+    assert(!leakedDir.exists, "the abandoned staging dir must be gone")
+    val head = Ledger.readVersion(spark, t, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(head(355L) == "kept 355" && head.size == 400,
+      "committed data must be untouched by staging GC")
+  }
+
+  test("streaming replay no-ops even after OTHER writers advanced the version (txn dedup)") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_txn_dedup")
+    val docs = (0L until 200L).map(i => (i, "src", s"body $i")).toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 4)
+    val batch0 = Seq((5L, "src", "edited 5")).toDF("doc_id", "source", "text")
+    assert(Ledger.commitBatch(spark, t, 0L, batch0, "doc_id"), "batch 0 commits v1")
+    // a CONCURRENT batch writer interleaves — the old version==batchId+1
+    // gate breaks exactly here; the txn marker must not
+    assert(Ledger.mergeOcc(spark, t,
+      Seq((150L, "upsert", "srcB", "batch writer")).toDF("doc_id", "op", "source", "text"),
+      "doc_id") == 2)
+    // crash-replay of batch 0: version arithmetic says v3, the txn
+    // sidecar says batch 0 is already committed — must NO-OP
+    assert(!Ledger.commitBatch(spark, t, 0L, batch0, "doc_id"), "replay must not commit")
+    assert(Ledger.latestVersion(spark, t) == 2)
+    // the stream's NEXT batch serializes after the interleaved writer
+    assert(Ledger.commitBatch(spark, t, 1L,
+      Seq((6L, "src", "edited 6")).toDF("doc_id", "source", "text"), "doc_id"))
+    assert(Ledger.latestVersion(spark, t) == 3)
+    val head = Ledger.readVersion(spark, t, 3).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(head(5L) == "edited 5" && head(150L) == "batch writer" && head(6L) == "edited 6",
+      "stream and batch writers must serialize with no lost update")
   }
 
   test("DV release is membership-based: overlapping file ranges cannot resurrect a delete") {

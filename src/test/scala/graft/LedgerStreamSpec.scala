@@ -131,6 +131,125 @@ class LedgerStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("replicate coexists with a concurrent OCC writer on the replica table") {
+    import spark.implicits._
+    val up = Ledger.tableRoot("ledger_coexist_up")
+    val down = Ledger.tableRoot("ledger_coexist_down")
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, up, docs, "doc_id", nFiles = 4)
+    Ledger.create(spark, down, Ledger.readVersion(spark, up, 0), "doc_id", nFiles = 4)
+    Ledger.merge(spark, up, 0,
+      Seq((5L, "upsert", "srcX", "edited 5"), (400L, "upsert", "srcN", "new 400"))
+        .toDF("doc_id", "op", "source", "text"), "doc_id")
+    Ledger.stageChanges(spark, up, "doc_id")
+    val ck = ckpt("coexist_repl")
+    val q = Ledger.replicate(spark, up, down, "doc_id", ck)
+    try {
+      q.processAllAvailable() // replica applies upstream v1 -> down v1
+      // an INDEPENDENT OCC batch writer lands on the replica between
+      // stream batches — the round-7 commitBatch would abort here
+      // (strict version succession); the txn-marked OCC sink serializes
+      assert(Ledger.mergeOcc(spark, down,
+        Seq((9000L, "upsert", "occ", "occ row")).toDF("doc_id", "op", "source", "text"),
+        "doc_id") == 2)
+      Ledger.merge(spark, up, 1,
+        Seq((400L, "delete", "", ""), (6L, "upsert", "srcY", "edited 6"))
+          .toDF("doc_id", "op", "source", "text"), "doc_id")
+      Ledger.stageChanges(spark, up, "doc_id")
+      q.processAllAvailable() // stream commits ON TOP of the OCC write
+    } finally q.stop()
+    assert(Ledger.latestVersion(spark, down) == 3,
+      "stream batch 2 must serialize after the interleaved OCC commit")
+    val want = Ledger.readVersion(spark, up, 2)
+      .unionByName(Seq((9000L, "occ", "occ row")).toDF("doc_id", "source", "text"))
+      .orderBy("doc_id").collect().toSeq
+    val have = Ledger.readVersion(spark, down, 3).orderBy("doc_id").collect().toSeq
+    assert(have == want, "replica = upstream head + the OCC writer's row, no lost update")
+    // restart replay safety: the drained subscription re-delivers
+    // nothing and the interleaved history does not confuse txn dedup
+    val q2 = Ledger.replicate(spark, up, down, "doc_id", ck)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Ledger.latestVersion(spark, down) == 3, "a drained restart must commit nothing")
+  }
+
+  test("stageChanges scans from the staged high-water mark, not from version 1") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_cdf_hwm")
+    val docs = (0L until 200L).map(i => (i, "src", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 4)
+    (0 until 6).foreach { v =>
+      Ledger.merge(spark, t, v,
+        Seq((v.toLong, "upsert", "src", s"edit $v")).toDF("doc_id", "op", "source", "text"),
+        "doc_id")
+    }
+    val p0 = Ledger.stageScanProbes.get()
+    assert(Ledger.stageChanges(spark, t, "doc_id") == 6)
+    assert(Ledger.stageScanProbes.get() - p0 == 6, "first staging examines each new version once")
+    val p1 = Ledger.stageScanProbes.get()
+    assert(Ledger.stageChanges(spark, t, "doc_id") == 0)
+    assert(Ledger.stageScanProbes.get() - p1 == 0,
+      "a current feed must examine ZERO versions — O(new), not O(history)")
+    Ledger.merge(spark, t, 6,
+      Seq((99L, "upsert", "src", "edit 99")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    val p2 = Ledger.stageScanProbes.get()
+    assert(Ledger.stageChanges(spark, t, "doc_id") == 1)
+    assert(Ledger.stageScanProbes.get() - p2 == 1, "one new version = one probe")
+  }
+
+  test("CDF restart after an upstream schema evolution: widened schema, replica converges") {
+    import spark.implicits._
+    val up = Ledger.tableRoot("ledger_evostream_up")
+    val down = Ledger.tableRoot("ledger_evostream_down")
+    val docs = (0L until 200L).map(i => (i, s"src${i % 3}", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, up, docs, "doc_id", nFiles = 4)
+    Ledger.create(spark, down, Ledger.readVersion(spark, up, 0), "doc_id", nFiles = 4)
+    Ledger.merge(spark, up, 0,
+      Seq((5L, "upsert", "srcX", "edited 5")).toDF("doc_id", "op", "source", "text"),
+      "doc_id")
+    Ledger.stageChanges(spark, up, "doc_id")
+    val ck = ckpt("evostream_repl")
+    val q1 = Ledger.replicate(spark, up, down, "doc_id", ck)
+    try q1.processAllAvailable() finally q1.stop()
+    // upstream WIDENS after the subscription drained: metadata-only
+    // ADD COLUMN, then a merge that backfills it and inserts a row
+    // born with the new column
+    Ledger.evolve(spark, up, 1, Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    Ledger.merge(spark, up, 2,
+      Seq((5L, "upsert", "srcX", "edited 5 again", "en"),
+          (500L, "upsert", "srcN", "born wide", "xx"))
+        .toDF("doc_id", "op", "source", "text", "lang"), "doc_id")
+    Ledger.stageChanges(spark, up, "doc_id")
+    // RESTART the same subscription (same checkpoint): the stream's
+    // schema is re-derived from the upstream TABLE, so it reads the
+    // widened CDF; the sink auto-evolves the replica before merging
+    val q2 = Ledger.replicate(spark, up, down, "doc_id", ck)
+    try q2.processAllAvailable() finally q2.stop()
+    val want = Ledger.readVersion(spark, up, 3).orderBy("doc_id").collect().toSeq
+    val have = Ledger.readVersion(spark, down,
+      Ledger.latestVersion(spark, down)).orderBy("doc_id").collect().toSeq
+    assert(Ledger.readVersion(spark, down, Ledger.latestVersion(spark, down))
+      .columns.toSeq == Seq("doc_id", "source", "text", "lang"),
+      "the replica must auto-evolve to the widened schema")
+    assert(have == want, "replica must converge to the widened upstream head")
+    // a FRESH subscription reading the whole MIXED-schema feed from
+    // scratch: pre-evolution partitions must null-fill the new column
+    // (unified parquet read), not drop rows or project columns away
+    val down2 = Ledger.tableRoot("ledger_evostream_down2")
+    Ledger.create(spark, down2, Ledger.readVersion(spark, up, 0), "doc_id", nFiles = 4)
+    val q3 = Ledger.replicate(spark, up, down2, "doc_id", ckpt("evostream_fresh"))
+    try q3.processAllAvailable() finally q3.stop()
+    val have2 = Ledger.readVersion(spark, down2,
+      Ledger.latestVersion(spark, down2)).orderBy("doc_id").collect().toSeq
+    assert(have2 == want,
+      "a from-scratch drain over mixed-schema CDF partitions must converge identically")
+  }
+
   test("subscribing before anything is staged fails with an actionable error, not PATH_NOT_FOUND") {
     import spark.implicits._
     val t = Ledger.tableRoot("ledger_cdf_unstaged")
