@@ -143,6 +143,11 @@ object ProbeKnnDiag {
     val dangling = trie.count() - nEdges
     println(f"edge exactness: $nEdges edges rechecked, $badSim sim mismatches, " +
       f"$dangling dangling endpoints t=${(System.nanoTime() - t4) / 1e9}%.2f")
+    // the COST axis of the recall-vs-cost curve: full corpus-wide kNN
+    // join wall at the active dial, standing index already built
+    val t5 = System.nanoTime()
+    val edges = graft.vector.VectorOps.qKnnJoin(spark, dir).count()
+    println(f"qKnnJoin steady rows=$edges t=${(System.nanoTime() - t5) / 1e9}%.2f")
     (qs, exact)
   }
 }

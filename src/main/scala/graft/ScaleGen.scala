@@ -33,6 +33,15 @@ import org.apache.spark.sql.functions._
   *  - region/nation are fixed-size dimensions at every TPC-H sf: copied.
   *
   * Usage: runMain graft.ScaleGen <srcDir> <outDir> <copies>
+  *        runMain graft.ScaleGen <srcDir> <outDir> <copies> embeddings <sigma>
+  * The second form writes ONLY a scaled embeddings table with the given
+  * perturbation σ — the CLUSTERED ANN-evaluation corpus (σ≈0.25 plants
+  * paraphrase-tier clusters: parent↔copy cos ≈ 0.97, sibling ≈ 0.94,
+  * far above the corpus' natural 0.48 max, so exact top-k is
+  * well-separated ground truth and ANN recall becomes a REAL signal —
+  * the default σ=1.5 near-random geometry keeps near-dup densities
+  * linear for the bench ladder but makes recall structurally
+  * meaningless; see the r7 sf100 study).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -47,8 +56,37 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, out, copies)
+    if (args.length > 3 && args(3) == "embeddings")
+      scaleEmbeddings(spark, src, out, copies, args(4).toDouble)
+    else scale(spark, src, out, copies)
     spark.stop()
+  }
+
+  /** Scale only the embeddings table, with an explicit perturbation σ
+    * (the full-corpus scale() uses σ=1.5; clustered ANN-eval corpora
+    * use a tight σ so each parent + its copies form a genuine
+    * neighborhood). Same seeded, deterministic generator. */
+  def scaleEmbeddings(spark: SparkSession, src: String, out: String,
+      copies: Int, sigmaTotal: Double): Unit = {
+    val cps = broadcast(spark.range(0, copies).toDF("cp"))
+    val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
+    val vOff = embeddings.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    import spark.implicits._
+    val scaled = embeddings.repartition(32).crossJoin(cps)
+      .select(col("vec_id"), col("cp"), col("embedding"), col("label"))
+      .as[(Long, Long, Seq[Float], Int)]
+      .map { case (id, cp, vec, label) =>
+        if (cp == 0L) (id, vec, label)
+        else {
+          val rnd = new java.util.Random(id * 1000003L + cp * 7919L)
+          val sigma = sigmaTotal.toFloat / math.sqrt(vec.length).toFloat
+          val noisy = vec.map(v => v + sigma * rnd.nextGaussian().toFloat)
+          val norm = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
+          (id + cp * vOff, noisy.map(_ / norm), label)
+        }
+      }.toDF("vec_id", "embedding", "label")
+    val n = math.max(2, math.min(64, 2 * copies / 4))
+    scaled.repartition(n).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   def scale(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
@@ -134,24 +172,9 @@ object ScaleGen {
     write(rep(documents).select(shifted("doc_id", dOff), salted.as("text"),
       col("lang"), col("source"), length(salted).cast("long").as("n_chars")), "documents", 2)
 
-    // embeddings: seeded gaussian perturbation, renormalized
-    val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
-    val vOff = off(embeddings, "vec_id")
-    import spark.implicits._
-    val embScaled = rep(embeddings)
-      .select(col("vec_id"), col("cp"), col("embedding"), col("label"))
-      .as[(Long, Long, Seq[Float], Int)]
-      .map { case (id, cp, vec, label) =>
-        if (cp == 0L) (id, vec, label)
-        else {
-          val rnd = new java.util.Random(id * 1000003L + cp * 7919L)
-          // per-dim σ = 1.5/√d → total noise norm ≈ 1.5 on unit parents
-          val sigma = 1.5f / math.sqrt(vec.length).toFloat
-          val noisy = vec.map(v => v + sigma * rnd.nextGaussian().toFloat)
-          val norm = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
-          (id + cp * vOff, noisy.map(_ / norm), label)
-        }
-      }.toDF("vec_id", "embedding", "label")
-    write(embScaled, "embeddings", 2)
+    // embeddings: seeded gaussian perturbation (total noise norm ≈ 1.5
+    // on unit parents), renormalized — shared generator with the
+    // clustered-σ variant
+    scaleEmbeddings(spark, src, out, copies, 1.5)
   }
 }

@@ -205,8 +205,11 @@ object VectorOps {
       (p0, p0 + KnnMaxExtra)
     }
 
-  /** Mean-occupancy target; base depth p0 = floor(log2(ceil(n/125))). */
-  val KnnTargetOcc = 125L
+  /** Mean-occupancy target; base depth p0 = floor(log2(ceil(n/target))).
+    * Overridable (-Dgraft.knn.target=N) ONLY for dial experiments —
+    * raising it drops base planes, buying recall with candidate volume
+    * (the recall-vs-cost lever of the clustered-corpus study). */
+  val KnnTargetOcc: Long = sys.props.get("graft.knn.target").map(_.toLong).getOrElse(125L)
   /** A cell splits one plane deeper while its occupancy exceeds this.
     * Overridable (-Dgraft.knn.cap=N) ONLY for dial experiments — the
     * recall/candidate-volume trade study in PERF.md; every declared
@@ -214,6 +217,15 @@ object VectorOps {
   val KnnCapOcc: Long = sys.props.get("graft.knn.cap").map(_.toLong).getOrElse(250L)
   /** Split budget past base depth (2^8× finer than base at the floor). */
   val KnnMaxExtra = 8
+  /** Multi-probe width: how many lowest-|margin| planes each query
+    * flips (each probe visits the flipped code's trie leaf). Default 1
+    * — the declared/oracle paths are byte-identical to the historical
+    * single-flip plan. Overridable (-Dgraft.knn.probes=P) for dial
+    * experiments: each extra probe targets the NEXT most likely
+    * disagreeing plane, the classic multi-probe LSH recall buy-back
+    * (Lv et al., VLDB'07) at ~one extra bucket of candidates per
+    * probe. */
+  val KnnProbes: Int = sys.props.get("graft.knn.probes").map(_.toInt).getOrElse(1)
 
   private val embCountMemo = graft.StandingState.memo[(String, String), Long]()
   private val knnKeymapMemo = graft.StandingState.memo[(String, String), DataFrame]()
@@ -280,10 +292,25 @@ object VectorOps {
       val usable = slice(absDots, lit(1), col("ld"))
       val flipExpr = element_at(array((0 until maxD).map(p => lit(1L << p)): _*),
         array_position(usable, array_min(usable)).cast("int"))
-      val (emb, _) = graft.dedup.Dedup.materializeStatsReset(
-        src.join(knnKeymap(spark, src, p0, maxD, dir), Seq("full"))
-          .withColumn("bucket", trieKey(col("full"), col("ld")))
-          .withColumn("flip", flipExpr))
+      val indexed0 = src.join(knnKeymap(spark, src, p0, maxD, dir), Seq("full"))
+        .withColumn("bucket", trieKey(col("full"), col("ld")))
+        .withColumn("flip", flipExpr)
+      // multi-probe dial (> 1): ALSO store the ordered flip-bit array —
+      // the P lowest-|margin| usable planes, ascending margin with
+      // first-minimum tie-break (struct sort on (margin, index) —
+      // flips[0] ≡ flip). Default runs never compute it, keeping the
+      // standing artifact and plan byte-identical to the single-flip
+      // design.
+      val indexed =
+        if (KnnProbes <= 1) indexed0
+        else {
+          val pow2 = array((0 until maxD).map(p => lit(1L << p)): _*)
+          val idxd = transform(usable, (m, i) => struct(m.as("m"), i.as("i")))
+          val flipsExpr = transform(slice(array_sort(idxd), 1, KnnProbes),
+            s => element_at(pow2, s.getField("i").cast("int") + 1))
+          indexed0.withColumn("flips", flipsExpr)
+        }
+      val (emb, _) = graft.dedup.Dedup.materializeStatsReset(indexed)
       (emb, p0, maxD)
     })
   }
@@ -338,7 +365,27 @@ object VectorOps {
       if (p0 == maxD)
         emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
           explode(array(col("bucket"), probeFull)).as("bucket"))
-      else {
+      else if (KnnProbes > 1) {
+        // multi-probe dial: one flipped code per stored flip bit, each
+        // resolved to its trie leaf. Distinct per (q_id, leaf): two
+        // flips can share a leaf ANCESTOR shallower than both flip
+        // depths, and a duplicate probe bucket would double-count its
+        // candidates into the top-k heap. A probe leaf can never equal
+        // the query's own bucket (the flip is below leaf depth, and
+        // the leaf set is prefix-free), so own+probes stay disjoint.
+        val pf = emb.select(col("vec_id").as("q_id"), col("full"),
+            explode(col("flips")).as("fb"))
+          .select(col("q_id"), col("full").bitwiseXOR(col("fb")).as("pfull"))
+        val cands = pf.select(col("q_id"), explode(array((p0 to maxD).map { d =>
+            col("pfull").bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)
+          }: _*)).as("cand"))
+        val resolved = cands.join(knnLeafKeysDf(spark, dir, emb),
+            cands("cand") === col("leaf_key"))
+          .select(col("q_id"), col("cand").as("bucket")).distinct()
+        emb.select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+          .unionByName(emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
+            .join(resolved, Seq("q_id")))
+      } else {
         val cands = emb.select(col("vec_id").as("q_id"),
           explode(array((p0 to maxD).map { d =>
             probeFull.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)
