@@ -185,6 +185,7 @@ object SparkEntry {
     "q_ledger_stream" -> (graft.etl.Ledger.qLedgerStream _),
     "q_ledger_replicate" -> (graft.etl.Ledger.qLedgerReplicate _),
     "q_ledger_occ" -> (graft.etl.Ledger.qLedgerOcc _),
+    "q_ledger_incr_agg" -> (graft.etl.Ledger.qLedgerIncrAgg _),
     "q_ledger_zorder" -> (graft.etl.Ledger.qLedgerZorder _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
@@ -2130,6 +2131,29 @@ object SparkEntry {
         |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
         |FROM head""".stripMargin,
+    // q_ledger_incr_agg: a per-source materialized view maintained
+    // INCREMENTALLY from the full (pre-image) change feed must equal
+    // a from-scratch recomputation of the head — v2's per-source doc
+    // counts and content-fingerprint checksums (v3 is a compaction and
+    // must contribute nothing). A dropped pre-image (update
+    // double-counted) or sign error shifts the checksum.
+    "q_ledger_incr_agg" ->
+      """WITH v0 AS (SELECT doc_id, source, text FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'new ' || text FROM v0 WHERE doc_id % 29 = 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev3]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 19 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, source, 'new2 ' || text FROM v0 WHERE doc_id % 31 = 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
+        |FROM v2 GROUP BY source ORDER BY source""".stripMargin,
     // q_ledger_stream: the STREAMING CDF consumer must deliver exactly
     // the batch change feed — same logical v0/v1/v2 recomputation as
     // q_ledger_changes, keyed by commit_version instead of the version

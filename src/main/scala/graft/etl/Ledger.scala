@@ -1084,6 +1084,71 @@ object Ledger {
     }
   }
 
+  /** CHANGE DATA FEED WITH PRE-IMAGES — Delta's four-op `_change_data`
+    * shape: op ∈ {insert, delete, update_preimage, update_postimage},
+    * one row per image. [[readChanges]] (the subscription/staging
+    * feed) emits updates as single post-image rows, which is enough
+    * for replication (a replica overwrites by key) but NOT for
+    * incremental AGGREGATE maintenance: refreshing `SUM(f(x)) GROUP BY
+    * g` from the feed needs to RETRACT the old contribution of an
+    * updated row before adding the new one — the pre-image. Same
+    * manifest-diff machinery and cost shape as readChanges
+    * (changed-files-sized I/O; compaction pairs diff to zero rows);
+    * kept a separate method so the post-image feed's oracle-pinned
+    * output is untouched. */
+  def readChangesFull(spark: SparkSession, table: String, vFrom: Int,
+      vTo: Int, keyCol: String): DataFrame = {
+    def paths(v: Int): Set[String] = manifest(spark, table, v)
+      .select(col("path")).collect().map(_.getString(0)).toSet
+    val (pf, pt) = (paths(vFrom), paths(vTo))
+    val schemaSrc = readVersion(spark, table, vTo).limit(0)
+    def rd(ps: Set[String]): DataFrame =
+      if (ps.isEmpty) schemaSrc
+      else readConformed(spark, table, vTo, ps.toIndexedSeq)
+    val payload = schemaSrc.columns.filterNot(_ == keyCol).toSeq
+    val b = applyDv(spark, table, vFrom, rd(pf -- pt)).select(col(keyCol).as("_kb") +:
+      payload.map(c => col(c).as(s"_b_$c")): _*)
+    val a = applyDv(spark, table, vTo, rd(pt -- pf)).select(col(keyCol).as("_ka") +:
+      payload.map(c => col(c).as(s"_a_$c")): _*)
+    val changed = payload.map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))
+      .reduce(_ || _)
+    // one struct per image a row contributes; updates carry BOTH
+    val img = (side: String, op: String) => struct(
+      (lit(op).as("op") +: payload.map(c => col(s"_${side}_$c").as(c))): _*)
+    val images = b.join(a, col("_kb") === col("_ka"), "full_outer")
+      .filter(col("_kb").isNull || col("_ka").isNull || changed)
+      .select(coalesce(col("_ka"), col("_kb")).as(keyCol),
+        explode(when(col("_kb").isNull, array(img("a", "insert")))
+          .when(col("_ka").isNull, array(img("b", "delete")))
+          .otherwise(array(img("b", "update_preimage"),
+            img("a", "update_postimage")))).as("_img"))
+      .select((col("_img.op").as("op") +: col(keyCol) +:
+        payload.map(c => col(s"_img.$c").as(c))): _*)
+    // DV-added keys: deletes whose pre-image lives in range-pruned
+    // shared files — identical to readChanges' dvDeletes contract
+    val dvDeletes: Option[DataFrame] =
+      deletionVector(spark, table, vTo).map { dt =>
+        val added = deletionVector(spark, table, vFrom)
+          .map(df0 => dt.join(df0, df0.columns.toSeq, "left_anti")).getOrElse(dt)
+        val k = added.columns.head
+        val addedKeys = added.select(col(k).as("_dk"))
+        val sharedHit = manifest(spark, table, vTo)
+          .filter(col("path").isInCollection((pf intersect pt).toSeq :+ ""))
+          .join(addedKeys, col("_dk") >= col("min_key") && col("_dk") <= col("max_key"),
+            "left_semi")
+          .select(col("path")).collect().map(_.getString(0))
+        if (sharedHit.isEmpty) schemaSrc
+        else readConformed(spark, table, vTo, sharedHit.toIndexedSeq)
+          .join(addedKeys, col(keyCol) === col("_dk"), "left_semi")
+      }
+    dvDeletes match {
+      case None => images
+      case Some(d) => images.unionByName(
+        d.select((lit("delete").as("op") +: col(keyCol) +:
+          payload.map(col)): _*))
+    }
+  }
+
   // ---- the change feed as a STRUCTURED STREAMING source ----
 
   private def cdfPath(table: String): String = s"$table/cdf"
@@ -1570,6 +1635,40 @@ object Ledger {
         checksum(textFp(col("text"))).as("text_fp_sum"))
       .select(lit(head.toLong).as("n_versions"), col("n_rows"),
         col("key_sum"), col("text_fp_sum"))
+  }
+
+  /** Q-ledger-incr-agg: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over
+    * the change feed — the standing-aggregate pattern a 100 TB corpus
+    * lives by (per-source doc counts and content checksums refreshed
+    * from the feed, never by rescanning the table). The view is
+    * bootstrapped from v0, then each version's FULL change feed
+    * ([[readChangesFull]] — pre-images retract, post-images add)
+    * applies as signed deltas: insert/update_postimage +1·fp,
+    * delete/update_preimage −1·fp. The maintained result must equal a
+    * from-scratch recomputation of the HEAD's per-source stats — the
+    * DuckDB oracle recomputes exactly that, so a missing pre-image (an
+    * update double-counted), a sign error, or a compaction version
+    * leaking rows into the feed all break the hash. Incremental cost
+    * is feed-sized (changed files only), bootstrap is v0-sized — the
+    * point of the pattern. */
+  def qLedgerIncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtLineage(spark, dir)
+    val base = readVersion(spark, table, 0)
+      .select(col("source"), lit(1L).as("sgn"), textFp(col("text")).as("fp"))
+    val deltas = (1 to 3).map { v =>
+      readChangesFull(spark, table, v - 1, v, "doc_id")
+        .select(col("source"),
+          when(col("op").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L).as("sgn"),
+          textFp(col("text")).as("fp"))
+    }.reduce(_.unionByName(_))
+    base.unionByName(deltas)
+      .groupBy(col("source"))
+      .agg(sum(col("sgn")).as("n_docs"),
+        pmod(sum((col("fp") * col("sgn"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))), modulus)
+          .cast("long").as("text_fp_sum"))
+      .orderBy(col("source"))
   }
 
   // ---- schema-evolution lineage (its own root — the shared lineage

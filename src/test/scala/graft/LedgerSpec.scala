@@ -130,6 +130,39 @@ class LedgerSpec extends AnyFunSuite {
       .filter(col("doc_id") === 5L).collect().head.getString(2) == "body 5")
   }
 
+  test("full change feed carries pre-images and maintains aggregates incrementally") {
+    built
+    val full = Ledger.readChangesFull(spark, table, 0, 1, "doc_id")
+    val byOp = full.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same event counts as the post-image feed, updates doubled into
+    // pre/post pairs (20 updates in the built lineage, see the CDF spec)
+    assert(byOp("insert") == 2 && byOp("delete") == 5)
+    assert(byOp("update_preimage") == 20 && byOp("update_postimage") == 20)
+    // every updated key carries exactly one image of each kind, and the
+    // pre-image is the OLD payload, the post-image the new one
+    val k2 = full.filter(col("doc_id") === 2L).collect()
+      .map(r => r.getAs[String]("op") -> r.getAs[String]("text")).toMap
+    assert(k2 == Map("update_preimage" -> "document body 2",
+      "update_postimage" -> "edited 2"))
+    // compaction pairs stay invisible in the full feed too
+    assert(Ledger.readChangesFull(spark, table, 1, 2, "doc_id").count() == 0)
+    // THE LAW the pre-images exist for: a view maintained from the feed
+    // (insert/post add, delete/pre retract) equals recomputation
+    import spark.implicits._
+    val base = Ledger.readVersion(spark, table, 0)
+      .select(col("source"), lit(1L).as("sgn"))
+    val delta = full.select(col("source"),
+      when(col("op").isin("insert", "update_postimage"), 1L).otherwise(-1L).as("sgn"))
+    val maintained = base.unionByName(delta).groupBy("source")
+      .agg(sum("sgn").as("n")).filter(col("n") =!= 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recomputed = Ledger.readVersion(spark, table, 1).groupBy("source")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maintained == recomputed,
+      "feed-maintained per-source counts must equal head recomputation")
+  }
+
   test("vacuum keeps carried-by-reference files alive and expires old versions") {
     import spark.implicits._
     val t = Ledger.tableRoot("ledger_vacuum_spec")
