@@ -853,7 +853,16 @@ object Ledger {
     None
   }
 
-  /** Block until version N's manifest commit point lands. */
+  /** Block until version N's manifest commit point lands. The timeout
+    * names the one unrecoverable residue in the protocol: a claimant
+    * that died BETWEEN winning the claim and landing the manifest
+    * leaves a claim file no later writer can distinguish from a slow
+    * in-flight commit (auto-takeover would double-commit against a
+    * paused-but-alive claimant — the classic lease problem; Delta on
+    * HDFS has the same operator-resolved window). Recovery is
+    * operator-explicit: confirm the claimant is dead, delete the claim
+    * file, and writers proceed; an idempotent stream then replays its
+    * batch through the normal txn-marker path. */
   private def waitForCommitted(spark: SparkSession, table: String,
       version: Int, waitMs: Long): Unit = {
     val f = fs(spark, table)
@@ -862,7 +871,10 @@ object Ledger {
     while (!f.exists(marker)) {
       if (System.currentTimeMillis() > deadline)
         throw new java.util.concurrent.TimeoutException(
-          s"version $version claimed but never committed (stale claim?)")
+          s"version $version of $table was claimed but never committed after " +
+          s"${waitMs} ms — a committer likely died between claim and manifest. " +
+          s"If no writer is alive, delete ${claimPath(table, version)} to " +
+          "release the version; idempotent writers then replay safely.")
       Thread.sleep(50)
     }
   }
