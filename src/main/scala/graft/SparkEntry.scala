@@ -186,6 +186,8 @@ object SparkEntry {
     "q_ledger_replicate" -> (graft.etl.Ledger.qLedgerReplicate _),
     "q_ledger_occ" -> (graft.etl.Ledger.qLedgerOcc _),
     "q_ledger_incr_agg" -> (graft.etl.Ledger.qLedgerIncrAgg _),
+    "q_ledger_incr_join" -> (graft.etl.Ledger.qLedgerIncrJoin _),
+    "q_ledger_wap" -> (graft.etl.Ledger.qLedgerWap _),
     "q_ledger_zorder" -> (graft.etl.Ledger.qLedgerZorder _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
@@ -2154,6 +2156,54 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum
         |FROM v2 GROUP BY source ORDER BY source""".stripMargin,
+    // q_ledger_incr_join: a JOIN view over two independently-committing
+    // ledger tables, maintained incrementally from BOTH change feeds
+    // (fact partials per (k, source) from the docs feed; signed
+    // (multiplicity, weight) deltas from the dim feed), must equal the
+    // from-scratch head join: docs@v2 ⋈ dims@v2 per k = doc_id%5. The
+    // dim head: weight = 7·len+3 (+11 where the first codepoint is
+    // even), minus the lexicographically smallest source (deleted at
+    // dim v2 — its docs must contribute NOTHING).
+    "q_ledger_incr_join" ->
+      """WITH v0 AS (SELECT doc_id, source, text FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM v0 WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, source, 'new ' || text FROM v0 WHERE doc_id % 29 = 0),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [rev3]' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 19 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, source, 'new2 ' || text FROM v0 WHERE doc_id % 31 = 0),
+        |dims AS (
+        |  SELECT source,
+        |    CAST(length(source) * 7 + 3
+        |      + CASE WHEN ascii(substr(source, 1, 1)) % 2 = 0 THEN 11 ELSE 0 END AS BIGINT) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |  WHERE source <> (SELECT min(source) FROM documents))
+        |SELECT CAST(doc_id % 5 AS BIGINT) AS k, count(*) AS n_pairs,
+        |  CAST(sum(CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS HUGEINT) * weight)
+        |    % 1000000000000000000 AS BIGINT) AS wfp_sum
+        |FROM v2 JOIN dims USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_ledger_wap: the write-audit-publish head — corpus ∪ the good
+    // branch's published %37==0 clones ("wap " prefix, +4e9 keys), at
+    // exactly one parent version past create. The dropped bad branch's
+    // empty-text upserts must be absent (they'd shift both the row
+    // count and the fingerprint checksum).
+    "q_ledger_wap" ->
+      """WITH head AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, 'wap ' || text FROM documents WHERE doc_id % 37 = 0)
+        |SELECT CAST(1 AS BIGINT) AS n_versions, count(*) AS n_rows,
+        |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum,
+        |  CAST(sum(CASE WHEN doc_id >= 4000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_published
+        |FROM head""".stripMargin,
     // q_ledger_stream: the STREAMING CDF consumer must deliver exactly
     // the batch change feed — same logical v0/v1/v2 recomputation as
     // q_ledger_changes, keyed by commit_version instead of the version

@@ -1665,6 +1665,25 @@ object Ledger {
     * point of the pattern. */
   private val incrBaseMemo = graft.StandingState.memo[(String, String), DataFrame]()
 
+  /** The shared lineage's FULL feed (4-image), v1..v3, STAGED once per
+    * (session, corpus) — the batch twin of what [[stageChanges]] does
+    * for the streaming consumer: in production the writer stages each
+    * commit's change files once and every downstream view refresh READS
+    * them; recomputing the manifest-diff per consumer per tick would
+    * multiply the diff cost by the subscriber count. Columns: op,
+    * commit_version, key, payload. Feed-sized (changed keys only). */
+  private val fullFeedMemo = graft.StandingState.memo[(String, String), DataFrame]()
+
+  private def stagedFullFeed(spark: SparkSession, table: String,
+      dir: String, keyCol: String, upTo: Int): DataFrame =
+    fullFeedMemo.getOrElseUpdate((spark.sparkContext.applicationId, s"$table@$dir"), {
+      import graft.StandingState.CkptOps
+      (1 to upTo).map { v =>
+        readChangesFull(spark, table, v - 1, v, keyCol)
+          .withColumn("commit_version", lit(v))
+      }.reduce(_.unionByName(_)).localCheckpointTracked()
+    })
+
   def qLedgerIncrAgg(spark: SparkSession, dir: String): DataFrame = {
     val table = builtLineage(spark, dir)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -1681,13 +1700,11 @@ object Ledger {
           sum(textFp(col("text")).cast(dec38)).as("dfp"))
         .localCheckpointTracked()
     })
-    val deltas = (1 to 3).map { v =>
-      readChangesFull(spark, table, v - 1, v, "doc_id")
-        .select(col("source"),
-          when(col("op").isin("insert", "update_postimage"), 1L)
-            .otherwise(-1L).as("sgn"),
-          textFp(col("text")).as("fp"))
-    }.reduce(_.unionByName(_))
+    val deltas = stagedFullFeed(spark, table, dir, "doc_id", 3)
+      .select(col("source"),
+        when(col("op").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L).as("sgn"),
+        textFp(col("text")).as("fp"))
       .groupBy(col("source"))
       .agg(sum(col("sgn")).as("dn"),
         sum((col("fp") * col("sgn")).cast(dec38)).as("dfp"))
@@ -1911,7 +1928,10 @@ object Ledger {
     builtSkipSidecar(spark, dir)
     builtZLineage(spark, dir)
     builtOccLineage(spark, dir)
-    qLedgerIncrAgg(spark, dir).count() // materializes the view bootstrap
+    builtWapLineage(spark, dir)
+    builtDimLineage(spark, dir)
+    qLedgerIncrAgg(spark, dir).count()  // materializes the view bootstrap
+    qLedgerIncrJoin(spark, dir).count() // materializes the join-view partials
     ()
   }
 
@@ -1936,5 +1956,262 @@ object Ledger {
       .select(col("text")).collect().map(_.getString(0)).toSeq
     readWhereIn(spark, table, 3, "text", lookups)
       .select(col("doc_id"), col("source"), textFp(col("text")).as("text_fp"))
+  }
+
+  // ---- branches: WRITE-AUDIT-PUBLISH ----
+
+  private def branchRoot(table: String, name: String) =
+    s"$table/_branches/$name"
+  private def branchBasePath(table: String, name: String) =
+    s"${branchRoot(table, name)}/_base"
+
+  /** Create (or replace) branch `name` of `table` at `fromVersion` —
+    * the staging side of the WRITE-AUDIT-PUBLISH pattern (Iceberg's
+    * WAP / Delta's shallow clone): a branch is a FULL ledger table
+    * whose v0 references the base version's files by manifest entry,
+    * so creating one is metadata-only (zero data I/O at any table
+    * size) and EVERY table API — merge, OCC, deletion vectors, CDF,
+    * time travel — works on it unchanged. Audit queries read the
+    * branch head; nothing is visible on the parent until [[publish]].
+    *
+    * Data written by branch commits lands under the branch root
+    * (`<table>/_branches/<name>/data/...`), which the parent's
+    * [[vacuum]] never lists — so an unpublished branch's files can't
+    * be collected out from under it, and published files (referenced
+    * by a parent manifest but living under the branch dir) survive
+    * parent vacuums by the same reachability rule every carried-over
+    * file does. Returns the branch's table root. */
+  def branch(spark: SparkSession, table: String, fromVersion: Int,
+      name: String): String = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: $name")
+    val b = branchRoot(table, name)
+    val f = fs(spark, table)
+    f.delete(new Path(b), true)
+    // sidecars land BEFORE the manifest — same commit discipline as
+    // evolve/deleteWhere: a branch visible at v0 has its schema/DV
+    schemaOf(spark, table, fromVersion).foreach(writeSchema(spark, b, 0, _))
+    deletionVector(spark, table, fromVersion)
+      .foreach(_.write.mode("overwrite").parquet(deletePath(b, 0)))
+    writeSmallFile(f, new Path(branchBasePath(table, name)), fromVersion.toString)
+    writeManifest(spark, b, 0, manifest(spark, table, fromVersion))
+    b
+  }
+
+  /** The parent version branch `name` was cut from. */
+  def branchBase(spark: SparkSession, table: String, name: String): Int = {
+    val p = new Path(branchBasePath(table, name))
+    val f = fs(spark, table)
+    require(f.exists(p), s"no branch '$name' on $table")
+    readSmallFile(f, p).trim.toInt
+  }
+
+  /** PUBLISH branch `name`: fast-forward the parent to the branch
+    * head — the audited snapshot becomes the parent's next version as
+    * ONE commit (the branch's intermediate versions stay branch-local,
+    * like an Iceberg cherry-pick of the branch tip). The parent must
+    * still sit at the branch's base version: WAP's contract is that
+    * the EXACT bytes the audit blessed go live, and if the parent
+    * advanced, the published state would be neither the audited
+    * snapshot nor a merge anyone validated — so publish aborts loudly
+    * and the caller re-branches from the new head. The version claim
+    * goes through the same [[LogStore]] as every other commit, so a
+    * racing writer and a publish serialize; the loser aborts. */
+  def publish(spark: SparkSession, table: String, name: String,
+      logStore: LogStore = AtomicCreateLogStore): Int = {
+    val b = branchRoot(table, name)
+    val base = branchBase(spark, table, name)
+    val bHead = latestVersion(spark, b)
+    require(bHead >= 0, s"branch '$name' has no committed version")
+    val target = base + 1
+    def conflict(why: String) =
+      throw new java.util.ConcurrentModificationException(
+        s"publish '$name' -> $table v$target aborted: $why (re-branch " +
+          "from the current head and re-run the audit)")
+    val head = latestVersion(spark, table)
+    if (head != base) conflict(s"parent advanced to v$head past the audited base v$base")
+    if (!logStore.tryClaim(spark, table, target))
+      conflict(s"another writer holds the claim for v$target")
+    // claim held: v_target is ours alone; sidecars before the manifest
+    schemaOf(spark, b, bHead).foreach(writeSchema(spark, table, target, _))
+    deletionVector(spark, b, bHead)
+      .foreach(_.write.mode("overwrite").parquet(deletePath(table, target)))
+    writeManifest(spark, table, target, manifest(spark, b, bHead))
+    target
+  }
+
+  /** Drop branch `name` — the audit-failed path. Deletes the branch
+    * dir including any data files its commits wrote; safe at any time
+    * BEFORE publish (nothing outside the branch references them) and
+    * after a publish it would orphan the published files, so it
+    * refuses. */
+  def dropBranch(spark: SparkSession, table: String, name: String): Unit = {
+    val f = fs(spark, table)
+    val published = latestVersion(spark, table) match {
+      case v if v >= 0 && f.exists(new Path(branchBasePath(table, name))) =>
+        val prefix = branchRoot(table, name) + "/data/"
+        (0 to v).exists(u => f.exists(new Path(manifestPath(table, u) + "/_SUCCESS")) &&
+          manifest(spark, table, u).filter(col("path").contains(prefix)).limit(1)
+            .count() > 0)
+      case _ => false
+    }
+    require(!published,
+      s"branch '$name' was published: its data files are live in the parent")
+    f.delete(new Path(branchRoot(table, name)), true)
+  }
+
+  private def wapTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_wap", dir.replaceAll(".*/", ""))
+
+  private val wapMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** The WAP lineage: v0 = the corpus; branch `bad` stages a changeset
+    * that plants empty texts (doc_id%53==0 upserted to ""), its audit
+    * FAILS (empty-text count > 0) and the branch is dropped — none of
+    * it may ever reach the parent. Branch `good` stages the %37==0
+    * clones at +4e9 with a "wap " prefix, its audit passes (zero empty
+    * texts) and publishes as parent v1. Standing table, one build per
+    * (session, corpus). */
+  private def builtWapLineage(spark: SparkSession, dir: String): String =
+    wapMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = wapTableRoot(dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      create(spark, table, docs, "doc_id")
+      val bad = branch(spark, table, 0, "bad")
+      merge(spark, bad, 0, docs.filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id"), lit("upsert").as("op"), col("source"),
+          lit("").as("text")), "doc_id")
+      val badRows = readVersion(spark, bad, 1)
+        .filter(length(col("text")) === 0).count()
+      require(badRows > 0, "the bad branch must fail its audit")
+      dropBranch(spark, table, "bad")
+      val good = branch(spark, table, 0, "good")
+      merge(spark, good, 0, docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 4000000000L).as("doc_id"),
+          lit("upsert").as("op"), col("source"),
+          concat(lit("wap "), col("text")).as("text")), "doc_id")
+      require(readVersion(spark, good, 1)
+        .filter(length(col("text")) === 0).count() == 0,
+        "the good branch must pass its audit")
+      publish(spark, table, "good")
+      table
+    })
+
+  /** Q-ledger-wap: audit the WAP lineage's published head — version
+    * number (1: the branch's commit became exactly one parent
+    * version), row count, key/content checksums, and the count of
+    * published (+4e9) rows. The DuckDB oracle recomputes the head
+    * logically: corpus ∪ the %37==0 "wap " clones — NONE of the
+    * dropped bad branch's empty texts (an empty-text fingerprint
+    * shifts the checksum), all of the good branch's rows. */
+  def qLedgerWap(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtWapLineage(spark, dir)
+    val head = latestVersion(spark, table)
+    readVersion(spark, table, head)
+      .agg(count(lit(1)).as("n_rows"),
+        checksum(col("doc_id")).as("key_sum"),
+        checksum(textFp(col("text"))).as("text_fp_sum"),
+        sum(when(col("doc_id") >= 4000000000L, 1L).otherwise(0L)).as("n_published"))
+      .select(lit(head.toLong).as("n_versions"), col("n_rows"),
+        col("key_sum"), col("text_fp_sum"), col("n_published"))
+  }
+
+  // ---- incremental JOIN-view maintenance (two-tier / factorized) ----
+
+  private def dimTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_dim", dir.replaceAll(".*/", ""))
+
+  private val dimMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** Dim-side lineage for the join view — STRING-keyed on purpose (the
+    * manifest range logic and copy-on-write must not assume numeric
+    * keys): v0 = one row per distinct corpus source with weight =
+    * 7·length(source)+3; v1 = MERGE bumping +11 where the source's
+    * first codepoint is even; v2 = MERGE deleting the
+    * lexicographically smallest source (a dim delete must retract
+    * every joined row's contribution from the view). */
+  private def builtDimLineage(spark: SparkSession, dir: String): String =
+    dimMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = dimTableRoot(dir)
+      val dims0 = Tables.documents(spark, dir).select(col("source")).distinct()
+        .select(col("source"),
+          (length(col("source")) * 7 + 3).cast("long").as("weight"))
+      create(spark, table, dims0, "source", nFiles = 2)
+      merge(spark, table, 0,
+        readVersion(spark, table, 0)
+          .filter(ascii(substring(col("source"), 1, 1)) % 2 === 0)
+          .select(col("source"), lit("upsert").as("op"),
+            (col("weight") + 11).as("weight")), "source")
+      val mn = readVersion(spark, table, 1).agg(min(col("source"))).head.getString(0)
+      merge(spark, table, 1,
+        readVersion(spark, table, 1).filter(col("source") === mn)
+          .select(col("source"), lit("delete").as("op"), col("weight")), "source")
+      table
+    })
+
+  /** Q-ledger-incr-join: INCREMENTAL maintenance of a JOIN view across
+    * TWO independently-committing ledger tables — docs (the shared
+    * lineage, fact side) ⋈ dims (source → weight, dim side) aggregated
+    * per k = doc_id%5, a group key that CROSSES the join key so a dim
+    * change touches every group.
+    *
+    * The two-tier (factorized) IVM shape — the only one that survives
+    * 100 TB: tier 1 maintains per-(k, source) FACT PARTIALS (count,
+    * fingerprint-sum) from the fact table's full change feed — feed-
+    * sized work per fact commit, and the compaction version must
+    * contribute nothing. Tier 2 combines partials with the dim side:
+    * the view bootstraps against dim v0 and then applies the DIM
+    * table's full feed as signed (multiplicity, weight) deltas joined
+    * to the partials — dim-cardinality work per dim commit, never a
+    * rescan of fact data. A dropped pre-image on either feed, a sign
+    * error, or a dim delete that fails to retract its joined rows all
+    * break the hash against the oracle's from-scratch head join. */
+  private val incrJoinBaseMemo =
+    graft.StandingState.memo[(String, String), DataFrame]()
+
+  def qLedgerIncrJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docsT = builtLineage(spark, dir)
+    val dimT = builtDimLineage(spark, dir)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = pmod(col("doc_id"), lit(5)).as("k")
+    val sgn = when(col("op").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    // tier 1: fact partials. The v0 BOOTSTRAP is the standing artifact
+    // (corpus-scan-sized, (k × source)-cardinality output — built once
+    // per session like the incr-agg base); the feed deltas v1..v3 stay
+    // in the query, so its steady cost is the feed-sized refresh work.
+    val base = incrJoinBaseMemo.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        import graft.StandingState.CkptOps
+        readVersion(spark, docsT, 0)
+          .groupBy(k, col("source"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(textFp(col("text")).cast(dec38)).as("fpsum"))
+          .localCheckpointTracked()
+      })
+    val partials = base
+      .unionByName(stagedFullFeed(spark, docsT, dir, "doc_id", 3)
+        .select(k, col("source"), sgn.as("sgn"), textFp(col("text")).as("fp"))
+        .groupBy(col("k"), col("source"))
+        .agg(sum(col("sgn")).as("cnt"),
+          sum((col("fp") * col("sgn")).cast(dec38)).as("fpsum")))
+      .groupBy(col("k"), col("source"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("fpsum")).as("fpsum"))
+    // tier 2: dim v0 bootstrap + the dim feed as signed deltas; an
+    // update retracts (m=-1, -w_old) and re-adds (m=+1, +w_new), a
+    // delete retracts — summing per source gives the net (m, w) each
+    // partial multiplies into the view
+    val dims = readVersion(spark, dimT, 0)
+      .select(col("source"), lit(1L).as("bm"), col("weight").as("bw"))
+      .unionByName(stagedFullFeed(spark, dimT, dir, "source", 2)
+        .select(col("source"), sgn.as("bm"), (col("weight") * sgn).as("bw")))
+      .groupBy(col("source"))
+      .agg(sum(col("bm")).as("bm"), sum(col("bw")).as("bw"))
+    partials.join(broadcast(dims), Seq("source"))
+      .groupBy(col("k"))
+      .agg(sum(col("cnt") * col("bm")).as("n_pairs"),
+        pmod(sum((col("fpsum") * col("bw")).cast(dec38)), modulus)
+          .cast("long").as("wfp_sum"))
+      .orderBy(col("k"))
   }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Ledger
+
+/** Laws of WRITE-AUDIT-PUBLISH branches: a branch is a full ledger
+  * table cut from a parent version by manifest reference (metadata-
+  * only), commits to it are invisible to the parent, publish
+  * fast-forwards the parent to the audited branch head exactly once,
+  * and every conflict path aborts loudly instead of publishing
+  * something nobody audited. */
+class LedgerBranchSpec extends AnyFunSuite {
+  import SparkFixture.spark
+  import spark.implicits._
+
+  private def freshTable(name: String, n: Long = 300L): String = {
+    val table = Ledger.tableRoot(name)
+    val docs = (0L until n).map(i => (i, s"src${i % 3}", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, table, docs, "doc_id", nFiles = 4)
+    table
+  }
+
+  private def upserts(ids: Seq[Long], tag: String) =
+    ids.map(i => (i, "upsert", "srcB", s"$tag $i")).toDF("doc_id", "op", "source", "text")
+
+  test("branch creation is metadata-only and commits stay branch-local") {
+    val table = freshTable("branch_spec_iso")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    // v0 of the branch references the parent's files byte-for-byte
+    val pm = Ledger.manifest(spark, table, 0).select("path").collect().map(_.getString(0)).toSet
+    val bm = Ledger.manifest(spark, b, 0).select("path").collect().map(_.getString(0)).toSet
+    assert(bm == pm, "branch v0 must reference the base version's files")
+    Ledger.merge(spark, b, 0, upserts(Seq(1L, 2L), "staged"), "doc_id")
+    // parent: no new version, content untouched
+    assert(Ledger.latestVersion(spark, table) == 0)
+    assert(Ledger.readVersion(spark, table, 0)
+      .filter(col("text").startsWith("staged")).count() == 0)
+    // branch: the commit is there
+    assert(Ledger.readVersion(spark, b, 1)
+      .filter(col("text").startsWith("staged")).count() == 2)
+  }
+
+  test("publish fast-forwards the parent to the branch head, once") {
+    val table = freshTable("branch_spec_pub")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, b, 0, upserts(Seq(5L, 6L, 7L), "published"), "doc_id")
+    val v = Ledger.publish(spark, table, "stage")
+    assert(v == 1)
+    assert(Ledger.latestVersion(spark, table) == 1)
+    val head = Ledger.readVersion(spark, table, 1)
+    assert(head.filter(col("text").startsWith("published")).count() == 3)
+    assert(head.count() == 300)
+    // the audited snapshot went live EXACTLY as committed: manifests match
+    val bm = Ledger.manifest(spark, b, 1).select("path").collect().map(_.getString(0)).toSet
+    val pm = Ledger.manifest(spark, table, 1).select("path").collect().map(_.getString(0)).toSet
+    assert(pm == bm)
+    // a second publish must abort: the parent is no longer at the base
+    val e = intercept[java.util.ConcurrentModificationException](
+      Ledger.publish(spark, table, "stage"))
+    assert(e.getMessage.contains("aborted"))
+  }
+
+  test("publish aborts when the parent advanced past the audited base") {
+    val table = freshTable("branch_spec_conf")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, b, 0, upserts(Seq(9L), "staged"), "doc_id")
+    // a direct writer lands v1 on the parent while the audit runs
+    Ledger.merge(spark, table, 0, upserts(Seq(40L), "direct"), "doc_id")
+    intercept[java.util.ConcurrentModificationException](
+      Ledger.publish(spark, table, "stage"))
+    assert(Ledger.readVersion(spark, table, 1)
+      .filter(col("text").startsWith("staged")).count() == 0,
+      "the un-audited snapshot must not leak")
+    // re-branch from the new head, re-stage, publish succeeds
+    val b2 = Ledger.branch(spark, table, 1, "stage2")
+    Ledger.merge(spark, b2, 0, upserts(Seq(9L), "staged"), "doc_id")
+    assert(Ledger.publish(spark, table, "stage2") == 2)
+    val head = Ledger.readVersion(spark, table, 2)
+    assert(head.filter(col("text").startsWith("staged")).count() == 1)
+    assert(head.filter(col("text").startsWith("direct")).count() == 1,
+      "the re-branched snapshot was cut from v1, so it carries the direct write")
+  }
+
+  test("dropBranch removes an unpublished branch; published branches refuse") {
+    val table = freshTable("branch_spec_drop")
+    val b = Ledger.branch(spark, table, 0, "bad")
+    Ledger.merge(spark, b, 0, upserts(Seq(3L), "poison"), "doc_id")
+    Ledger.dropBranch(spark, table, "bad")
+    intercept[IllegalArgumentException](Ledger.branchBase(spark, table, "bad"))
+    // parent unaffected
+    assert(Ledger.readVersion(spark, table, 0).count() == 300)
+    // published branch: its data files are live in the parent — refuse
+    val g = Ledger.branch(spark, table, 0, "good")
+    Ledger.merge(spark, g, 0, upserts(Seq(4L), "kept"), "doc_id")
+    Ledger.publish(spark, table, "good")
+    intercept[IllegalArgumentException](Ledger.dropBranch(spark, table, "good"))
+    assert(Ledger.readVersion(spark, table, 1)
+      .filter(col("text").startsWith("kept")).count() == 1)
+  }
+
+  test("published branch files survive a parent vacuum") {
+    val table = freshTable("branch_spec_vac")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, b, 0, upserts(Seq(11L, 12L), "kept"), "doc_id")
+    Ledger.publish(spark, table, "stage")
+    Ledger.vacuum(spark, table, keepFrom = 1)
+    val head = Ledger.readVersion(spark, table, 1)
+    assert(head.count() == 300)
+    assert(head.filter(col("text").startsWith("kept")).count() == 2)
+  }
+
+  test("a branch cut from a version with a pending deletion vector carries it") {
+    val table = freshTable("branch_spec_dv")
+    Ledger.deleteWhere(spark, table, 0, "doc_id", col("doc_id") % 50 === 0)
+    val b = Ledger.branch(spark, table, 1, "stage")
+    assert(Ledger.readVersion(spark, b, 0).count() == 300 - 6,
+      "the branch must read through the base's deletion vector")
+    Ledger.merge(spark, b, 0, upserts(Seq(13L), "kept"), "doc_id")
+    Ledger.publish(spark, table, "stage")
+    val head = Ledger.readVersion(spark, table, 2)
+    assert(head.filter(col("doc_id") % 50 === 0).count() == 0,
+      "publish must carry the branch head's deletion vector")
+    assert(head.filter(col("text").startsWith("kept")).count() == 1)
+  }
+}
