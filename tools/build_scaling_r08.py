@@ -100,7 +100,7 @@ for tag, path in [("spot_sf10_r8", "/tmp/spot_sf10_r8.json"),
 # ladder bench JSONs (full in-suite runs; all 191 declared queries —
 # judge item 6: q_ledger_replicate and the r8 additions ride the same
 # ladder as everything else via the warmup-built standing artifacts)
-for sf, path in [("sf0.1", "/tmp/bench_sf01_r8.json"),
+for sf, path in [("sf0.1", "/tmp/bench_sf01_r8b.json"),
                  ("sf1", "/tmp/bench_sf1_r8.json"),
                  ("sf10", "/tmp/bench_sf10_r8.json"),
                  ("sf100", "/tmp/bench_sf100_r8.json")]:
