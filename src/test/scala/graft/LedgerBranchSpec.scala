@@ -112,6 +112,21 @@ class LedgerBranchSpec extends AnyFunSuite {
     assert(head.filter(col("text").startsWith("kept")).count() == 2)
   }
 
+  test("the change feed works on a branch: staged commits are CDF-visible branch-locally") {
+    val table = freshTable("branch_spec_cdf")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, b, 0, upserts(Seq(21L, 22L), "staged"), "doc_id")
+    val feed = Ledger.readChanges(spark, b, 0, 1, "doc_id")
+      .select("op", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("update", 21L), ("update", 22L)),
+      s"branch CDF must carry exactly the staged changes, got $feed")
+    // after publish, the SAME diff is the parent's v0->v1 feed
+    Ledger.publish(spark, table, "stage")
+    val pfeed = Ledger.readChanges(spark, table, 0, 1, "doc_id")
+      .select("op", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pfeed == feed, "the published version's change feed equals the branch's")
+  }
+
   test("a branch cut from a version with a pending deletion vector carries it") {
     val table = freshTable("branch_spec_dv")
     Ledger.deleteWhere(spark, table, 0, "doc_id", col("doc_id") % 50 === 0)
