@@ -1183,7 +1183,50 @@ object Ledger {
   private[graft] val stageScanProbes = new java.util.concurrent.atomic.AtomicLong
 
   private def cdfHwmPath(table: String) = s"${cdfPath(table)}/_hwm"
+  private def cdfHwmMarker(table: String, v: Int) = s"${cdfPath(table)}/_hwm_v$v"
   private def gapMarkerPath(table: String, v: Int) = s"${cdfPath(table)}/_gap_v$v"
+
+  /** The staged high-water mark: max over `_hwm_v<N>` marker files
+    * (plus the legacy single `_hwm` file, read-only back-compat). The
+    * mark is MONOTONE BY CONSTRUCTION under any stager interleave:
+    * advancing CREATES a higher-numbered marker and only then GCs
+    * lower ones, so the max over present markers never decreases — the
+    * last-write-wins overwrite of a single file could regress the hint
+    * when a stager that verified less wrote after one that verified
+    * more (safe but O(re-probed versions) per tick thereafter). One
+    * LIST per read instead of one GET; underscore-prefixed so parquet
+    * readers of cdf/ never see any of it. */
+  private[graft] def stagedHwm(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    val legacy =
+      try {
+        val p = new Path(cdfHwmPath(table))
+        if (f.exists(p)) readSmallFile(f, p).trim.toInt else 0
+      } catch { case _: Exception => 0 }
+    val marked =
+      try {
+        val dir = new Path(cdfPath(table))
+        if (!f.exists(dir)) 0
+        else f.listStatus(dir).iterator.map(_.getPath.getName)
+          .filter(_.startsWith("_hwm_v"))
+          .map(_.stripPrefix("_hwm_v").toInt).foldLeft(0)(math.max)
+      } catch { case _: Exception => 0 }
+    math.max(legacy, marked)
+  }
+
+  private def advanceHwm(spark: SparkSession, table: String, verified: Int): Unit = {
+    val f = fs(spark, table)
+    writeSmallFile(f, new Path(cdfHwmMarker(table, verified)), "")
+    // GC superseded markers AFTER the higher one exists — a concurrent
+    // reader's max never dips. The legacy `_hwm` file is left alone
+    // (never written again; a possibly-higher LWW value must not be
+    // deleted by a stager that verified less).
+    try f.listStatus(new Path(cdfPath(table))).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_hwm_v") && n.stripPrefix("_hwm_v").toInt < verified)
+        f.delete(st.getPath, false)
+    } catch { case _: Exception => () }
+  }
 
   def stageChanges(spark: SparkSession, table: String, keyCol: String,
       allowGaps: Boolean = false): Int = {
@@ -1196,14 +1239,11 @@ object Ledger {
     // round-trips per staging tick. The mark is a monotone HINT with
     // the safe failure mode: absent/corrupt reads as 0 and the loop
     // falls back to the full idempotent scan; it is only ever advanced
-    // over versions this call VERIFIED staged, so a racing stager's
-    // last-write-wins overwrite still records a true statement.
-    // Underscore-prefixed, so batch and streaming parquet readers of
-    // cdf/ never see it.
-    val hwmP = new Path(cdfHwmPath(table))
-    val hwm =
-      try { if (f.exists(hwmP)) readSmallFile(f, hwmP).trim.toInt else 0 }
-      catch { case _: Exception => 0 }
+    // over versions this call VERIFIED staged, and [[stagedHwm]]'s
+    // marker-file max makes it monotone under RACING stagers too — a
+    // stager that verified less can no longer regress the mark one
+    // that verified more just wrote.
+    val hwm = stagedHwm(spark, table)
     val latest = latestVersion(spark, table)
     ((hwm + 1) to latest).foreach { v =>
       stageScanProbes.incrementAndGet()
@@ -1259,7 +1299,7 @@ object Ledger {
     }
     // every version ≤ latest is now verified staged or durably
     // gap-marked (the loop threw otherwise): advance the mark
-    if (latest > hwm) writeSmallFile(f, hwmP, latest.toString)
+    if (latest > hwm) advanceHwm(spark, table, latest)
     staged
   }
 
@@ -1676,7 +1716,11 @@ object Ledger {
 
   private def stagedFullFeed(spark: SparkSession, table: String,
       dir: String, keyCol: String, upTo: Int): DataFrame =
-    fullFeedMemo.getOrElseUpdate((spark.sparkContext.applicationId, s"$table@$dir"), {
+    // keyCol and upTo belong in the memo key: a caller asking for a
+    // different version range or key on the same table must not be
+    // handed the first-staged feed
+    fullFeedMemo.getOrElseUpdate(
+      (spark.sparkContext.applicationId, s"$table@$dir#$keyCol..$upTo"), {
       import graft.StandingState.CkptOps
       (1 to upTo).map { v =>
         readChangesFull(spark, table, v - 1, v, keyCol)
@@ -1964,6 +2008,8 @@ object Ledger {
     s"$table/_branches/$name"
   private def branchBasePath(table: String, name: String) =
     s"${branchRoot(table, name)}/_base"
+  private def branchPublishedPath(table: String, name: String) =
+    s"${branchRoot(table, name)}/_published"
 
   /** Create (or replace) branch `name` of `table` at `fromVersion` —
     * the staging side of the WRITE-AUDIT-PUBLISH pattern (Iceberg's
@@ -1986,6 +2032,15 @@ object Ledger {
     require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: $name")
     val b = branchRoot(table, name)
     val f = fs(spark, table)
+    // replace is only legal for a branch that never published: a
+    // PUBLISHED branch's data files are referenced by parent manifests
+    // (they live under the branch dir — see the vacuum note above), so
+    // deleting the dir to reuse the name would corrupt every parent
+    // version that references them. Same O(1) marker check as
+    // [[dropBranch]]; the WAP retry loop uses a fresh name per cycle.
+    require(!f.exists(new Path(branchPublishedPath(table, name))),
+      s"branch '$name' was published: its data files are live in the " +
+        "parent — re-branch under a fresh name")
     f.delete(new Path(b), true)
     // sidecars land BEFORE the manifest — same commit discipline as
     // evolve/deleteWhere: a branch visible at v0 has its schema/DV
@@ -2015,7 +2070,19 @@ object Ledger {
     * snapshot nor a merge anyone validated — so publish aborts loudly
     * and the caller re-branches from the new head. The version claim
     * goes through the same [[LogStore]] as every other commit, so a
-    * racing writer and a publish serialize; the loser aborts. */
+    * publish serializes against every CLAIMING writer (OCC commits via
+    * [[commitPrepared]], streaming [[commitBatch]], other publishes) —
+    * the loser aborts. Plain [[merge]] is the documented
+    * single-writer path and never claims; publish re-verifies the head
+    * after winning the claim to shrink (not close) that window.
+    *
+    * While still holding the claim, and BEFORE the parent manifest
+    * lands, publish writes a `_published` marker into the branch root:
+    * the O(1) evidence [[dropBranch]] and [[branch]] consult instead
+    * of scanning every parent manifest for branch-resident files. The
+    * ordering is the conservative failure mode — a publisher that dies
+    * between marker and manifest leaves an unpublished branch that
+    * REFUSES deletion, never a published branch that allows it. */
   def publish(spark: SparkSession, table: String, name: String,
       logStore: LogStore = AtomicCreateLogStore): Int = {
     val b = branchRoot(table, name)
@@ -2031,7 +2098,16 @@ object Ledger {
     if (head != base) conflict(s"parent advanced to v$head past the audited base v$base")
     if (!logStore.tryClaim(spark, table, target))
       conflict(s"another writer holds the claim for v$target")
-    // claim held: v_target is ours alone; sidecars before the manifest
+    // re-verify under the claim: a non-claiming writer (plain merge)
+    // could have landed v_target between the check and the claim —
+    // this narrows the race to claiming writers' guarantees
+    if (latestVersion(spark, table) != base)
+      conflict(s"parent advanced past the audited base v$base after the claim")
+    // claim held: v_target is ours alone. The _published marker FIRST
+    // (see doc comment: dying here leaves a branch that refuses
+    // deletion, the safe residue), then sidecars, then the manifest.
+    writeSmallFile(fs(spark, table),
+      new Path(branchPublishedPath(table, name)), target.toString)
     schemaOf(spark, b, bHead).foreach(writeSchema(spark, table, target, _))
     deletionVector(spark, b, bHead)
       .foreach(_.write.mode("overwrite").parquet(deletePath(table, target)))
@@ -2043,18 +2119,14 @@ object Ledger {
     * dir including any data files its commits wrote; safe at any time
     * BEFORE publish (nothing outside the branch references them) and
     * after a publish it would orphan the published files, so it
-    * refuses. */
+    * refuses. The published check reads the `_published` marker
+    * [[publish]] wrote under its claim — ONE exists() probe, no Spark
+    * job, regardless of the parent's commit count (the previous
+    * manifest-scan form cost one Spark job per parent version: 100k
+    * jobs to refuse a drop on a 100k-commit table). */
   def dropBranch(spark: SparkSession, table: String, name: String): Unit = {
     val f = fs(spark, table)
-    val published = latestVersion(spark, table) match {
-      case v if v >= 0 && f.exists(new Path(branchBasePath(table, name))) =>
-        val prefix = branchRoot(table, name) + "/data/"
-        (0 to v).exists(u => f.exists(new Path(manifestPath(table, u) + "/_SUCCESS")) &&
-          manifest(spark, table, u).filter(col("path").contains(prefix)).limit(1)
-            .count() > 0)
-      case _ => false
-    }
-    require(!published,
+    require(!f.exists(new Path(branchPublishedPath(table, name))),
       s"branch '$name' was published: its data files are live in the parent")
     f.delete(new Path(branchRoot(table, name)), true)
   }
@@ -2207,6 +2279,11 @@ object Ledger {
         .select(col("source"), sgn.as("bm"), (col("weight") * sgn).as("bw")))
       .groupBy(col("source"))
       .agg(sum(col("bm")).as("bm"), sum(col("bw")).as("bw"))
+      // a fully-retracted dim source nets bm=0 — drop it so a k group
+      // served ONLY by deleted sources disappears from the view the
+      // way it does from the oracle's from-scratch head join (kept, it
+      // would emit an n_pairs=0 row the join semantics never produce)
+      .filter(col("bm") =!= 0)
     partials.join(broadcast(dims), Seq("source"))
       .groupBy(col("k"))
       .agg(sum(col("cnt") * col("bm")).as("n_pairs"),

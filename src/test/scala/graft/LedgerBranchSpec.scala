@@ -101,6 +101,55 @@ class LedgerBranchSpec extends AnyFunSuite {
       .filter(col("text").startsWith("kept")).count() == 1)
   }
 
+  test("re-branching a published name refuses; an unpublished name replaces freely") {
+    val table = freshTable("branch_spec_rebranch")
+    // unpublished replace: the audit-failed redo path
+    Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, Ledger.branch(spark, table, 0, "stage"), 0,
+      upserts(Seq(8L), "redo"), "doc_id")
+    // published replace: the branch dir holds files live in the parent —
+    // a blind delete-and-recreate would corrupt every parent version
+    // referencing them
+    Ledger.publish(spark, table, "stage")
+    val e = intercept[IllegalArgumentException](
+      Ledger.branch(spark, table, 1, "stage"))
+    assert(e.getMessage.contains("published"))
+    // the published head still reads in full (nothing was deleted)
+    val head = Ledger.readVersion(spark, table, 1)
+    assert(head.count() == 300)
+    assert(head.filter(col("text").startsWith("redo")).count() == 1)
+    // a fresh name branches fine
+    Ledger.branch(spark, table, 1, "stage-2")
+  }
+
+  test("dropBranch's published check is O(1): zero Spark jobs at any parent length") {
+    val table = freshTable("branch_spec_dropo1")
+    val b = Ledger.branch(spark, table, 0, "audited")
+    Ledger.merge(spark, b, 0, upserts(Seq(17L), "kept"), "doc_id")
+    Ledger.publish(spark, table, "audited")
+    // grow the parent: the check must not scan these manifests
+    (1 to 4).foreach(v =>
+      Ledger.merge(spark, table, v, upserts(Seq(100L + v), s"grow$v"), "doc_id"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      intercept[IllegalArgumentException](Ledger.dropBranch(spark, table, "audited"))
+      // flush: one known job; listener events are async, so poll for it
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"the published check must be one marker probe, not Spark jobs " +
+          s"(saw ${jobs.get() - 1} before the flush job)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("published branch files survive a parent vacuum") {
     val table = freshTable("branch_spec_vac")
     val b = Ledger.branch(spark, table, 0, "stage")
