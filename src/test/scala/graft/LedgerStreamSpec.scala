@@ -199,6 +199,50 @@ class LedgerStreamSpec extends AnyFunSuite {
     assert(Ledger.stageScanProbes.get() - p2 == 1, "one new version = one probe")
   }
 
+  test("the staged high-water mark is monotone under racing stagers") {
+    import spark.implicits._
+    val t = Ledger.tableRoot("ledger_cdf_hwm_race")
+    val docs = (0L until 100L).map(i => (i, "src", s"body $i"))
+      .toDF("doc_id", "source", "text")
+    Ledger.create(spark, t, docs, "doc_id", nFiles = 2)
+    (0 until 3).foreach { v =>
+      Ledger.merge(spark, t, v,
+        Seq((v.toLong, "upsert", "src", s"edit $v")).toDF("doc_id", "op", "source", "text"),
+        "doc_id")
+    }
+    // two stagers race the same 3 new versions: staging is idempotent
+    // (rename-only publish), and whatever interleave happens the mark
+    // must land at 3, never below
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try Ledger.stageChanges(spark, t, "doc_id")
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing stagers must both succeed: ${errs.peek()}")
+    assert(Ledger.stagedHwm(spark, t) == 3)
+    // the exact regression the LWW file allowed: a STALE stager that
+    // verified only v1 records its (true, but lower) statement after
+    // the mark reached 3 — with marker files the max is unmoved
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(t), spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(s"$t/cdf/_hwm_v1")
+    val out = f.create(stale, true); out.close()
+    assert(Ledger.stagedHwm(spark, t) == 3,
+      "a lower marker landing late must not regress the mark")
+    // and the next tick trusts the mark: zero version probes
+    val p = Ledger.stageScanProbes.get()
+    assert(Ledger.stageChanges(spark, t, "doc_id") == 0)
+    assert(Ledger.stageScanProbes.get() - p == 0)
+    // legacy single-file form still reads (back-compat floor): a
+    // higher legacy value wins over present markers
+    val legacy = f.create(new org.apache.hadoop.fs.Path(s"$t/cdf/_hwm"), true)
+    legacy.write("3".getBytes("UTF-8")); legacy.close()
+    f.delete(new org.apache.hadoop.fs.Path(s"$t/cdf/_hwm_v3"), false)
+    assert(Ledger.stagedHwm(spark, t) == 3, "legacy _hwm reads as a floor")
+  }
+
   test("CDF restart after an upstream schema evolution: widened schema, replica converges") {
     import spark.implicits._
     val up = Ledger.tableRoot("ledger_evostream_up")
