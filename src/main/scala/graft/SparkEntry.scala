@@ -92,6 +92,10 @@ object SparkEntry {
     "q_sim_lsh_mp" -> ((s: SparkSession, d: String) => VectorOps.qSimTopkLshMultiprobe(s, d)),
     "q_sim_ivf" -> ((s: SparkSession, d: String) => VectorOps.qSimIvf(s, d)),
     "q_knn_join" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoin(s, d)),
+    // the multi-probe dial as a DECLARED oracle path: P=2 pinned in the
+    // query (not the -Dgraft.knn.probes property), so the recall lever
+    // the r8 clustered study measured has a standing correctness gate
+    "q_knn_join_mp" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoinMp(s, d, probes = 2)),
     "q_knn_clusters" -> ((s: SparkSession, d: String) => VectorOps.qKnnClusters(s, d)),
     "q_semantic_curate" -> ((s: SparkSession, d: String) => VectorOps.qSemanticCurate(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
@@ -347,7 +351,15 @@ object SparkEntry {
     * embedding count. At gate-scale n it emits the same flat 4-plane
     * semantics, which the harness can verify by hash-matching sf0.01
     * with the generated SQL too. */
-  def knnJoinOracleSqlFor(n: Long): String = {
+  def knnJoinOracleSqlFor(n: Long): String = knnJoinOracleSqlFor(n, 1)
+
+  /** `probes > 1`: the multi-probe generalization for q_knn_join_mp's
+    * scaled spot-checks — the per-`ld` argmin CASE chain becomes a
+    * rank relation (rank planes 1..ld by (|margin|, index) ascending,
+    * probe the P lowest), each probe resolved to its unique trie leaf
+    * and deduped per (vec_id, leaf), mirroring [[graft.vector
+    * .VectorOps.qKnnJoinMp]] clause for clause. */
+  def knnJoinOracleSqlFor(n: Long, probes: Int): String = {
     val (p0, maxD) = graft.vector.VectorOps.knnDialFor(n)
     val cap = graft.vector.VectorOps.KnnCapOcc
     val planes = graft.vector.VectorOps.hyperplanes(maxD, 64)
@@ -367,21 +379,53 @@ object SparkEntry {
       s"CASE ${whens.mkString(" ")} ELSE ${1L << (m - 1)} END"
     }
     def mask(d: Int) = (1L << d) - 1
-    if (p0 == maxD)
-      // flat gate chain (bucket = the p0-bit code, probe = flipped code)
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |dk AS (SELECT vec_id, v,
-         |  $dotCols FROM e),
-         |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
-         |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
-         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
-         |  b AS bucket, ${argminChain(p0)} AS flip FROM bk),
-         |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
-         |  UNION ALL SELECT vec_id, va, nv, xor(bucket, flip) AS bucket FROM fl),
-         |p AS (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
-         |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
-         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
-         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    // rank relation for multi-probe: planes 1..ld ranked by
+    // (|margin|, index) ascending — `ldCol` names the usable-plane
+    // bound of the emitting CTE (the literal p0 at the flat dial)
+    def rankCtes(src: String, ldCol: String): String = {
+      val unions = (0 until maxD).map { i =>
+        val head = if (i == 0)
+          s"SELECT vec_id, ${1L << i} AS bit, abs(d${i + 1}) AS a, ${i + 1} AS pidx"
+        else s"SELECT vec_id, ${1L << i}, abs(d${i + 1}), ${i + 1}"
+        s"$head FROM $src WHERE ${i + 1} <= $ldCol"
+      }.mkString("\n  UNION ALL ")
+      s"""mg AS ($unions),
+         |fr AS (SELECT vec_id, bit, row_number() OVER (PARTITION BY vec_id ORDER BY a, pidx) AS rnk FROM mg)""".stripMargin
+    }
+    if (p0 == maxD) {
+      if (probes == 1)
+        // flat gate chain (bucket = the p0-bit code, probe = flipped code)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |dk AS (SELECT vec_id, v,
+           |  $dotCols FROM e),
+           |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+           |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+           |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+           |  b AS bucket, ${argminChain(p0)} AS flip FROM bk),
+           |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
+           |  UNION ALL SELECT vec_id, va, nv, xor(bucket, flip) AS bucket FROM fl),
+           |p AS (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
+           |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
+           |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+           |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+      else
+        // flat multi-probe: P distinct single-bit flips, no resolution
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |dk AS (SELECT vec_id, v,
+           |  $dotCols FROM e),
+           |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+           |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+           |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+           |  b AS bucket, ${(1 to maxD).map(i => s"d$i").mkString(", ")} FROM bk),
+           |${rankCtes("fl", p0.toString)},
+           |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
+           |  UNION ALL SELECT fl.vec_id, fl.va, fl.nv, xor(fl.bucket, fr.bit) FROM fl
+           |    JOIN fr ON fl.vec_id = fr.vec_id AND fr.rnk <= $probes),
+           |p AS (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
+           |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
+           |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+           |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    }
     else {
       val occCtes = (p0 until maxD).map { d =>
         s"occ$d AS (SELECT b & ${mask(d)} AS p, count(*) AS o FROM bk GROUP BY 1)"
@@ -401,23 +445,58 @@ object SparkEntry {
       val probeList = (p0 to maxD).map { d =>
         s"(xor(b, flip) & ${mask(d)}) | ${1L << d}"
       }.mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |dk AS (SELECT vec_id, v,
-         |  $dotCols FROM e),
-         |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
-         |$occCtes,
-         |ld AS (SELECT bk.*, $ldExpr AS ld
-         |  FROM bk
-         |  $occJoins),
-         |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
-         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
-         |  b, ld, $bucketExpr AS bucket, $flipExpr AS flip FROM ld),
-         |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
-         |  UNION ALL SELECT vec_id, va, nv, unnest($probeList) AS bucket FROM fl),
-         |p AS (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
-         |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
-         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
-         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+      if (probes == 1)
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |dk AS (SELECT vec_id, v,
+           |  $dotCols FROM e),
+           |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+           |$occCtes,
+           |ld AS (SELECT bk.*, $ldExpr AS ld
+           |  FROM bk
+           |  $occJoins),
+           |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+           |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+           |  b, ld, $bucketExpr AS bucket, $flipExpr AS flip FROM ld),
+           |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
+           |  UNION ALL SELECT vec_id, va, nv, unnest($probeList) AS bucket FROM fl),
+           |p AS (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
+           |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
+           |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+           |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+      else {
+        // multi-probe trie: rank usable planes per vector, probe the P
+        // lowest, resolve each flipped code to its unique trie leaf by
+        // unnesting its prefix chain (non-leaf keys match no bucket),
+        // DISTINCT per (vec_id, key) — two flips can share a leaf
+        // ancestor and a duplicate bucket would double-count candidates
+        val pbList = (p0 to maxD).map { d =>
+          s"(pb & ${mask(d)}) | ${1L << d}"
+        }.mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |dk AS (SELECT vec_id, v,
+           |  $dotCols FROM e),
+           |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+           |$occCtes,
+           |ld AS (SELECT bk.*, $ldExpr AS ld
+           |  FROM bk
+           |  $occJoins),
+           |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+           |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+           |  b, ld, ${(1 to maxD).map(i => s"d$i").mkString(", ")},
+           |  $bucketExpr AS bucket FROM ld),
+           |${rankCtes("fl", "ld")},
+           |pc AS (SELECT fl.vec_id, xor(fl.b, fr.bit) AS pb FROM fl
+           |  JOIN fr ON fl.vec_id = fr.vec_id AND fr.rnk <= $probes),
+           |pcand AS (SELECT vec_id, unnest($pbList) AS bucket FROM pc),
+           |pdist AS (SELECT DISTINCT vec_id, bucket FROM pcand),
+           |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
+           |  UNION ALL SELECT fl.vec_id, fl.va, fl.nv, pdist.bucket FROM fl
+           |    JOIN pdist ON fl.vec_id = pdist.vec_id),
+           |p AS (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
+           |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
+           |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+           |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+      }
     }
   }
 
@@ -542,6 +621,33 @@ object SparkEntry {
        |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
        |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
        |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)""".stripMargin
+
+  /** Flat-dial MULTI-PROBE kNN chain ending in `r(q_id, vec_id, sim,
+    * rn)` — the P-probe generalization of [[knnChainSql]]'s single-flip
+    * form: rank the four planes per vector by (|margin|, plane index)
+    * ascending — the same (m, i) struct sort the Spark side applies —
+    * and probe the XOR of the bucket with each of the P lowest-ranked
+    * bits. P single-bit flips are pairwise distinct and never equal the
+    * own bucket, so the union needs no dedup at the flat dial. */
+  private def knnFlatMpChainSql(probes: Int): String = {
+    val unions = (0 until 4).map { i =>
+      val head = if (i == 0) s"SELECT vec_id, ${1L << i} AS bit, abs(d${i + 1}) AS a, ${i + 1} AS pidx"
+        else s"SELECT vec_id, ${1L << i}, abs(d${i + 1}), ${i + 1}"
+      s"$head FROM bk"
+    }.mkString("\n  UNION ALL ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket,
+       |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
+       |  ${planeDotsSql(2)} AS d3, ${planeDotsSql(3)} AS d4 FROM e),
+       |mg AS ($unions),
+       |fr AS (SELECT vec_id, bit, row_number() OVER (PARTITION BY vec_id ORDER BY a, pidx) AS rnk FROM mg),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk
+       |  UNION ALL SELECT bk.vec_id, bk.v, xor(bk.bucket, fr.bit) FROM bk
+       |    JOIN fr ON bk.vec_id = fr.vec_id AND fr.rnk <= $probes),
+       |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
+       |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)""".stripMargin
+  }
 
   /** Connected components over `edges(u, w)` WITHOUT the recursive
     * transitive closure: the `reach(u, w)` closure is O(Σ component²)
@@ -1245,6 +1351,9 @@ object SparkEntry {
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_knn_join" ->
       s"""WITH $knnChainSql
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "q_knn_join_mp" ->
+      s"""WITH ${knnFlatMpChainSql(2)}
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     "q_knn_clusters" ->
       s"""WITH $knnChainSql,

@@ -6,5 +6,6 @@ package graft
   * carries the 4-plane gate chain). No Spark session needed. */
 object SpotOracle {
   def main(args: Array[String]): Unit =
-    println(SparkEntry.knnJoinOracleSqlFor(args(0).toLong))
+    println(SparkEntry.knnJoinOracleSqlFor(args(0).toLong,
+      if (args.length > 1) args(1).toInt else 1))
 }

@@ -416,6 +416,82 @@ object VectorOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** MULTI-PROBE kNN join with the probe width PINNED IN THE QUERY —
+    * the declared-oracle form of the `-Dgraft.knn.probes` dial: the r8
+    * clustered-corpus study measured the multi-probe lever as the
+    * cheapest recall in the system (+0.12 recall@3 at ~zero wall at
+    * P=2), but a path living only behind a system property has no
+    * correctness gate and silently rots. This query IS that gate:
+    * P=2 as `q_knn_join_mp`, hash-matched against a DuckDB oracle that
+    * mirrors the two-probe bucket union, while `probes=1` stays
+    * row-identical to [[qKnnJoin]] (KnnDialSpec pins both).
+    *
+    * Same standing index, leaf-key relation, and bounded-heap top-k
+    * tail as [[qKnnJoin]]; the only delta is the probe set — the P
+    * lowest-|margin| usable planes per query (ascending margin,
+    * first-minimum tie-break: the struct sort on (margin, index), so
+    * probe 1 ≡ the single-probe flip). The flips array is computed in
+    * a PROJECTION over the index (never inside the Generate — the
+    * janino method-split note at the index build applies), so default
+    * standing artifacts stay byte-identical whatever P callers pin. */
+  def qKnnJoinMp(spark: SparkSession, dir: String, k: Int = 3,
+      probes: Int = 2): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val (emb, p0, maxD) = knnIndexed(spark, dir)
+    val planes = hyperplanes(maxD, 64)
+    val pow2 = array((0 until maxD).map(p => lit(1L << p)): _*)
+    def flipsOf(src: DataFrame): DataFrame =
+      if (src.columns.contains("flips") && KnnProbes >= probes)
+        src.withColumn("_flips", slice(col("flips"), 1, probes))
+      else {
+        val absDots = array(planes.map(r =>
+          abs(dot(col("v"), array(r.map(lit): _*)))): _*)
+        val usable = slice(absDots, lit(1), col("ld"))
+        val idxd = transform(usable, (m, i) => struct(m.as("m"), i.as("i")))
+        src.withColumn("_flips", transform(slice(array_sort(idxd), 1, probes),
+          s => element_at(pow2, s.getField("i").cast("int") + 1)))
+      }
+    val queries =
+      if (p0 == maxD)
+        // flat path: every p0-bit code is its own bucket — a flipped
+        // code needs no leaf resolution, and P distinct single-bit
+        // flips can never collide with each other or the own bucket
+        flipsOf(emb).select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(concat(array(col("bucket")),
+            transform(col("_flips"), fb => col("full").bitwiseXOR(fb)))).as("bucket"))
+      else {
+        // trie path: resolve each flipped code to its unique leaf via
+        // the index-resident leaf-key relation (prefix-freeness ⇒ at
+        // most one depth matches), distinct per (q_id, leaf) — two
+        // flips can share a leaf ancestor shallower than both flip
+        // depths, and a duplicate probe bucket would double-count its
+        // candidates into the top-k heap
+        val pf = flipsOf(emb)
+          .select(col("vec_id").as("q_id"), col("full"),
+            explode(col("_flips")).as("fb"))
+          .select(col("q_id"), col("full").bitwiseXOR(col("fb")).as("pfull"))
+        val cands = pf.select(col("q_id"), explode(array((p0 to maxD).map { d =>
+            col("pfull").bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)
+          }: _*)).as("cand"))
+        val resolved = cands.join(knnLeafKeysDf(spark, dir, emb),
+            cands("cand") === col("leaf_key"))
+          .select(col("q_id"), col("cand").as("bucket")).distinct()
+        emb.select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+          .unionByName(emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
+            .join(resolved, Seq("q_id")))
+      }
+    emb.select(col("bucket"), col("vec_id"), col("v"))
+      .join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id1").as("vec_id"), col("col.sortKey").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** kNN-GRAPH CLUSTERING — semantic cluster curation: build the
     * mutual-kNN graph from the corpus-wide [[qKnnJoin]] edges (keep
     * (a,b) only when b is in a's top-k AND a is in b's top-k — the

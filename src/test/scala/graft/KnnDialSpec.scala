@@ -88,6 +88,50 @@ class KnnDialSpec extends AnyFunSuite {
     assert(!plan.contains(" IN ("), "adaptive probe must not embed an IN-list of leaf keys")
   }
 
+  test("multi-probe P=1 is row-identical to the declared single-probe join") {
+    // the declared-dial contract: q_knn_join_mp generalizes the probe
+    // set, it must not MOVE the single-probe plan's output — probe 1 is
+    // the same lowest-|margin| flip (first-minimum tie-break) on both
+    // paths, here exercised on the ADAPTIVE trie (the scale path)
+    val p1 = VectorOps.qKnnJoin(spark, dir).collect()
+    val mp1 = VectorOps.qKnnJoinMp(spark, dir, probes = 1).collect()
+    assert(p1.length == mp1.length && p1.sameElements(mp1),
+      "P=1 multi-probe must be byte-identical to the single-probe join")
+  }
+
+  /** 500 vectors — stays on the flat 4-plane gate dial. */
+  private lazy val flatDir: String = {
+    val d = "target/knn_dial_flat_test"
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0 until 500).map { i =>
+      (i.toLong, unit(Array.fill(64)(rnd.nextGaussian())).map(_.toFloat).toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("multi-probe on the flat gate dial: P=1 identity, P=2 candidates dominate") {
+    val p1 = VectorOps.qKnnJoin(spark, flatDir).collect()
+    val mp1 = VectorOps.qKnnJoinMp(spark, flatDir, probes = 1).collect()
+    assert(p1.length == mp1.length && p1.sameElements(mp1))
+    // P=2 searches a strict SUPERSET of buckets per query: per-query
+    // row count can only grow toward k, and the best similarity found
+    // can only improve (the recall buy-back the dial study measured)
+    val mp2 = VectorOps.qKnnJoinMp(spark, flatDir, probes = 2).collect()
+    assert(mp2.length >= p1.length)
+    val top1 = p1.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val top2 = mp2.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    top1.foreach { case (q, s1) =>
+      assert(top2.getOrElse(q, Double.NegativeInfinity) >= s1,
+        s"query $q: P=2 top-1 sim regressed below P=1")
+    }
+  }
+
   test("adaptive kNN join: deterministic, ≤k rows per query, never self-paired") {
     val r1 = VectorOps.qKnnJoin(spark, dir).collect()
     val r2 = VectorOps.qKnnJoin(spark, dir).collect()

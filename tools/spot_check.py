@@ -45,14 +45,17 @@ def main():
     queries = sys.argv[3:]
     oracle_path = os.path.join(out_dir, "oracle_sql.json")
     oracle = json.load(open(oracle_path))
-    if not queries or "q_knn_join" in queries:
+    dialed = {"q_knn_join": "1", "q_knn_join_mp": "2"}
+    patch = [q for q in dialed if not queries or q in queries]
+    if patch:
         n = count_embeddings(sf_dir)
-        sql = subprocess.run(
-            ["java", *JOPTS, "-cp", CP, "graft.SpotOracle", str(n)],
-            capture_output=True, text=True, check=True).stdout.strip()
-        oracle["q_knn_join"] = sql
+        for q in patch:
+            sql = subprocess.run(
+                ["java", *JOPTS, "-cp", CP, "graft.SpotOracle", str(n), dialed[q]],
+                capture_output=True, text=True, check=True).stdout.strip()
+            oracle[q] = sql
         json.dump(oracle, open(oracle_path, "w"))
-        print(f"patched q_knn_join oracle for n={n}")
+        print(f"patched {patch} oracle for n={n}")
     rc = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "oracle_check.py"),
          sf_dir, out_dir, *queries]).returncode
