@@ -2115,6 +2115,107 @@ object Ledger {
     target
   }
 
+  /** REBASE branch `name` onto the parent's current head — the
+    * Iceberg-style cherry-pick that keeps WAP from livelocking on a
+    * busy table: without it, every parent commit that lands during an
+    * audit forces a full re-branch + re-audit ([[publish]] aborts on
+    * an advanced parent, by design). The branch's base→head delta is
+    * validated against the parent's base→head delta with the SAME
+    * disjointness rules [[commitPrepared]] applies to an interleaved
+    * commit (branch = the prepared loser, parent = the winner):
+    *
+    *  - a file the branch rewrote that the parent also rewrote →
+    *    ABORT (the branch read bytes that are no longer the truth);
+    *  - the parent evolved the schema → ABORT;
+    *  - the parent added deletion-vector keys (an interleaved DELETE
+    *    WHERE) → ABORT — the branch's vector predates them;
+    *  - the parent released vector keys whose rows are live in its
+    *    added files (re-upsert of a hidden key) → ABORT — the branch's
+    *    vector would re-hide the parent's update; released by physical
+    *    application → safe, the branch's extra entries are inert;
+    *  - a parent-added file whose key range intersects any key the
+    *    branch CHANGED (its full base→head change feed, deletion-
+    *    vector additions included) → ABORT — overlapping writes.
+    *
+    * All checks and the rebase itself are manifest/changed-keys-sized —
+    * no data file moves. Disjoint ⇒ the branch gets ONE new commit
+    * whose manifest is the parent head's files, minus the files the
+    * branch rewrote, plus the branch's own files; the branch's schema
+    * and deletion vector carry over; `_base` advances to the parent
+    * head, so [[publish]] proceeds against the new base. The published
+    * result is exactly the serial order parent-commits-then-branch.
+    * Returns the branch's new head version. */
+  def rebaseBranch(spark: SparkSession, table: String, name: String,
+      keyCol: String): Int = {
+    val b = branchRoot(table, name)
+    val base = branchBase(spark, table, name)
+    val head = latestVersion(spark, table)
+    val bHead = latestVersion(spark, b)
+    require(bHead >= 0, s"branch '$name' has no committed version")
+    if (head == base) return bHead // nothing to rebase onto
+    require(head > base, s"parent at v$head is BEHIND the branch base v$base")
+    def conflict(why: String) =
+      throw new java.util.ConcurrentModificationException(
+        s"rebase '$name' onto $table v$head aborted: $why (re-branch " +
+          "from the current head and re-run the audit)")
+    def paths(df: DataFrame): Set[String] =
+      df.select(col("path")).collect().map(_.getString(0)).toSet
+    val mB = paths(manifest(spark, table, base))
+    val mH = manifest(spark, table, head)
+    val mHPaths = paths(mH)
+    val mBr = manifest(spark, b, bHead)
+    val mBrPaths = paths(mBr)
+    val branchHit = mB -- mBrPaths   // files the branch rewrote/removed
+    val lostHit = branchHit -- mHPaths
+    if (lostHit.nonEmpty)
+      conflict(s"parent rewrote files this branch read: ${lostHit.take(2).mkString(",")}")
+    if (schemaOf(spark, table, head).map(_.toDDL) !=
+        schemaOf(spark, table, base).map(_.toDDL))
+      conflict("parent schema evolved past the audited base")
+    // deletion-vector rules, branch as the prepared loser
+    val dvB = deletionVector(spark, table, base)
+    val dvH = deletionVector(spark, table, head)
+    val parentAdded = (mHPaths -- mB).toSeq
+    (dvB, dvH) match {
+      case (None, Some(dh)) if dh.limit(1).count() > 0 =>
+        conflict("parent added deletion-vector keys")
+      case (Some(db), dhOpt) =>
+        val k = db.columns.head
+        val dh = dhOpt.getOrElse(db.limit(0))
+        if (dh.join(db, Seq(k), "left_anti").limit(1).count() > 0)
+          conflict("parent added deletion-vector keys")
+        val released = db.join(dh, Seq(k), "left_anti")
+        if (released.limit(1).count() > 0 && parentAdded.nonEmpty) {
+          val keyAtH = readConformed(spark, table, head, parentAdded.toIndexedSeq)
+            .select(col(k))
+          if (released.join(keyAtH, Seq(k), "left_semi").limit(1).count() > 0)
+            conflict("parent re-inserted a deletion-vector key this " +
+              "branch's vector would re-hide")
+        }
+      case _ => ()
+    }
+    // key overlap: parent-added files' ranges vs the branch's full
+    // changed-key set (file moves + DV additions, one span diff)
+    val branchKeys = readChanges(spark, b, 0, bHead, keyCol)
+      .select(col(keyCol).as("ck")).distinct()
+    val touched = mH.filter(col("path").isInCollection(parentAdded :+ ""))
+      .join(branchKeys, col("ck") >= col("min_key") && col("ck") <= col("max_key"),
+        "left_semi")
+    if (touched.limit(1).count() > 0)
+      conflict("parent added files overlapping keys this branch changed")
+    // disjoint: splice — metadata-only, then advance the base
+    val target = bHead + 1
+    schemaOf(spark, b, bHead).foreach(writeSchema(spark, b, target, _))
+    deletionVector(spark, b, bHead)
+      .foreach(_.write.mode("overwrite").parquet(deletePath(b, target)))
+    val spliced = mH.filter(!col("path").isInCollection(branchHit.toSeq :+ ""))
+      .unionByName(mBr.filter(!col("path").isInCollection(mB.toSeq :+ "")))
+    writeManifest(spark, b, target, spliced)
+    writeSmallFile(fs(spark, table), new Path(branchBasePath(table, name)),
+      head.toString)
+    target
+  }
+
   /** Drop branch `name` — the audit-failed path. Deletes the branch
     * dir including any data files its commits wrote; safe at any time
     * BEFORE publish (nothing outside the branch references them) and

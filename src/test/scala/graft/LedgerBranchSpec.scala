@@ -150,6 +150,64 @@ class LedgerBranchSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("rebase onto an advanced parent: disjoint deltas splice and publish serially") {
+    val table = freshTable("branch_spec_rebase")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    // branch edits keys 1,2 (first key-range file); the audit runs...
+    Ledger.merge(spark, b, 0, upserts(Seq(1L, 2L), "staged"), "doc_id")
+    // ...while two direct parent commits land on the LAST key-range file
+    Ledger.merge(spark, table, 0, upserts(Seq(280L), "direct"), "doc_id")
+    Ledger.merge(spark, table, 1, upserts(Seq(281L), "direct"), "doc_id")
+    // publish would abort (parent at v2, base 0) — rebase instead
+    val bv = Ledger.rebaseBranch(spark, table, "stage", "doc_id")
+    assert(bv == 2)
+    assert(Ledger.branchBase(spark, table, "stage") == 2, "base advanced to the parent head")
+    // the rebased branch head shows BOTH sides (serial parent-then-branch)
+    val bh = Ledger.readVersion(spark, b, bv)
+    assert(bh.count() == 300)
+    assert(bh.filter(col("text").startsWith("staged")).count() == 2)
+    assert(bh.filter(col("text").startsWith("direct")).count() == 2)
+    // and publish now proceeds against the new base
+    assert(Ledger.publish(spark, table, "stage") == 3)
+    val head = Ledger.readVersion(spark, table, 3)
+    assert(head.count() == 300)
+    assert(head.filter(col("text").startsWith("staged")).count() == 2)
+    assert(head.filter(col("text").startsWith("direct")).count() == 2)
+  }
+
+  test("rebase aborts when the parent rewrote a file the branch rewrote") {
+    val table = freshTable("branch_spec_rebase_hit")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, b, 0, upserts(Seq(1L, 2L), "staged"), "doc_id")
+    // same key-range file as the branch's edit
+    Ledger.merge(spark, table, 0, upserts(Seq(3L), "direct"), "doc_id")
+    val e = intercept[java.util.ConcurrentModificationException](
+      Ledger.rebaseBranch(spark, table, "stage", "doc_id"))
+    assert(e.getMessage.contains("rewrote files"))
+  }
+
+  test("rebase aborts on insert-insert key overlap even with no shared file") {
+    val table = freshTable("branch_spec_rebase_ins")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    // both sides INSERT the same brand-new key: neither rewrites a base
+    // file, so only the key-range check can see the collision
+    Ledger.merge(spark, b, 0, upserts(Seq(9999L), "staged"), "doc_id")
+    Ledger.merge(spark, table, 0, upserts(Seq(9999L), "direct"), "doc_id")
+    val e = intercept[java.util.ConcurrentModificationException](
+      Ledger.rebaseBranch(spark, table, "stage", "doc_id"))
+    assert(e.getMessage.contains("overlapping keys"))
+  }
+
+  test("rebase aborts when the parent added deletion-vector keys") {
+    val table = freshTable("branch_spec_rebase_dv")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, b, 0, upserts(Seq(1L), "staged"), "doc_id")
+    Ledger.deleteWhere(spark, table, 0, "doc_id", col("doc_id") === 250L)
+    val e = intercept[java.util.ConcurrentModificationException](
+      Ledger.rebaseBranch(spark, table, "stage", "doc_id"))
+    assert(e.getMessage.contains("deletion-vector"))
+  }
+
   test("published branch files survive a parent vacuum") {
     val table = freshTable("branch_spec_vac")
     val b = Ledger.branch(spark, table, 0, "stage")
