@@ -472,15 +472,20 @@ object SparkEntry {
         val pbList = (p0 to maxD).map { d =>
           s"(pb & ${mask(d)}) | ${1L << d}"
         }.mkString("[", ", ", "]")
+        // the rank relation references `fl` from every one of its maxD
+        // union arms — without MATERIALIZED hints DuckDB re-inlines
+        // fl's occupancy joins + plane dots per reference and the plan
+        // blows up combinatorially (observed: 10+ CPU-hours at sf1 vs
+        // minutes materialized)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |dk AS (SELECT vec_id, v,
            |  $dotCols FROM e),
-           |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+           |bk AS MATERIALIZED (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
            |$occCtes,
            |ld AS (SELECT bk.*, $ldExpr AS ld
            |  FROM bk
            |  $occJoins),
-           |fl AS (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+           |fl AS MATERIALIZED (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
            |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
            |  b, ld, ${(1 to maxD).map(i => s"d$i").mkString(", ")},
            |  $bucketExpr AS bucket FROM ld),
@@ -488,7 +493,7 @@ object SparkEntry {
            |pc AS (SELECT fl.vec_id, xor(fl.b, fr.bit) AS pb FROM fl
            |  JOIN fr ON fl.vec_id = fr.vec_id AND fr.rnk <= $probes),
            |pcand AS (SELECT vec_id, unnest($pbList) AS bucket FROM pc),
-           |pdist AS (SELECT DISTINCT vec_id, bucket FROM pcand),
+           |pdist AS MATERIALIZED (SELECT DISTINCT vec_id, bucket FROM pcand),
            |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
            |  UNION ALL SELECT fl.vec_id, fl.va, fl.nv, pdist.bucket FROM fl
            |    JOIN pdist ON fl.vec_id = pdist.vec_id),
