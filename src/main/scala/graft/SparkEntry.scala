@@ -192,6 +192,7 @@ object SparkEntry {
     "q_ledger_incr_agg" -> (graft.etl.Ledger.qLedgerIncrAgg _),
     "q_ledger_incr_join" -> (graft.etl.Ledger.qLedgerIncrJoin _),
     "q_ledger_wap" -> (graft.etl.Ledger.qLedgerWap _),
+    "q_ledger_rebase" -> (graft.etl.Ledger.qLedgerRebase _),
     "q_ledger_zorder" -> (graft.etl.Ledger.qLedgerZorder _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
@@ -2317,6 +2318,22 @@ object SparkEntry {
         |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum,
         |  CAST(sum(CASE WHEN doc_id >= 4000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_published
+        |FROM head""".stripMargin,
+    // q_ledger_rebase: the rebase-then-publish head — corpus with the
+    // interleaved direct commit's re-texts, plus the branch's rebased
+    // clones; a lost splice on either side breaks the hash
+    "q_ledger_rebase" ->
+      """WITH head AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 29 = 0 THEN 'main ' || text ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000, 'rebase ' || text FROM documents WHERE doc_id % 37 = 0)
+        |SELECT CAST(2 AS BIGINT) AS n_versions, count(*) AS n_rows,
+        |  CAST(sum(doc_id) % 1000000000000000000 AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) % 1000000000000000000 AS BIGINT) AS text_fp_sum,
+        |  CAST(sum(CASE WHEN doc_id >= 5000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rebased,
+        |  CAST(sum(CASE WHEN text LIKE 'main %' THEN 1 ELSE 0 END) AS BIGINT) AS n_main
         |FROM head""".stripMargin,
     // q_ledger_stream: the STREAMING CDF consumer must deliver exactly
     // the batch change feed — same logical v0/v1/v2 recomputation as

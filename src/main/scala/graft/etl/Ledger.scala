@@ -2387,6 +2387,65 @@ object Ledger {
         col("key_sum"), col("text_fp_sum"), col("n_published"))
   }
 
+  private def rebaseTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_rebase", dir.replaceAll(".*/", ""))
+
+  private val rebaseMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** The REBASE lineage: v0 = the corpus; branch `hotfix` stages the
+    * %37==0 clones at +5e9 with a "rebase " prefix while a DIRECT
+    * parent commit lands v1 (the %29==0 docs re-texted "main " — the
+    * busy-table interleave that aborts a plain publish). The branch
+    * REBASES onto v1 (disjoint: the branch's inserts touch no base
+    * file, the parent added no key above 5e9), then publishes as v2.
+    * Standing table, one build per (session, corpus). */
+  private def builtRebaseLineage(spark: SparkSession, dir: String): String =
+    rebaseMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = rebaseTableRoot(dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      create(spark, table, docs, "doc_id")
+      val b = branch(spark, table, 0, "hotfix")
+      merge(spark, b, 0, docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 5000000000L).as("doc_id"),
+          lit("upsert").as("op"), col("source"),
+          concat(lit("rebase "), col("text")).as("text")), "doc_id")
+      merge(spark, table, 0, docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id"), lit("upsert").as("op"), col("source"),
+          concat(lit("main "), col("text")).as("text")), "doc_id")
+      // plain publish MUST abort here (parent at v1, audited base 0) —
+      // the exact situation rebase exists for
+      val aborted =
+        try { publish(spark, table, "hotfix"); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      require(aborted, "publish must abort on the advanced parent")
+      rebaseBranch(spark, table, "hotfix", "doc_id")
+      require(publish(spark, table, "hotfix") == 2,
+        "the rebased branch must publish as parent v2")
+      table
+    })
+
+  /** Q-ledger-rebase: audit the rebase-then-publish head — the busy-
+    * table WAP cycle ([[rebaseBranch]]): version number, row count,
+    * key/content checksums, the rebased (+5e9) row count and the
+    * interleaved direct commit's ("main ") row count. The DuckDB
+    * oracle recomputes the head logically: corpus with the %29==0
+    * texts re-prefixed ∪ the %37==0 "rebase " clones — BOTH sides of
+    * the interleave must survive, which is exactly what a lost splice
+    * (dropped parent edit or dropped branch insert) would break. */
+  def qLedgerRebase(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtRebaseLineage(spark, dir)
+    val head = latestVersion(spark, table)
+    readVersion(spark, table, head)
+      .agg(count(lit(1)).as("n_rows"),
+        checksum(col("doc_id")).as("key_sum"),
+        checksum(textFp(col("text"))).as("text_fp_sum"),
+        sum(when(col("doc_id") >= 5000000000L, 1L).otherwise(0L)).as("n_rebased"),
+        sum(when(col("text").startsWith("main "), 1L).otherwise(0L)).as("n_main"))
+      .select(lit(head.toLong).as("n_versions"), col("n_rows"),
+        col("key_sum"), col("text_fp_sum"), col("n_rebased"), col("n_main"))
+  }
+
   // ---- incremental JOIN-view maintenance (two-tier / factorized) ----
 
   private def dimTableRoot(dir: String): String =
