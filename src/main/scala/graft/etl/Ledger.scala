@@ -2071,6 +2071,7 @@ object Ledger {
     builtZLineage(spark, dir)
     builtOccLineage(spark, dir)
     builtWapLineage(spark, dir)
+    builtRebaseLineage(spark, dir)
     builtDimLineage(spark, dir)
     qLedgerIncrAgg(spark, dir).count()  // materializes the view bootstrap
     qLedgerIncrJoin(spark, dir).count() // materializes the join-view partials
