@@ -371,51 +371,70 @@ object Relational {
       .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
   }
 
-  /** TPC-H Q2-shaped correlated scalar subquery: for every small part,
-    * the supplier rows selling it at its global minimum price. Declared
-    * in SQL on purpose — the correlated `min` subquery exercises
-    * Catalyst's decorrelation (RewriteCorrelatedScalarSubquery turns it
-    * into an aggregate + join; no per-row re-execution), a path no
-    * DataFrame-built query reaches. Scale shape after rewrite: one
-    * aggregate over lineitem keyed by partkey, then equi-joins — the
-    * same cost as writing the window/self-join by hand. */
+  /** TPC-H Q2-shaped min-per-group lookup, FACTORIZED the way a
+    * 100 TB fact table demands. The SQL form (correlated scalar MIN —
+    * it lived here through r8) decorrelates into two sort-merge joins
+    * over the FULL fact table: two complete sorts of lineitem, tens of
+    * GB of sort spill at sf100 — the spill outgrew this rig's disk in
+    * r8/r9 and is the wrong plan at any scale when the dim predicate
+    * is selective. The factorized shape: filter part FIRST (p_size<10,
+    * dim-sized), broadcast it to semi-restrict lineitem, take the
+    * per-part MIN over that restricted scan (map-side combine ⇒ the
+    * shuffle is part-cardinality, not fact-cardinality), broadcast the
+    * min table back, and keep fact rows matching their part's min —
+    * lineitem is SCANNED twice and never shuffled or sorted. Supplier
+    * and nation broadcast onto the (dim-sized) survivors. Catalyst's
+    * scalar decorrelation itself stays showcased by q_tpch17's oracle
+    * twin and q_tpch20/q_tpch4's IN/EXISTS paths. */
   def qTpch2(spark: SparkSession, dir: String): DataFrame = {
-    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
-    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
-    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
-    spark.sql(
-      """SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice AS min_price
-        |FROM graft_part p
-        |JOIN graft_lineitem l ON l.l_partkey = p.p_partkey
-        |JOIN graft_supplier s ON l.l_suppkey = s.s_suppkey
-        |JOIN graft_nation n ON s.s_nationkey = n.n_nationkey
-        |WHERE p.p_size < 10
-        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
-        |                           FROM graft_lineitem l2
-        |                           WHERE l2.l_partkey = p.p_partkey)
-        |ORDER BY p.p_partkey, s.s_name, l.l_extendedprice""".stripMargin)
+    val pf = Tables.part(spark, dir).filter(col("p_size") < 10)
+      .select(col("p_partkey"), col("p_brand"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val mins = l.join(broadcast(pf.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("l_extendedprice")).as("mp"))
+    l.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(mins),
+        col("l_partkey") === col("mk") && col("l_extendedprice") === col("mp"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("l_extendedprice").as("min_price"))
+      .orderBy(col("p_partkey"), col("s_name"), col("min_price"))
   }
 
-  /** TPC-H Q4-shaped correlated EXISTS: order-priority counts for one
-    * quarter, keeping only orders with at least one lineitem shipped
-    * after the order date. EXISTS is the third decorrelation path
-    * (scalar → q_tpch2, IN → q_tpch20, EXISTS → here): Catalyst
-    * rewrites it to a left-semi join with the correlated predicate as
-    * the join condition — the inner never aggregates or materializes,
-    * and the fact scan prunes to the quarter first. */
+  /** TPC-H Q4-shaped EXISTS, INVERTED for the fact table's sake. The
+    * EXISTS SQL form (here through r8) decorrelates into a left-semi
+    * join whose PROBE side is the quarter's orders and whose build
+    * side is ALL of lineitem — Spark plans it sort-merge and sorts the
+    * 600 M-row fact table (the sf100 wall was pure sort spill on the
+    * slow-read tier). The inverted shape streams lineitem ONCE through
+    * a broadcast of the quarter's orders (time-pruned first — the
+    * quarter is dim-sized next to the fact table), applies the
+    * correlated predicate (l_shipdate > o_orderdate) inside that
+    * broadcast join, and reduces to EXISTS semantics with a DISTINCT
+    * on matched orders — a matched-orders-sized shuffle, never a fact
+    * sort. At a scale where the quarter outgrows broadcast, the same
+    * plan swaps the broadcast for a shuffle-hash join (no sort either
+    * way); Catalyst's EXISTS/IN decorrelation stays showcased by
+    * q_tpch20/q_tpch21/q_not_exists. */
   def qTpch4(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
-    spark.sql(
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM graft_orders
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-        |  AND EXISTS (SELECT 1 FROM graft_lineitem
-        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+    val oq = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+      .join(broadcast(oq), col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate"))
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** Null-aware anti join: NOT IN over a NULLABLE inner column has
@@ -682,23 +701,31 @@ object Relational {
         |ORDER BY s.s_suppkey""".stripMargin)
   }
 
-  /** TPC-H Q17-shaped small-quantity revenue: lineitem rows under 20 %
-    * of their part's average quantity — a correlated scalar-aggregate
-    * subquery Catalyst decorrelates into an aggregate + join on
-    * l_partkey. Quantities are integral doubles, so the per-part avg
-    * (exact integer sum / count) is order-independent and the 0.2×
-    * threshold compare is deterministic cross-engine. */
+  /** TPC-H Q17-shaped small-quantity revenue, FACTORIZED around the
+    * brand/size predicate. The correlated-scalar SQL form (here
+    * through r8) decorrelates into an aggregate over ALL of lineitem
+    * plus a sort-merge join back to it — two full sorts of the fact
+    * table, the sf100 spill heavyweight. But the ~0.16 %-selective
+    * part filter determines which partkeys can ever matter: broadcast
+    * the filtered part keys, restrict lineitem through them ONCE
+    * (fact scanned, never shuffled), take the per-part average over
+    * the restricted rows (map-side combine ⇒ filtered-part-cardinality
+    * shuffle), broadcast it back, and compare. Quantities are integral
+    * doubles, so avg = double-exact sum/count is order-independent and
+    * the 0.2× threshold compare is deterministic cross-engine; the
+    * revenue sum stays the exact-decimal fold. */
   def qTpch17(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
-    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
-    spark.sql(
-      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / 7.0
-        |  AS avg_yearly
-        |FROM graft_lineitem l JOIN graft_part p ON p.p_partkey = l.l_partkey
-        |WHERE p.p_brand = 'Brand#11' AND p.p_size <= 2
-        |  AND l.l_quantity < (
-        |    SELECT 0.2 * avg(l2.l_quantity) FROM graft_lineitem l2
-        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    val pf = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#11" && col("p_size") <= 2)
+      .select(col("p_partkey"))
+    val lf = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+    val avgq = lf.groupBy(col("l_partkey").as("ak"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("aq"))
+    lf.join(broadcast(avgq), col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg((decToDouble(sum(money(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
   }
 
   /** TPC-H Q19-shaped OR-of-ANDs join: three disjunctive brand/size/
