@@ -35,6 +35,27 @@ if os.path.exists(probes):
     if rows:
         out["sf100_outlier_steady"] = rows
 
+# steady probes of the three factorized TPC-H rewrites (post-rung)
+rw = "/tmp/probe_sf100_rewrites_r9.txt"
+if os.path.exists(rw):
+    rows = {}
+    for line in open(rw):
+        m = re.match(r"PROBE (\S+) (\S+) first=([\d.]+) second=([\d.]+)", line)
+        if m:
+            rows[m.group(1)] = {"dir": m.group(2), "first_s": float(m.group(3)),
+                                "steady_s": float(m.group(4))}
+    if rows:
+        out["sf100_factorized_rewrites"] = {
+            "note": "q_tpch2/q_tpch4/q_tpch17 rewritten mid-round to the "
+                    "factorized no-fact-sort shapes (broadcast the filtered "
+                    "dim, restrict lineitem once, dim-cardinality agg "
+                    "shuffle); steady quiet-host probes. The two-pass sf100 "
+                    "rung predates the rewrites for these three; the "
+                    "single-pass re-run (if present as sf100b) includes "
+                    "them.",
+            "probes": rows,
+        }
+
 # multi-process OCC stress results (one JSON line per run)
 occ = "/tmp/occ_multiproc_r9.txt"
 if os.path.exists(occ):
@@ -51,11 +72,13 @@ for tag, path in [("spot_r9", "/tmp/spot_r9.json")]:
     if os.path.exists(path):
         out[tag] = json.load(open(path))
 
-# ladder bench JSONs (full in-suite runs, all declared queries)
+# ladder bench JSONs (full in-suite runs, all declared queries);
+# sf100b = the single-pass re-run AFTER the factorized rewrites landed
 for sf, path in [("sf0.1", "/tmp/bench_sf01_r9.json"),
                  ("sf1", "/tmp/bench_sf1_r9.json"),
                  ("sf10", "/tmp/bench_sf10_r9.json"),
-                 ("sf100", "/tmp/bench_sf100_r9.json")]:
+                 ("sf100", "/tmp/bench_sf100_r9.json"),
+                 ("sf100b", "/tmp/bench_sf100_r9b.json")]:
     if not os.path.exists(path):
         continue
     d = json.load(open(path))
