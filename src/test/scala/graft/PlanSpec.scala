@@ -131,15 +131,22 @@ class PlanSpec extends AnyFunSuite {
       s"kNN top-k must be the TopKAgg aggregate, not a window sort:\n$plan")
   }
 
-  test("tpch2: correlated scalar subquery decorrelates to aggregate+join") {
+  test("tpch2: factorized min-per-group — broadcasts only, the fact table never sorts") {
     val plan = planOf(graft.ops.Relational.qTpch2(spark, sf))
     assert(!plan.contains("ScalarSubquery"),
-      s"correlated min must be rewritten, not re-executed per row:\n$plan")
+      s"per-part min must be an aggregate, not a per-row subquery:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the filtered dim and the min table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact table must never sort (the r8 sf100 spill killer):\n$plan")
   }
 
-  test("tpch4: correlated EXISTS plans as a left-semi join, no per-row subquery") {
+  test("tpch4: inverted EXISTS — fact streams through a broadcast, no fact sort") {
     val plan = planOf(graft.ops.Relational.qTpch4(spark, sf))
-    assert(plan.contains("LeftSemi"), s"EXISTS must become a semi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the quarter's orders must broadcast into the lineitem scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"EXISTS semantics must come from the broadcast join + distinct, not a fact-sorting semi join:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"no nested-loop fallback:\n$plan")
   }
@@ -186,10 +193,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"Q6 is a pure scan+agg:\n$plan")
   }
 
-  test("tpch17: correlated avg subquery decorrelates, no per-row re-execution") {
+  test("tpch17: factorized per-part avg — restricted scan, no fact sort") {
     val plan = planOf(graft.ops.Relational.qTpch17(spark, sf))
     assert(!plan.contains("ScalarSubquery"),
-      s"per-part avg must become an aggregate+join:\n$plan")
+      s"per-part avg must be an aggregate, not a per-row subquery:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the brand/size part keys and the avg table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact table must never sort:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"no nested loop:\n$plan")
   }
