@@ -87,9 +87,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total =
       if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // Failures must be LOUD, not a -1 buried in a 190-entry map: q_tpch2
+    // recorded -1 at sf100 for a full round (r8→r9) because nothing
+    // downstream looked for it. Every record now carries the explicit
+    // failed list + count, stderr shouts, and the exit code is nonzero
+    // so any harness (ladder scripts, CI, the driver) sees it.
+    val failed = results.toSeq.filter(_._2 < 0).map(_._1).sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    if (failed.nonEmpty)
+      System.err.println(s"BENCH FAILURES (${failed.size}): ${failed.mkString(", ")}")
     // The driver's log-tail capture truncated the per-query map two
     // rounds running (r3: 76/139 survived, r4: 98/141). The stdout line
     // keeps the driver contract; the SAME record also goes to a file
@@ -136,7 +145,8 @@ object Bench {
     spark.stop()
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_are":"slowest10_of_full_map_in_target/bench.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_are":"slowest10_of_full_map_in_target/bench.json","sf":"$sfDir"}""")
     System.out.flush()
+    if (failed.nonEmpty) sys.exit(3)
   }
 }

@@ -1207,9 +1207,14 @@ object Ledger {
       try {
         val dir = new Path(cdfPath(table))
         if (!f.exists(dir)) 0
+        // per-entry parse guard: ONE stray/partial `_hwm_v*`-named file
+        // must not collapse the whole max to 0 (which silently reverts
+        // every staging tick to the full O(versions) rescan until the
+        // file is hand-removed) — skip unparsable names, keep the rest
         else f.listStatus(dir).iterator.map(_.getPath.getName)
           .filter(_.startsWith("_hwm_v"))
-          .map(_.stripPrefix("_hwm_v").toInt).foldLeft(0)(math.max)
+          .flatMap(n => n.stripPrefix("_hwm_v").toIntOption)
+          .foldLeft(0)(math.max)
       } catch { case _: Exception => 0 }
     math.max(legacy, marked)
   }
@@ -1765,14 +1770,29 @@ object Ledger {
     * name binds its first spec for the session (put-if-absent), the
     * standing-artifact discipline every memoized index here follows. */
   def defineView(spark: SparkSession, name: String, spec: ViewSpec): Unit = {
-    viewRegistry.putIfAbsent(name, spec)
+    // Re-defining an existing name must be loud: silently serving the
+    // FIRST-bound spec to a caller who registered a different one is a
+    // wrong-results bug (their refreshes would group/aggregate by the
+    // old definition with no error). Same-spec re-definition stays the
+    // idempotent no-op the standing-artifact discipline wants. Column
+    // lacks structural equality, so specs compare by their rendered
+    // expression text (deterministic for a fixed definition).
+    viewRegistry.putIfAbsent(name, spec).foreach { bound =>
+      require(bound.toString == spec.toString,
+        s"view '$name' is already defined with a different spec; " +
+          s"drop/rename it instead of silently rebinding")
+    }
     viewBootstrap(spark, name, viewRegistry(name))
     ()
   }
 
   def defineJoinView(spark: SparkSession, name: String,
       spec: JoinViewSpec): Unit = {
-    joinViewRegistry.putIfAbsent(name, spec)
+    joinViewRegistry.putIfAbsent(name, spec).foreach { bound =>
+      require(bound.toString == spec.toString,
+        s"join view '$name' is already defined with a different spec; " +
+          s"drop/rename it instead of silently rebinding")
+    }
     val s = joinViewRegistry(name)
     defineView(spark, s"$name#fact", s.fact)
     defineView(spark, s"$name#dim", s.dim)
@@ -2135,12 +2155,31 @@ object Ledger {
     // PUBLISHED branch's data files are referenced by parent manifests
     // (they live under the branch dir — see the vacuum note above), so
     // deleting the dir to reuse the name would corrupt every parent
-    // version that references them. Same O(1) marker check as
-    // [[dropBranch]]; the WAP retry loop uses a fresh name per cycle.
-    require(!f.exists(new Path(branchPublishedPath(table, name))),
+    // version that references them. Same O(1) marker classification as
+    // [[dropBranch]] (dead publishes unwedge, in-flight ones refuse),
+    // and the same rename-to-trash re-check against a racing publish;
+    // the WAP retry loop uses a fresh name per cycle.
+    val state = publishState(f, table, name)
+    require(state != PubPublished,
       s"branch '$name' was published: its data files are live in the " +
         "parent — re-branch under a fresh name")
-    f.delete(new Path(b), true)
+    refusePublished(name, state)
+    if (state == PubDead)
+      f.delete(new Path(branchPublishedPath(table, name)), false)
+    val oldRoot = new Path(b)
+    if (f.exists(oldRoot)) {
+      val trash = new Path(s"$table/_trash/$name-${System.nanoTime()}")
+      f.mkdirs(trash.getParent)
+      if (!f.rename(oldRoot, trash))
+        throw new IllegalStateException(s"could not trash branch '$name' for replace")
+      if (f.exists(new Path(trash, "_published"))) {
+        f.rename(trash, oldRoot)
+        throw new java.util.ConcurrentModificationException(
+          s"branch replace '$name' lost the race with a publish — branch " +
+            "restored; re-branch under a fresh name")
+      }
+      f.delete(trash, true)
+    }
     // sidecars land BEFORE the manifest — same commit discipline as
     // evolve/deleteWhere: a branch visible at v0 has its schema/DV
     schemaOf(spark, table, fromVersion).foreach(writeSchema(spark, b, 0, _))
@@ -2212,6 +2251,34 @@ object Ledger {
       .foreach(_.write.mode("overwrite").parquet(deletePath(table, target)))
     writeManifest(spark, table, target, manifest(spark, b, bHead))
     target
+  }
+
+  /** Publish with automatic rebase-retry — the busy-table WAP loop as
+    * ONE call, the way [[mergeOcc]] wraps prepare/commit. A parent
+    * commit landing during the audit makes plain [[publish]] abort by
+    * design; the caller-side recovery (rebase onto the new head, try
+    * again) is mechanical, so this loops it: rebase (no-op when the
+    * parent hasn't moved; ABORTS on a genuine overlap conflict — those
+    * must reach the caller, a retry cannot fix overlapping writes),
+    * then publish. A lost claim or a just-advanced head backs off
+    * briefly (the interleaved writer's manifest has to land before the
+    * next rebase can see its head) and retries, up to `maxRetries`
+    * cycles. Returns the published parent version. */
+  def publishWithRebase(spark: SparkSession, table: String, name: String,
+      keyCol: String, maxRetries: Int = 5,
+      logStore: LogStore = AtomicCreateLogStore): Int = {
+    var attempt = 0
+    while (true) {
+      rebaseBranch(spark, table, name, keyCol)
+      try return publish(spark, table, name, logStore)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(25L * attempt)
+      }
+    }
+    -1 // unreachable: the loop exits only by return or throw
   }
 
   /** REBASE branch `name` onto the parent's current head — the
@@ -2315,20 +2382,97 @@ object Ledger {
     target
   }
 
+  /** Classify a branch's `_published` marker. The marker records the
+    * parent version the publish targeted, which makes the three
+    * possible worlds distinguishable without a manifest scan:
+    *
+    *  - `Published`: the target version has a committed (`_SUCCESS`)
+    *    parent manifest — the branch's files are live in the parent.
+    *  - `InFlight`: marker present, manifest absent, the version CLAIM
+    *    still held — a publisher is between marker and manifest right
+    *    now, or died holding the claim (the documented recovery is
+    *    deleting the claim file; see [[waitForCommitted]]'s message).
+    *  - `Dead`: marker present, manifest absent, claim RELEASED — the
+    *    publisher died between marker and manifest and an operator (or
+    *    the claiming writer's own abort path) released the version.
+    *    Nothing references the branch's files; the marker is stale
+    *    residue and drop/replace/re-publish may proceed.
+    *
+    * An unreadable marker classifies as Published — the conservative
+    * refusal direction. */
+  private def publishState(f: org.apache.hadoop.fs.FileSystem,
+      table: String, name: String): Int = {
+    val mp = new Path(branchPublishedPath(table, name))
+    if (!f.exists(mp)) return PubNone
+    val target =
+      try readSmallFile(f, mp).trim.toIntOption catch { case _: Exception => None }
+    target match {
+      case None => PubPublished
+      case Some(v) =>
+        if (f.exists(new Path(manifestPath(table, v) + "/_SUCCESS"))) PubPublished
+        else if (f.exists(new Path(claimPath(table, v)))) PubInFlight
+        else PubDead
+    }
+  }
+  private final val PubNone = 0
+  private final val PubPublished = 1
+  private final val PubInFlight = 2
+  private final val PubDead = 3
+
+  private def refusePublished(name: String, state: Int): Unit = state match {
+    case PubPublished => throw new IllegalArgumentException(
+      s"branch '$name' was published: its data files are live in the parent")
+    case PubInFlight => throw new IllegalStateException(
+      s"branch '$name' has a publish in flight (or its publisher died " +
+        "holding the version claim): _published marker present, parent " +
+        "manifest absent, claim held. If no publisher is alive, delete " +
+        "the claim file to release the version, then retry.")
+    case _ => ()
+  }
+
   /** Drop branch `name` — the audit-failed path. Deletes the branch
     * dir including any data files its commits wrote; safe at any time
     * BEFORE publish (nothing outside the branch references them) and
     * after a publish it would orphan the published files, so it
     * refuses. The published check reads the `_published` marker
     * [[publish]] wrote under its claim — ONE exists() probe, no Spark
-    * job, regardless of the parent's commit count (the previous
-    * manifest-scan form cost one Spark job per parent version: 100k
-    * jobs to refuse a drop on a 100k-commit table). */
+    * job, regardless of the parent's commit count. A marker whose
+    * target version has no committed manifest AND no held claim is a
+    * DEAD publish (publisher died between marker and manifest, claim
+    * since released): nothing references the branch, so the drop
+    * proceeds instead of wedging the name forever.
+    *
+    * Deletion is rename-to-trash + marker re-check, not a direct
+    * delete: a publish racing this drop (head check passed, marker not
+    * yet written) would otherwise commit a parent manifest referencing
+    * files the drop removed. The rename moves the branch — and its
+    * marker, if the publish won — atomically; a marker found in the
+    * trashed dir means the publish got there first, so the branch is
+    * restored and the drop refuses. After the rename, the publish's
+    * own reads of the branch manifest fail and it aborts before the
+    * parent manifest lands. */
   def dropBranch(spark: SparkSession, table: String, name: String): Unit = {
     val f = fs(spark, table)
-    require(!f.exists(new Path(branchPublishedPath(table, name))),
-      s"branch '$name' was published: its data files are live in the parent")
-    f.delete(new Path(branchRoot(table, name)), true)
+    val state = publishState(f, table, name)
+    refusePublished(name, state)
+    // a DEAD publish's marker is stale residue: clear it before the
+    // trash rename so the post-rename re-check (which exists to catch
+    // a LIVE racing publish's marker) doesn't mistake it for one
+    if (state == PubDead)
+      f.delete(new Path(branchPublishedPath(table, name)), false)
+    val root = new Path(branchRoot(table, name))
+    if (!f.exists(root)) return
+    val trash = new Path(s"$table/_trash/$name-${System.nanoTime()}")
+    f.mkdirs(trash.getParent)
+    if (!f.rename(root, trash))
+      throw new IllegalStateException(s"could not trash branch '$name' for drop")
+    if (f.exists(new Path(trash, "_published"))) {
+      f.rename(trash, root)
+      throw new java.util.ConcurrentModificationException(
+        s"dropBranch '$name' lost the race with a publish — branch " +
+          "restored; inspect the publish outcome and retry")
+    }
+    f.delete(trash, true)
   }
 
   private def wapTableRoot(dir: String): String =

@@ -138,15 +138,25 @@ class LedgerBranchSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      // quiesce first: run a flush job and wait for its event so any
+      // stray late-arriving events from the merges above are drained,
+      // then SNAPSHOT — the assertion is on the delta past this point,
+      // so background listener noise can't flake an exact-count check
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val quiesce = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < quiesce)
+        Thread.sleep(20)
+      Thread.sleep(100)
+      val before = jobs.get()
       intercept[IllegalArgumentException](Ledger.dropBranch(spark, table, "audited"))
       // flush: one known job; listener events are async, so poll for it
       spark.sparkContext.parallelize(Seq(1)).count()
       val deadline = System.currentTimeMillis() + 10000
-      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+      while (jobs.get() < before + 1 && System.currentTimeMillis() < deadline)
         Thread.sleep(20)
-      assert(jobs.get() == 1,
+      assert(jobs.get() - before <= 1,
         s"the published check must be one marker probe, not Spark jobs " +
-          s"(saw ${jobs.get() - 1} before the flush job)")
+          s"(saw ${jobs.get() - before - 1} beyond the flush job)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -206,6 +216,70 @@ class LedgerBranchSpec extends AnyFunSuite {
     val e = intercept[java.util.ConcurrentModificationException](
       Ledger.rebaseBranch(spark, table, "stage", "doc_id"))
     assert(e.getMessage.contains("deletion-vector"))
+  }
+
+  test("a dead publish (marker without manifest, claim released) unwedges") {
+    val table = freshTable("branch_spec_deadpub")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, b, 0, upserts(Seq(19L), "doomed"), "doc_id")
+    // simulate a publisher dying between the _published marker and the
+    // parent manifest: the marker records target v1, the claim for v1
+    // is held, and no v1 manifest exists — exactly publish()'s
+    // documented conservative residue
+    def write(p: String, body: String): Unit = {
+      val f = new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+      f.getParentFile.mkdirs()
+      val w = new java.io.FileWriter(f); w.write(body); w.close()
+    }
+    write(s"$table/_branches/stage/_published", "1")
+    write(s"$table/_claims/v1", "")
+    // claim held: the publish could still be in flight — refuse, loudly
+    val e = intercept[IllegalStateException](Ledger.dropBranch(spark, table, "stage"))
+    assert(e.getMessage.contains("claim"))
+    // and a replace refuses the same way
+    intercept[IllegalStateException](Ledger.branch(spark, table, 0, "stage"))
+    // the operator follows the documented recovery: release the claim.
+    // Marker-without-manifest with the claim released = a DEAD publish:
+    // nothing references the branch's files, so the name recovers
+    assert(new java.io.File(
+      new org.apache.hadoop.fs.Path(s"$table/_claims/v1").toUri.getPath).delete())
+    Ledger.dropBranch(spark, table, "stage")
+    intercept[IllegalArgumentException](Ledger.branchBase(spark, table, "stage"))
+    assert(Ledger.latestVersion(spark, table) == 0, "nothing ever published")
+    // the name is reusable: branch afresh, publish for real
+    val b2 = Ledger.branch(spark, table, 0, "stage")
+    Ledger.merge(spark, b2, 0, upserts(Seq(19L), "landed"), "doc_id")
+    assert(Ledger.publish(spark, table, "stage") == 1)
+    assert(Ledger.readVersion(spark, table, 1)
+      .filter(col("text").startsWith("landed")).count() == 1)
+  }
+
+  test("publishWithRebase lands a branch through interleaved direct commits") {
+    val table = freshTable("branch_spec_pubreb")
+    val b = Ledger.branch(spark, table, 0, "stage")
+    // branch inserts brand-new keys (disjoint from everything below)
+    Ledger.merge(spark, b, 0, upserts(Seq(5001L, 5002L), "staged"), "doc_id")
+    // a busy table: direct commits land AFTER the audit, so a plain
+    // publish aborts — twice over (keys 280/281 live in the last base
+    // file; the branch never touched it, so every rebase is disjoint)
+    Ledger.merge(spark, table, 0, upserts(Seq(280L), "direct"), "doc_id")
+    Ledger.merge(spark, table, 1, upserts(Seq(281L), "direct"), "doc_id")
+    intercept[java.util.ConcurrentModificationException](
+      Ledger.publish(spark, table, "stage"))
+    // ONE call replaces the caller's hand-rolled rebase→publish loop
+    val v = Ledger.publishWithRebase(spark, table, "stage", "doc_id")
+    assert(v == 3, s"published as the serial next version, got v$v")
+    val head = Ledger.readVersion(spark, table, 3)
+    assert(head.count() == 302)
+    assert(head.filter(col("text").startsWith("staged")).count() == 2)
+    assert(head.filter(col("text").startsWith("direct")).count() == 2)
+    // a GENUINE overlap still aborts through the wrapper: retry can't
+    // fix overlapping writes, the conflict must reach the caller
+    val c = Ledger.branch(spark, table, 3, "stage2")
+    Ledger.merge(spark, c, 0, upserts(Seq(7777L), "mine"), "doc_id")
+    Ledger.merge(spark, table, 3, upserts(Seq(7777L), "theirs"), "doc_id")
+    intercept[java.util.ConcurrentModificationException](
+      Ledger.publishWithRebase(spark, table, "stage2", "doc_id"))
   }
 
   test("published branch files survive a parent vacuum") {
