@@ -56,6 +56,33 @@ object StandingState {
     def localCheckpointTracked(): DataFrame = trackCheckpointed(df.localCheckpoint())
   }
 
+  /** A VERSION-STAMPED memo for standing artifacts over MUTABLE tables
+    * (ledger-backed indexes). The session-keyed [[memo]] assumes an
+    * immutable corpus — correct for the read-only testdata dirs, but a
+    * memoized index over a LEDGER table that takes a merge would serve
+    * stale results silently for the rest of the session. Entries here
+    * carry the table version they were built at: a lookup at a newer
+    * version MISSES and hands the builder the previous (version,
+    * artifact) pair, so the artifact refreshes INCREMENTALLY from the
+    * table's change feed (or bootstraps, on None) — merge-then-query is
+    * fresh by construction, no manual release() required. Superseded
+    * entries are replaced (their checkpoint blocks free at the next
+    * [[release]], like every tracked artifact — the builder may also
+    * unpersist the previous artifact's RDDs itself). */
+  final class VersionedMemo[K, V] private[StandingState] (m: TrieMap[K, (Long, V)]) {
+    def getOrRefresh(key: K, version: Long)(build: Option[(Long, V)] => V): V =
+      m.get(key) match {
+        case Some((v, art)) if v == version => art
+        case prev =>
+          val art = build(prev)
+          m.put(key, (version, art))
+          art
+      }
+  }
+
+  private[graft] def versionedMemo[K, V](): VersionedMemo[K, V] =
+    new VersionedMemo[K, V](memo[K, (Long, V)]())
+
   /** Checkpoints currently tracked (LEAKCHECK / diagnostics). */
   def trackedCheckpoints: Int = rddLedger.size
 

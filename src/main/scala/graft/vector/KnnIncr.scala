@@ -1,0 +1,263 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.Ledger
+
+/** INCREMENTAL ANN-INDEX MAINTENANCE from the ledger change feed.
+  *
+  * The session-standing LSH trie index ([[VectorOps.knnIndexed]]) is
+  * built by hashing the WHOLE corpus — correct for an immutable corpus,
+  * but at 100 TB an index rebuild is corpus-sized while the corpus
+  * changes feed-sized: the same asymmetry incremental dedup
+  * (`q_incr_dedup`) and the ledger's maintained views
+  * ([[Ledger.refreshView]]) already exploit. This module gives the ANN
+  * index the same treatment, maintained from the ledger's full change
+  * feed ([[Ledger.readChangesFull]] — pre-images retract, post-images
+  * add, deletion-vector keys surface as deletes).
+  *
+  * WHAT is maintained (the decomposition that makes refresh ≡ rebuild
+  * EXACT, not approximate):
+  *
+  *  - the HASHED-ROWS table `(vec_id, v, full)` — each vector's
+  *    full-depth sign-LSH code. Refresh hashes ONLY the feed's images
+  *    (the maxDepth×64-dim dot products are the expensive map; the
+  *    corpus is never rescanned): pre-image/delete keys drop by
+  *    anti-join, post-image/insert rows append.
+  *  - the FULL-CODE HISTOGRAM `(full, c)` — refresh merges the feed's
+  *    signed per-code counts (feed-sized aggregate into a
+  *    histogram-sized table; codes netting 0 drop out).
+  *
+  * Everything else — per-prefix occupancies, the leaf-depth keymap,
+  * bucket keys — DERIVES from the final histogram by the same monotone
+  * min-depth rule the from-scratch build applies
+  * ([[VectorOps.knnKeymap]]'s `leafDepth(c) = min d: occ_d ≤ cap`), so
+  * the maintained index equals the rebuilt index BY CONSTRUCTION: leaf
+  * SPLITS (an insert pushing a cell over cap) and MERGES (a delete
+  * draining it) are not incremental special cases that could drift,
+  * they fall out of deriving leaf depths from maintained occupancies.
+  * KnnIncrSpec pins refresh-equals-rebuild the way LedgerViewSpec pins
+  * views, deletes and multi-version refreshes included.
+  *
+  * The dial (base depth p0, max depth) is fixed at index CREATION from
+  * the bootstrap corpus size — an index parameter, like any ANN
+  * index's. A corpus growing ≥2^[[VectorOps.KnnMaxExtra]]× past its
+  * bootstrap size exhausts the split budget and warrants a declared
+  * re-index (the standard ANN epoch-rebuild), not silent re-dialing.
+  *
+  * Freshness is structural, not disciplinary: the artifact lives in a
+  * [[graft.StandingState.versionedMemo]] keyed by the table's COMMITTED
+  * VERSION — a merge bumps the version, the next query misses the
+  * stamp and refreshes from exactly the missed feed range. A stale
+  * index cannot be served within a session (KnnIncrSpec's
+  * merge-then-query case).
+  */
+object KnnIncr {
+
+  /** Index parameters pinned at creation: base trie depth and the
+    * hashing depth (== plane count of every stored `full` code). */
+  final case class Dial(p0: Int, maxD: Int)
+
+  /** The maintained artifact: hashed rows + full-code histogram (both
+    * materialized), the creation dial, and the RDD handles so a
+    * refresh can free its predecessor's blocks. */
+  final case class Index(rows: DataFrame, hist: DataFrame, dial: Dial,
+      handles: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]])
+
+  private val indexMemo =
+    graft.StandingState.versionedMemo[(String, String), Index]()
+
+  private def hashRows(df: DataFrame, maxD: Int): DataFrame =
+    df.withColumn("full",
+      VectorOps.lshBucket(col("v"), VectorOps.hyperplanes(maxD, 64)))
+
+  /** The index for `table`'s current head — bootstrapped once (the one
+    * corpus-sized hash pass it ever costs), then maintained feed-sized
+    * per committed version. */
+  def maintainedIndex(spark: SparkSession, table: String): Index = {
+    val head = Ledger.latestVersion(spark, table)
+    indexMemo.getOrRefresh((spark.sparkContext.applicationId, table), head) {
+      case None                  => bootstrap(spark, table, head)
+      case Some((prevV, prev)) =>
+        if (prevV.toInt > head) bootstrap(spark, table, head) // time travel / table recreated
+        else refresh(spark, table, prevV.toInt, head, prev)
+    }
+  }
+
+  private def bootstrap(spark: SparkSession, table: String, version: Int): Index = {
+    val base = Ledger.readVersion(spark, table, version)
+      .select(col("vec_id"), col("v"))
+    val n = base.count()
+    val (p0, maxD) = VectorOps.knnDialFor(n)
+    val (rows, rRdd) = graft.dedup.Dedup.materializeStatsReset(hashRows(base, maxD))
+    val (hist, hRdd) = graft.dedup.Dedup.materializeStatsReset(
+      rows.groupBy(col("full")).agg(count(lit(1)).as("c")))
+    Index(rows, hist, Dial(p0, maxD), Seq(rRdd, hRdd))
+  }
+
+  /** One maintenance tick over the NET feed `from → to`: hash only the
+    * images, anti-join out retractions, append additions, merge the
+    * signed histogram delta. A key updated then deleted inside the
+    * range nets to one delete (manifest-diff semantics), so refresh
+    * granularity — per version or spanning many — cannot change the
+    * result (KnnIncrSpec pins this too). */
+  private[vector] def refresh(spark: SparkSession, table: String,
+      from: Int, to: Int, prev: Index): Index = {
+    if (from == to) return prev
+    val sgn = when(col("op").isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    // feed-sized, consumed three times (removals, additions, hist delta)
+    val (hf, hfRdd) = graft.dedup.Dedup.materializeStatsReset(
+      hashRows(Ledger.readChangesFull(spark, table, from, to, "vec_id")
+        .select(col("op"), col("vec_id"), col("v")), prev.dial.maxD)
+        .withColumn("_sgn", sgn))
+    val removedKeys = hf.filter(col("_sgn") === -1L).select(col("vec_id"))
+    val added = hf.filter(col("_sgn") === 1L)
+      .select(col("vec_id"), col("v"), col("full"))
+    val (rows, rRdd) = graft.dedup.Dedup.materializeStatsReset(
+      prev.rows.join(removedKeys, Seq("vec_id"), "left_anti").unionByName(added))
+    val (hist, hRdd) = graft.dedup.Dedup.materializeStatsReset(
+      prev.hist.unionByName(hf.groupBy(col("full")).agg(sum(col("_sgn")).as("c")))
+        .groupBy(col("full")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0))
+    hfRdd.unpersist(blocking = false)
+    prev.handles.foreach(_.unpersist(blocking = false))
+    Index(rows, hist, prev.dial, Seq(rRdd, hRdd))
+  }
+
+  /** Corpus-wide multi-probe kNN join over a maintained index — the
+    * same plan family as [[VectorOps.qKnnJoin]] (flat dial: bucket =
+    * the p0-bit code, inline lowest-|margin| flip; trie dial: keymap
+    * join + leaf-resolved probe), except every input is the maintained
+    * artifact: leaf depths come from the maintained histogram, never
+    * from a corpus rescan. */
+  def knnJoinIndexed(spark: SparkSession, idx: Index, k: Int = 3): DataFrame = {
+    val Dial(p0, maxD) = idx.dial
+    val planes = VectorOps.hyperplanes(maxD, 64)
+    val pow2 = array((0 until maxD).map(p => lit(1L << p)): _*)
+    val emb =
+      if (p0 == maxD)
+        idx.rows.withColumn("ld", lit(p0)).withColumn("bucket", col("full"))
+      else {
+        // keymap from the MAINTAINED histogram: per-depth occupancy
+        // roll-ups + the monotone min-depth rule — identical math to
+        // the rebuild's knnKeymap, all histogram-sized
+        val h = idx.hist
+        val withOcc = (p0 until maxD).foldLeft(h) { (acc, d) =>
+          val occ = h.groupBy(col("full").bitwiseAND(lit((1L << d) - 1)).as(s"p$d"))
+            .agg(sum(col("c")).as(s"o$d"))
+          acc.join(occ, acc("full").bitwiseAND(lit((1L << d) - 1)) === occ(s"p$d"))
+            .drop(s"p$d")
+        }
+        val leafDepth = (p0 until maxD).foldRight(lit(maxD): Column) { (d, deeper) =>
+          when(col(s"o$d") <= VectorOps.KnnCapOcc, lit(d)).otherwise(deeper)
+        }
+        val km = withOcc.select(col("full"), leafDepth.as("ld"))
+        val trieKey = (p0 to maxD).map { d =>
+          when(col("ld") === d,
+            col("full").bitwiseAND(lit((1L << d) - 1)) + lit(1L << d))
+        }.reduceRight(_.otherwise(_))
+        idx.rows.join(km, Seq("full")).withColumn("bucket", trieKey)
+      }
+    // lowest-|margin| usable-plane flip in a PROJECTION (the janino
+    // Generate-method-limit note at VectorOps.knnIndexed applies)
+    val absDots = array(planes.map(r =>
+      abs(VectorOps.dot(col("v"), array(r.map(lit): _*)))): _*)
+    val usable = slice(absDots, lit(1), col("ld"))
+    val flip = element_at(pow2,
+      array_position(usable, array_min(usable)).cast("int"))
+    val probeFull = col("full").bitwiseXOR(flip)
+    val queries =
+      if (p0 == maxD)
+        emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(array(col("bucket"), probeFull)).as("bucket"))
+      else {
+        // resolve the flipped code to its unique trie leaf by joining
+        // against the index's leaf-key relation (prefix-freeness ⇒ at
+        // most one depth matches); unmatched probes coalesce to -1,
+        // which matches no trie key
+        val leafKeys = emb.select(col("bucket").as("leaf_key")).distinct()
+        val cands = emb.withColumn("pfull", probeFull)
+          .select(col("vec_id").as("q_id"), explode(array((p0 to maxD).map { d =>
+            col("pfull").bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)
+          }: _*)).as("cand"))
+        val resolved = cands.join(leafKeys, cands("cand") === col("leaf_key"))
+          .select(col("q_id"), col("cand").as("probe_key"))
+        emb.select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+          .join(resolved, Seq("q_id"), "left")
+          .select(col("q_id"), col("qv"),
+            explode(array(col("bucket"), coalesce(col("probe_key"), lit(-1L)))).as("bucket"))
+      }
+    emb.select(col("bucket"), col("vec_id"), col("v"))
+      .join(queries, Seq("bucket")) // corpus-sized both sides: equi-join
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine(col("qv"), col("v")).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id1").as("vec_id"), col("col.sortKey").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** The from-scratch twin: hash the head corpus under the SAME dial
+    * and derive the histogram — what a full re-index would produce.
+    * KnnIncrSpec's law: [[knnJoinIndexed]] over the maintained index
+    * hash-equals it over this rebuild. Test/diagnostic surface, not a
+    * declared path. */
+  private[graft] def rebuiltIndex(spark: SparkSession, table: String,
+      dial: Dial): Index = {
+    val base = Ledger.readVersion(spark, table, Ledger.latestVersion(spark, table))
+      .select(col("vec_id"), col("v"))
+    val rows = hashRows(base, dial.maxD)
+    Index(rows, rows.groupBy(col("full")).agg(count(lit(1)).as("c")), dial, Nil)
+  }
+
+  // ---- the declared lineage + query ----
+
+  private def knnTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_knn", dir.replaceAll(".*/", ""))
+
+  private val lineageMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** The maintained-ANN lineage: v0 = the embeddings corpus; v1 MERGES
+    * negated clones of the %13==0 vectors at +100000 (inserts); v2
+    * upserts the %11==0 vectors reversed (updates — pre-images must
+    * retract); v3 DELETE WHERE %17==3 (deletion-vector deletes). The
+    * index REFRESHES after every commit — the final artifact is the
+    * product of three incremental ticks, never a head rebuild, so the
+    * from-scratch DuckDB oracle catches any maintenance drift (a sign
+    * error, a missed pre-image, a stale bucket). Standing table, one
+    * build per (session, corpus). */
+  private def builtLineage(spark: SparkSession, dir: String): String =
+    lineageMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = knnTableRoot(dir)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Ledger.create(spark, table, emb, "vec_id")
+      maintainedIndex(spark, table) // bootstrap at v0
+      Ledger.merge(spark, table, 0, emb.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          lit("upsert").as("op"), transform(col("v"), x => -x).as("v")), "vec_id")
+      maintainedIndex(spark, table) // feed-sized: hashes only the clones
+      Ledger.merge(spark, table, 1, emb.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id"), lit("upsert").as("op"),
+          reverse(col("v")).as("v")), "vec_id")
+      maintainedIndex(spark, table) // update images: retract + add
+      Ledger.deleteWhere(spark, table, 2, "vec_id",
+        col("vec_id") % 17 === 3 && col("vec_id") < 100000L)
+      maintainedIndex(spark, table) // DV deletes drop rows + histogram mass
+      table
+    })
+
+  /** Q-knn-incr: the corpus-wide kNN join served from the CDF-MAINTAINED
+    * index at the lineage's head. The oracle recomputes the final corpus
+    * logically (survivors with %11 reversals, plus the negated clones)
+    * and runs the flat-dial kNN chain from scratch. */
+  def qKnnIncr(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val table = builtLineage(spark, dir)
+    knnJoinIndexed(spark, maintainedIndex(spark, table), k)
+  }
+}
