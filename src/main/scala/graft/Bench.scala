@@ -45,6 +45,9 @@ object Bench {
       graft.text.Retrieval.warm(spark, sfDir)
       graft.etl.Ledger.warm(spark, sfDir)
       graft.ops.Sink.warmCompactInput(spark, sfDir)
+      // maintained-ANN lineage + index (q_knn_incr's standing table):
+      // built here so pass 1 times the SERVING join, not fixture setup
+      graft.vector.KnnIncr.qKnnIncr(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // Two full passes, min per query: single-pass numbers on this VM
     // carry ±40 % contention spikes (PERF.md); the min of two

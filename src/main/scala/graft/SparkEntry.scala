@@ -96,6 +96,7 @@ object SparkEntry {
     // query (not the -Dgraft.knn.probes property), so the recall lever
     // the r8 clustered study measured has a standing correctness gate
     "q_knn_join_mp" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoinMp(s, d, probes = 2)),
+    "q_knn_filtered" -> ((s: SparkSession, d: String) => VectorOps.qKnnFiltered(s, d)),
     // the ANN index MAINTAINED from the ledger change feed (inserts,
     // update pre/post images, DV deletes — three incremental ticks,
     // never a head rebuild); the oracle recomputes the final corpus
@@ -198,6 +199,8 @@ object SparkEntry {
     "q_ledger_incr_join" -> (graft.etl.Ledger.qLedgerIncrJoin _),
     "q_ledger_wap" -> (graft.etl.Ledger.qLedgerWap _),
     "q_ledger_rebase" -> (graft.etl.Ledger.qLedgerRebase _),
+    "q_ledger_constraints" -> (graft.etl.Ledger.qLedgerConstraints _),
+    "q_ledger_binpack" -> (graft.etl.Ledger.qLedgerBinpack _),
     "q_ledger_zorder" -> (graft.etl.Ledger.qLedgerZorder _),
     "q_schema_evolution" -> (graft.etl.Ledger.qSchemaEvolution _),
     "q_deletion_vectors" -> (graft.etl.Ledger.qDeletionVectors _),
@@ -1366,6 +1369,39 @@ object SparkEntry {
     "q_knn_join_mp" ->
       s"""WITH ${knnFlatMpChainSql(2)}
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // q_knn_filtered: the flat single-flip chain with the label = 7
+    // predicate on the CANDIDATE side; queries with >= 3 filtered
+    // candidates in their probed buckets are served from them, the
+    // rest re-rank EXACT over the filtered corpus (the escalation
+    // path). Both arms mirror the Spark plans bit-for-bit.
+    "q_knn_filtered" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS MATERIALIZED (SELECT vec_id, label, v, ${lshBucketSql("v")} AS bucket,
+         |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
+         |  ${planeDotsSql(2)} AS d3, ${planeDotsSql(3)} AS d4 FROM e),
+         |qf AS (SELECT vec_id AS q_id, v AS qv, bucket,
+         |  CASE WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) AND abs(d1) <= abs(d4) THEN 1
+         |       WHEN abs(d2) <= abs(d3) AND abs(d2) <= abs(d4) THEN 2
+         |       WHEN abs(d3) <= abs(d4) THEN 4 ELSE 8 END AS flip
+         |  FROM bk),
+         |q AS (SELECT q_id, qv, bucket FROM qf
+         |  UNION ALL SELECT q_id, qv, xor(bucket, flip) AS bucket FROM qf),
+         |p AS MATERIALIZED (SELECT q_id, bk.vec_id, $cosineSql AS sim
+         |  FROM bk JOIN q USING (bucket)
+         |  WHERE bk.vec_id <> q.q_id AND bk.label = 7),
+         |ok AS MATERIALIZED (SELECT q_id FROM p GROUP BY q_id HAVING count(*) >= 3),
+         |r AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM p WHERE q_id IN (SELECT q_id FROM ok)),
+         |sh AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |  WHERE vec_id NOT IN (SELECT q_id FROM ok)),
+         |ex AS (SELECT sh.q_id, c.vec_id, $cosineSql AS sim
+         |  FROM sh JOIN e c ON c.label = 7 AND c.vec_id <> sh.q_id),
+         |xr AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM ex)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3
+         |UNION ALL SELECT q_id, rn, vec_id, sim FROM xr WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin,
     // q_knn_incr: the FINAL corpus recomputed logically — survivors of
     // the %17==3 DELETE WHERE carry the %11==0 reversal upserts, plus
     // the negated %13==0 clones at +100000 — then the same flat-dial
@@ -2367,6 +2403,36 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id >= 5000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rebased,
         |  CAST(sum(CASE WHEN text LIKE 'main %' THEN 1 ELSE 0 END) AS BIGINT) AS n_main
         |FROM head""".stripMargin,
+    // q_ledger_binpack: the bin-packed head carries exactly the
+    // lineage's logical content — base corpus + both frontier insert
+    // batches; a rewrite drop/dup or a lost carried file breaks the hash
+    "q_ledger_binpack" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |head AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, 'bp1 ' || text FROM base WHERE doc_id % 23 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, 'bp2 ' || text FROM base WHERE doc_id % 31 = 2)
+        |SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS text_fp
+        |FROM head ORDER BY doc_id""".stripMargin,
+    // q_ledger_constraints: the final table is the two VALID merges
+    // applied in order; the refused changeset (negative n_chars rows
+    // mixed with valid +1 bumps) contributes NOTHING — an enforcement
+    // hole on either side breaks the hash
+    "q_ledger_constraints" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 13 = 1 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM base WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, lang, n_chars * 2 FROM base WHERE doc_id % 29 = 0),
+        |v2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM v1 WHERE doc_id % 19 <> 2)
+        |SELECT doc_id, lang, n_chars FROM v2 ORDER BY doc_id""".stripMargin,
     // q_ledger_stream: the STREAMING CDF consumer must deliver exactly
     // the batch change feed — same logical v0/v1/v2 recomputation as
     // q_ledger_changes, keyed by commit_version instead of the version

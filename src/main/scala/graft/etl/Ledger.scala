@@ -243,14 +243,17 @@ object Ledger {
     * later merges/compactions maintain the declared stat columns. */
   def create(spark: SparkSession, table: String, df: DataFrame,
       keyCol: String, nFiles: Int = 8, clusterBy: Option[Column] = None,
-      statCols: Seq[String] = Nil): Unit = {
+      statCols: Seq[String] = Nil, checks: Seq[Check] = Nil): Unit = {
     val root = fs(spark, table)
     root.delete(new Path(table), true)
+    enforceChecks(checks, df, s"CREATE $table")
     val laid = clusterBy match {
       case Some(z) => df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
       case None    => df.repartitionByRange(nFiles, col(keyCol))
     }
     val files = writeDataFiles(spark, laid, table, 0, keyCol, statCols)
+    // sidecar lands before the manifest (the commit point)
+    if (checks.nonEmpty) writeConstraints(spark, table, 0, checks)
     writeManifest(spark, table, 0, files)
   }
 
@@ -312,6 +315,95 @@ object Ledger {
     schemaOf(spark, table, fromVersion)
       .foreach(writeSchema(spark, table, version, _))
 
+  // ------------------------------------------------------------------
+  // CHECK constraints (the Delta `ADD CONSTRAINT ... CHECK` contract):
+  // declared invariants enforced ON THE COMMIT PATH, so a violating
+  // changeset is refused loudly and atomically — no version advances,
+  // not even the changeset's valid rows. A row satisfies a check only
+  // if the expression is strictly TRUE (NULL counts as a violation,
+  // like Delta's invariant check — a quality gate that silently admits
+  // NULLs isn't one). Enforcement costs one CHANGESET-sized aggregate
+  // per commit (all checks folded into a single pass), never a table
+  // scan: at 100 TB the table is huge but every commit is feed-sized.
+  // ------------------------------------------------------------------
+
+  /** A named CHECK constraint; `expr` is a SQL boolean over the
+    * table's columns (e.g. `"n_chars >= 0"`). */
+  final case class Check(name: String, expr: String) {
+    require(!name.contains("\t") && !name.contains("\n") &&
+      !expr.contains("\t") && !expr.contains("\n"),
+      "check name/expr must not contain tabs or newlines")
+  }
+
+  private def constraintsPath(table: String, version: Int) =
+    s"$table/_constraints/v$version"
+
+  private def writeConstraints(spark: SparkSession, table: String,
+      version: Int, checks: Seq[Check]): Unit =
+    writeSmallFile(fs(spark, table), new Path(constraintsPath(table, version)),
+      checks.map(c => s"${c.name}\t${c.expr}").mkString("\n"))
+
+  /** The CHECK set in force at `version`: the sidecar at the nearest
+    * version ≤ it. Constraints declared at version K bind every commit
+    * AFTER K until re-declared — no per-commit carry step to forget
+    * (time travel below K correctly sees none), and the walk is over
+    * version NUMBERS, never data. */
+  def constraintsOf(spark: SparkSession, table: String,
+      version: Int): Seq[Check] = {
+    val f = fs(spark, table)
+    (version to 0 by -1).iterator
+      .map(v => new Path(constraintsPath(table, v)))
+      .find(f.exists)
+      .map(readSmallFile(f, _).split("\n").toSeq.filter(_.nonEmpty)
+        .map { l => val Array(n, e) = l.split("\t", 2); Check(n, e) })
+      .getOrElse(Nil)
+  }
+
+  /** One pass over `rows`, all checks at once; throws listing EVERY
+    * violated check with its violation count. */
+  private def enforceChecks(checks: Seq[Check], rows: DataFrame,
+      what: String): Unit = {
+    if (checks.isEmpty) return
+    val aggs = checks.map(c =>
+      sum(when(coalesce(expr(c.expr), lit(false)), 0L).otherwise(1L)).as(c.name))
+    val r = rows.agg(aggs.head, aggs.tail: _*).head()
+    val bad = checks.zipWithIndex.collect {
+      case (c, i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+        s"${c.name} (${r.getLong(i)} rows violate '${c.expr}')"
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"$what refused by CHECK constraint(s): ${bad.mkString("; ")}")
+  }
+
+  /** Enforce the checks binding the commit that will produce
+    * `fromVersion + 1` against a changeset's incoming rows (upserts
+    * only — deletes add no data). */
+  private def enforceOnChanges(spark: SparkSession, table: String,
+      fromVersion: Int, changes: DataFrame, keyCol: String): Unit = {
+    val checks = constraintsOf(spark, table, fromVersion)
+    if (checks.nonEmpty)
+      enforceChecks(checks,
+        changes.filter(col("op") === "upsert").drop("op"),
+        s"MERGE into $table@v$fromVersion")
+  }
+
+  /** Declare (or re-declare) the table's CHECK set as a METADATA-ONLY
+    * commit: validates the CURRENT content first (the one full scan
+    * Delta's ADD CONSTRAINT pays too — a constraint the table already
+    * breaks must not be addable), then writes the sidecar at version
+    * `fromVersion + 1` with every data file carried by reference.
+    * Re-declaring with `Nil` drops all constraints. */
+  def setConstraints(spark: SparkSession, table: String, fromVersion: Int,
+      checks: Seq[Check]): Unit = {
+    val version = fromVersion + 1
+    enforceChecks(checks, readVersion(spark, table, fromVersion),
+      s"ADD CONSTRAINT on $table@v$fromVersion")
+    writeConstraints(spark, table, version, checks)
+    carrySchema(spark, table, fromVersion, version)
+    carryDv(spark, table, fromVersion, version)
+    writeManifest(spark, table, version, manifest(spark, table, fromVersion))
+  }
+
   /** The MERGE precondition, checked loudly: one cheap changeset-sized
     * agg — count vs distinct-key count — catches both duplicate and
     * null keys before they fan out in the full-outer join and silently
@@ -338,6 +430,7 @@ object Ledger {
       changes: DataFrame, keyCol: String): Unit = {
     val version = fromVersion + 1
     requireUniqueKeys(changes, keyCol)
+    enforceOnChanges(spark, table, fromVersion, changes, keyCol)
     val m = manifest(spark, table, fromVersion)
     // file-count-sized × changeset range join: which files does any
     // change key hit? (broadcast the manifest — it is model-sized)
@@ -417,6 +510,56 @@ object Ledger {
     // are physically applied and the compacted version starts clean
     carrySchema(spark, table, fromVersion, version)
     writeManifest(spark, table, version, files)
+  }
+
+  /** Incremental BIN-PACK compaction (Iceberg `rewriteDataFiles`
+    * binPack / Delta OPTIMIZE): coalesce ONLY the undersized files —
+    * every file already at or above `targetRows` carries BY REFERENCE.
+    * [[compact]] rewrites the whole table, which is the right tool
+    * after heavy churn but a corpus-sized job at 100 TB; small-file
+    * debt accumulates at the append frontier (every merge's inserts
+    * land in fresh files), so the routine maintenance pass must cost
+    * O(small files), not O(table).
+    *
+    * Selection and binning are manifest-sized driver work (sorted by
+    * min_key so packed files keep key-local ranges for the min/max
+    * skipping contract). The rewrite reads only the selected files,
+    * THROUGH the deletion vector — so their hidden rows are physically
+    * applied — and the successor vector releases exactly the keys that
+    * lived in those files ([[merge]]'s membership discipline; keys
+    * hiding in carried files stay in the vector). Logical content is
+    * IDENTICAL to `fromVersion` (spec-pinned). Returns the number of
+    * files packed away, 0 when fewer than `minInputFiles` qualify (no
+    * version is written — a maintenance no-op must not burn a version
+    * number or invalidate caches). */
+  def compactBinPack(spark: SparkSession, table: String, fromVersion: Int,
+      keyCol: String, targetRows: Long, minInputFiles: Int = 2): Int = {
+    require(targetRows > 0, "targetRows must be positive")
+    val version = fromVersion + 1
+    val m = manifest(spark, table, fromVersion)
+    val small = m.filter(col("rows") < targetRows)
+      .select(col("path"), col("rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (small.length < minInputFiles) return 0
+    val smallPaths = small.map(_._1)
+    val totalRows = small.map(_._2).sum
+    val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
+    val content = applyDv(spark, table, fromVersion,
+      readConformed(spark, table, fromVersion, smallPaths.toIndexedSeq))
+    val packed = writeDataFiles(spark,
+      content.repartitionByRange(nOut, col(keyCol)),
+      table, version, keyCol, statColsOf(m))
+    deletionVector(spark, table, fromVersion).foreach { d =>
+      val k = d.columns.head
+      val packedKeys = readConformed(spark, table, fromVersion,
+        smallPaths.toIndexedSeq).select(col(keyCol).as(k))
+      d.join(packedKeys, Seq(k), "left_anti")
+        .write.mode("overwrite").parquet(deletePath(table, version))
+    }
+    carrySchema(spark, table, fromVersion, version)
+    val carried = m.filter(!col("path").isInCollection(smallPaths.toSeq :+ ""))
+    writeManifest(spark, table, version, carried.unionByName(packed))
+    small.length
   }
 
   /** Latest COMMITTED version — highest v<N> manifest directory whose
@@ -762,6 +905,11 @@ object Ledger {
   def prepareMerge(spark: SparkSession, table: String, fromVersion: Int,
       changes: DataFrame, keyCol: String): PreparedMerge = {
     requireUniqueKeys(changes, keyCol)
+    // checks bind the OCC path at PREPARE time against the base the
+    // writer read; an interleaved setConstraints surfaces at
+    // commitPrepared (constraint-set conflict rule) and forces a
+    // re-prepare under the new set
+    enforceOnChanges(spark, table, fromVersion, changes, keyCol)
     val commitId = java.util.UUID.randomUUID().toString.take(12)
     val m = manifest(spark, table, fromVersion)
     val basePaths = m.select(col("path")).collect().map(_.getString(0)).toSet
@@ -979,6 +1127,12 @@ object Ledger {
         conflict(s"concurrent commit rewrote files this merge read: ${lostHit.take(2).mkString(",")}")
       if (schemaOf(spark, table, target).map(_.toDDL) != p.baseSchemaDdl)
         conflict("concurrent schema evolution")
+      // a concurrent setConstraints is metadata-only (same files, same
+      // schema, same DV) and would rebase silently — but this merge's
+      // rows were checked against the OLD set, so force a re-prepare
+      if (constraintsOf(spark, table, target) !=
+          constraintsOf(spark, table, p.baseVersion))
+        conflict("concurrent CHECK-constraint change; re-prepare under the new set")
       // deletion-vector validation (rules in the doc comment above)
       val dvBase = deletionVector(spark, table, base)
       val dvNew = deletionVector(spark, table, target)
@@ -2093,6 +2247,8 @@ object Ledger {
     builtWapLineage(spark, dir)
     builtRebaseLineage(spark, dir)
     builtDimLineage(spark, dir)
+    builtCkLineage(spark, dir)
+    builtBpLineage(spark, dir)
     qLedgerIncrAgg(spark, dir).count()  // materializes the view bootstrap
     qLedgerIncrJoin(spark, dir).count() // materializes the join-view partials
     ()
@@ -2667,5 +2823,132 @@ object Ledger {
           .cast("long"))))
     refreshJoinView(spark, s"incr_join@$dir", factUpTo = 3, dimUpTo = 2)
       .orderBy(col("k"))
+  }
+
+  // ----- Q-ledger-constraints fixtures -----
+
+  private def ckTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_ck", dir.replaceAll(".*/", ""))
+
+  private val ckMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** The constraints lineage: CREATE with two CHECKs → one valid MERGE
+    * → one REFUSED merge (mixed changeset: valid rows + negative
+    * n_chars rows — atomicity means NOTHING from it lands) → one more
+    * valid MERGE. Deterministic modular changesets like every other
+    * ledger fixture. */
+  private def builtCkLineage(spark: SparkSession, dir: String): String =
+    ckMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = ckTableRoot(dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      create(spark, table, docs, "doc_id", checks = Seq(
+        Check("n_chars_nonneg", "n_chars >= 0"),
+        Check("lang_present", "lang IS NOT NULL AND lang <> ''")))
+      // valid changeset 1: delete %17==3, bump %13==1 by +1000,
+      // insert %29==0 clones at +1e9 with doubled n_chars
+      val cs1 = docs.filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), lit("delete").as("op"), col("lang"), col("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 1 && col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"), lit("upsert").as("op"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars")))
+        .unionByName(docs.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            lit("upsert").as("op"), col("lang"),
+            (col("n_chars") * 2L).as("n_chars")))
+      merge(spark, table, 0, cs1, "doc_id")
+      // REFUSED changeset: %7==0 rows break n_chars_nonneg; the %5==1
+      // rows are perfectly valid and must not land either
+      val bad = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("upsert").as("op"), col("lang"),
+          lit(-1L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 1 && col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), lit("upsert").as("op"), col("lang"),
+            (col("n_chars") + 1L).as("n_chars")))
+      val refused =
+        try { merge(spark, table, 1, bad, "doc_id"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "constraint-violating merge was not refused")
+      require(latestVersion(spark, table) == 1,
+        "refused merge must not advance the version")
+      // valid changeset 2 over the logical v1: delete %19==2,
+      // bump %11==5 by +7
+      val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("n_chars", when(col("doc_id") % 13 === 1,
+          col("n_chars") + 1000L).otherwise(col("n_chars")))
+        .unionByName(docs.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("lang"),
+            (col("n_chars") * 2L).as("n_chars")))
+      val cs2 = v1.filter(col("doc_id") % 19 === 2)
+        .select(col("doc_id"), lit("delete").as("op"), col("lang"), col("n_chars"))
+        .unionByName(v1.filter(col("doc_id") % 11 === 5 && col("doc_id") % 19 =!= 2)
+          .select(col("doc_id"), lit("upsert").as("op"), col("lang"),
+            (col("n_chars") + 7L).as("n_chars")))
+      merge(spark, table, 1, cs2, "doc_id")
+      table
+    })
+
+  // ----- Q-ledger-binpack fixtures -----
+
+  private def bpTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_bp", dir.replaceAll(".*/", ""))
+
+  private val bpMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** The bin-pack lineage: one right-sized base file, two insert-only
+    * merges that each land a small frontier file, then ONE
+    * [[compactBinPack]] pass that must select exactly the two frontier
+    * files (target = half the corpus — scale-independent: the base
+    * file is always right-sized, the modular-clone frontiers never
+    * are) and carry the base by reference. */
+  private def builtBpLineage(spark: SparkSession, dir: String): String =
+    bpMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = bpTableRoot(dir)
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      create(spark, table, docs, "doc_id", nFiles = 1)
+      merge(spark, table, 0, docs.filter(col("doc_id") % 23 === 1)
+        .select((col("doc_id") + 3000000000L).as("doc_id"),
+          lit("upsert").as("op"), concat(lit("bp1 "), col("text")).as("text")),
+        "doc_id")
+      merge(spark, table, 1, docs.filter(col("doc_id") % 31 === 2)
+        .select((col("doc_id") + 4000000000L).as("doc_id"),
+          lit("upsert").as("op"), concat(lit("bp2 "), col("text")).as("text")),
+        "doc_id")
+      val basePaths = manifest(spark, table, 0)
+        .select("path").collect().map(_.getString(0)).toSet
+      val packed = compactBinPack(spark, table, 2, "doc_id",
+        targetRows = math.max(1L, n / 2))
+      require(packed == 2, s"expected to pack the 2 frontier files, got $packed")
+      val after = manifest(spark, table, 3)
+        .select("path").collect().map(_.getString(0)).toSet
+      require(basePaths.subsetOf(after), "base file must carry by reference")
+      table
+    })
+
+  /** Q-ledger-binpack: incremental small-file compaction end to end —
+    * the packed head must carry EXACTLY the logical content of the
+    * lineage (base corpus + both frontier insert batches); a dropped
+    * or duplicated row in the rewrite, a lost carried file, or a
+    * frontier file surviving unpacked all break the hash. */
+  def qLedgerBinpack(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtBpLineage(spark, dir)
+    readVersion(spark, table, 3)
+      .select(col("doc_id"), textFp(col("text")).as("text_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q-ledger-constraints: CHECK constraints as commit-path
+    * enforcement, end to end — the final table is the two VALID merges
+    * applied in order with the violating changeset contributing
+    * NOTHING (not even its valid rows: constraint refusal is atomic).
+    * The DuckDB oracle recomputes that content logically from the raw
+    * corpus, so an enforcement hole (the bad changeset landing, the
+    * valid one refused, or a partial application) breaks the hash. */
+  def qLedgerConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val table = builtCkLineage(spark, dir)
+    readVersion(spark, table, 2)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -267,8 +267,17 @@ object VectorOps {
       Tables.embeddings(spark, dir).count())
     val (p0, maxD) = knnDialFor(n)
     val planes = hyperplanes(maxD, 64)
+    // `label` rides in the index rows as the filterable PAYLOAD column
+    // (the Qdrant/Vespa filtered-search shape: attributes queried
+    // under a predicate live IN the index so post-filtering never
+    // joins back to the corpus) — 4 bytes/row, pruned away by every
+    // query that doesn't reference it. Synthetic eval corpora without
+    // the column index as null (no filtered predicate matches them).
+    val hasLabel = Tables.embeddings(spark, dir).columns.contains("label")
     def emb0 = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        (if (hasLabel) col("label") else lit(null).cast("int")).as("label"),
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("full", lshBucket(col("v"), planes))
     if (p0 == maxD) // flat gate path: bucket = the 4-bit code itself
       (emb0.withColumn("ld", lit(p0)).withColumn("bucket", col("full")), p0, maxD)
@@ -331,8 +340,13 @@ object VectorOps {
       df
     })
 
-  def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val (emb, p0, maxD) = knnIndexed(spark, dir)
+  /** Dial-aware probe-QUERY relation `(q_id, qv, bucket)` — every
+    * vector probing its own trie leaf plus its flip-bit neighbors;
+    * extracted verbatim from [[qKnnJoin]] (same plan, same probe
+    * semantics at every dial) so [[qKnnFiltered]] shares the exact
+    * probe set the unfiltered join uses. */
+  private[graft] def knnProbeQueries(spark: SparkSession, dir: String,
+      emb: DataFrame, p0: Int, maxD: Int): DataFrame = {
     val planes = hyperplanes(maxD, 64)
     // multi-probe flip: lowest-|margin| plane AMONG THE PLANES THIS
     // VECTOR'S LEAF KEY USES (first-minimum tie-break as everywhere).
@@ -361,11 +375,10 @@ object VectorOps {
     // literal; a missing match (unoccupied flipped branch) coalesces
     // to −1, which matches no trie key (all keys carry the 1<<depth
     // marker bit and are positive).
-    val queries =
-      if (p0 == maxD)
-        emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
-          explode(array(col("bucket"), probeFull)).as("bucket"))
-      else if (KnnProbes > 1) {
+    if (p0 == maxD)
+      emb.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array(col("bucket"), probeFull)).as("bucket"))
+    else if (KnnProbes > 1) {
         // multi-probe dial: one flipped code per stored flip bit, each
         // resolved to its trie leaf. Distinct per (q_id, leaf): two
         // flips can share a leaf ANCESTOR shallower than both flip
@@ -398,6 +411,11 @@ object VectorOps {
           .select(col("q_id"), col("qv"),
             explode(array(col("bucket"), coalesce(col("probe_key"), lit(-1L)))).as("bucket"))
       }
+  }
+
+  def qKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val (emb, p0, maxD) = knnIndexed(spark, dir)
+    val queries = knnProbeQueries(spark, dir, emb, p0, maxD)
     // Grouped top-k via the bounded-heap aggregate, not a window: the
     // candidate relation is ~2·occupancy rows per vector (≈500M at
     // sf100) and row_number sorted ALL of it through one q_id shuffle;
@@ -410,6 +428,73 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
       .groupBy(col("q_id"))
       .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id1").as("vec_id"), col("col.sortKey").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** FILTERED corpus-wide kNN join — top-k under a metadata predicate
+    * (`label = 7`, pinned in the query: selective enough that BOTH
+    * arms below are live at every gate corpus), the hybrid-search shape
+    * every production vector store serves (Qdrant/Vespa/pgvector
+    * filtered search). Two plans per query, chosen by what the index
+    * can prove:
+    *
+    *  - POST-FILTER (the mass): the same probe set as [[qKnnJoin]]
+    *    (own leaf + flip neighbors), with the predicate applied to the
+    *    candidate side of the bucket join — the filter column lives IN
+    *    the standing index rows, so no join back to the corpus. A
+    *    query whose probed leaves yield ≥ k filtered candidates is
+    *    served from them.
+    *  - EXACT ESCALATION (the shortfall): a query whose probed leaves
+    *    run dry under the predicate (< k filtered candidates) would
+    *    silently return a truncated neighbor list — the classic
+    *    filtered-ANN failure. Those queries re-run EXACT over the
+    *    filtered corpus. The escalated set is skew-shaped (leaves
+    *    whose occupancy the predicate guts), and the exact pass costs
+    *    |escalated| × |filtered corpus| — when the predicate is
+    *    permissive the escalated set is ~empty, and when it is so
+    *    selective that most queries escalate, the filtered corpus is
+    *    tiny and the "fallback" IS the optimal pre-filter brute-force
+    *    plan. The build side of that product is chosen from two
+    *    standing-artifact scalars (counts, not data, on the driver) —
+    *    the filtered-ANN analogue of AQE's runtime join-side pick.
+    *
+    * Candidate counting is duplicate-free by construction: a corpus
+    * vector lives in exactly one trie leaf, so a query's probed-bucket
+    * union never sees the same candidate twice. Tie order and the
+    * bounded-heap top-k tail match [[qKnnJoin]] bit-for-bit. */
+  def qKnnFiltered(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val (emb, p0, maxD) = knnIndexed(spark, dir)
+    val pred = col("label") === 7
+    val queries = knnProbeQueries(spark, dir, emb, p0, maxD)
+    val filtered = emb.filter(pred).select(col("bucket"), col("vec_id"), col("v"))
+    val scored = filtered.join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+    // one pass: the k-bounded heap AND the candidate count per query —
+    // `nc >= k` is the served/escalated split
+    val heaped = scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"),
+        count(lit(1)).as("nc"))
+    val okIds = heaped.filter(col("nc") >= k).select(col("q_id"))
+    val served = heaped.filter(col("nc") >= k).select(col("q_id"), col("tk"))
+    // escalated = queries NOT served (shortfall or no probed candidate
+    // at all); anti-join keeps this index-sized, never collected
+    val short = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(okIds, Seq("q_id"), "left_anti")
+    val corpusF = emb.filter(pred).select(col("vec_id"), col("v"))
+    val (nShort, nFilt) = (short.count(), corpusF.count())
+    val exactPairs =
+      if (nShort <= nFilt) corpusF.crossJoin(broadcast(short))
+      else short.crossJoin(broadcast(corpusF))
+    val exact = exactPairs.filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"))
+      .select(col("q_id"), col("tk"))
+    served.unionByName(exact)
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
         col("col.id1").as("vec_id"), col("col.sortKey").as("sim"))
