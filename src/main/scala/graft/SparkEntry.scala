@@ -514,6 +514,101 @@ object SparkEntry {
     }
   }
 
+  /** Dial-aware q_knn_filtered oracle SQL for scaled spot-checks:
+    * the single-flip probe chain with the `label = 7` predicate on
+    * the CANDIDATE side, the count-≥-k served/escalated split, and
+    * the exact-over-filtered-corpus escalation arm — mirroring
+    * [[graft.vector.VectorOps.qKnnFiltered]] clause for clause at
+    * either dial (the static oracle entry carries the flat gate
+    * chain; this generator exists for ScaleGen corpora where the
+    * occupancy-adaptive trie opens). */
+  def knnFilteredOracleSqlFor(n: Long): String = {
+    val (p0, maxD) = graft.vector.VectorOps.knnDialFor(n)
+    val cap = graft.vector.VectorOps.KnnCapOcc
+    val planes = graft.vector.VectorOps.hyperplanes(maxD, 64)
+    val dotCols = planes.zipWithIndex.map { case (r, i) =>
+      val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * (CAST($arr AS DOUBLE[]))[i])) AS d${i + 1}"
+    }.mkString(",\n  ")
+    val fullExpr = (0 until maxD)
+      .map(i => s"CASE WHEN d${i + 1} >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    def argminChain(m: Int): String = {
+      val whens = (0 until m - 1).map { i =>
+        val conds = ((i + 1) until m).map(j => s"abs(d${i + 1}) <= abs(d${j + 1})")
+        s"WHEN ${conds.mkString(" AND ")} THEN ${1L << i}"
+      }
+      s"CASE ${whens.mkString(" ")} ELSE ${1L << (m - 1)} END"
+    }
+    def mask(d: Int) = (1L << d) - 1
+    // shared tail: candidates post-filtered in `pf`, the ≥3 split in
+    // `ok`, escalated queries re-ranked EXACT over the filtered corpus.
+    // fl is referenced from five CTEs — MATERIALIZED or DuckDB
+    // re-inlines the plane dots per reference (the mp-oracle lesson).
+    val arms =
+      s"""pf AS MATERIALIZED (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
+         |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id AND fl.label = 7),
+         |ok AS MATERIALIZED (SELECT q_id FROM pf GROUP BY q_id HAVING count(*) >= 3),
+         |r AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM pf WHERE q_id IN (SELECT q_id FROM ok)),
+         |sh AS (SELECT vec_id AS q_id, va AS qva, nv AS nq FROM fl
+         |  WHERE vec_id NOT IN (SELECT q_id FROM ok)),
+         |ex AS (SELECT sh.q_id, c.vec_id,
+         |  array_inner_product(sh.qva, c.va) / (sh.nq * c.nv) AS sim
+         |  FROM sh JOIN fl c ON c.label = 7 AND c.vec_id <> sh.q_id),
+         |xr AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM ex)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3
+         |UNION ALL SELECT q_id, rn, vec_id, sim FROM xr WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin
+    if (p0 == maxD)
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dk AS (SELECT vec_id, label, v,
+         |  $dotCols FROM e),
+         |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+         |fl AS MATERIALIZED (SELECT vec_id, label, CAST(v AS DOUBLE[64]) AS va,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+         |  b AS bucket, ${argminChain(p0)} AS flip FROM bk),
+         |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
+         |  UNION ALL SELECT vec_id, va, nv, xor(bucket, flip) AS bucket FROM fl),
+         |$arms""".stripMargin
+    else {
+      val occCtes = (p0 until maxD).map { d =>
+        s"occ$d AS (SELECT b & ${mask(d)} AS p, count(*) AS o FROM bk GROUP BY 1)"
+      }.mkString(",\n")
+      val occJoins = (p0 until maxD).map { d =>
+        s"JOIN occ$d t$d ON (bk.b & ${mask(d)}) = t$d.p"
+      }.mkString("\n  ")
+      val ldExpr = (p0 until maxD).map { d =>
+        s"WHEN t$d.o <= $cap THEN $d"
+      }.mkString("CASE ", " ", s" ELSE $maxD END")
+      val bucketExpr = (p0 to maxD).map { d =>
+        s"WHEN $d THEN (b & ${mask(d)}) | ${1L << d}"
+      }.mkString("CASE ld ", " ", " END")
+      val flipExpr = (p0 to maxD).map { d =>
+        s"WHEN $d THEN ${argminChain(d)}"
+      }.mkString("CASE ld ", " ", " END")
+      val probeList = (p0 to maxD).map { d =>
+        s"(xor(b, flip) & ${mask(d)}) | ${1L << d}"
+      }.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dk AS (SELECT vec_id, label, v,
+         |  $dotCols FROM e),
+         |bk AS MATERIALIZED (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+         |$occCtes,
+         |ld AS (SELECT bk.*, $ldExpr AS ld
+         |  FROM bk
+         |  $occJoins),
+         |fl AS MATERIALIZED (SELECT vec_id, label, CAST(v AS DOUBLE[64]) AS va,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+         |  b, ld, $bucketExpr AS bucket, $flipExpr AS flip FROM ld),
+         |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
+         |  UNION ALL SELECT vec_id, va, nv, unnest($probeList) AS bucket FROM fl),
+         |$arms""".stripMargin
+    }
+  }
+
   /** Scaled-integer mean of a computed double — mirrors
     * `Exact.scaledMean` (same multiply, integer round, sum, and
     * division order; see its scaladoc for why double→DECIMAL casts

@@ -5,7 +5,12 @@ package graft
   * running the DuckDB compare on ScaleGen corpora — the static entry
   * carries the 4-plane gate chain). No Spark session needed. */
 object SpotOracle {
-  def main(args: Array[String]): Unit =
-    println(SparkEntry.knnJoinOracleSqlFor(args(0).toLong,
-      if (args.length > 1) args(1).toInt else 1))
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toLong
+    val kind = if (args.length > 1) args(1) else "1"
+    println(kind match {
+      case "filtered" => SparkEntry.knnFilteredOracleSqlFor(n)
+      case p          => SparkEntry.knnJoinOracleSqlFor(n, p.toInt)
+    })
+  }
 }

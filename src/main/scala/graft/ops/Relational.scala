@@ -564,23 +564,37 @@ object Relational {
     * HAVING aggregates BEFORE the semi join (no full-fact
     * materialization), then the outer join re-aggregates only
     * surviving orders. Total order on (totalprice desc, orderkey). */
+  /** TPC-H Q18-shaped large-order lookup, FACTORIZED (r10): the naive
+    * form (IN-subquery over an aggregated lineitem + a SECOND lineitem
+    * join feeding the outer GROUP BY) plans as two full-fact
+    * sort-merge passes — the exact disease the r9 q_tpch2/4/17
+    * factorizations cured; at sf100 its twin sorts spilled the disk.
+    * But the outer per-group sum(l_quantity) IS the subquery's
+    * aggregate (the group key contains o_orderkey, and lineitem rows
+    * attach only on l_orderkey = o_orderkey), so the whole query
+    * collapses to: aggregate lineitem ONCE by orderkey (map-side
+    * partial combine; the only fact shuffle), keep the rare
+    * sum > 200 orders, and join that tiny hot set to orders and
+    * customer — AQE broadcasts it, the fact table never sorts, and
+    * everything after the one aggregate is hot-set-sized. Values and
+    * oracle are byte-identical to the naive form. */
   def qTpch18(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
     Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
     spark.sql(
-      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
-        |  date_format(o.o_orderdate, 'yyyy-MM-dd') AS odate,
-        |  CAST(o.o_totalprice AS DOUBLE) AS totalprice,
-        |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_qty
-        |FROM graft_customer c
-        |JOIN graft_orders o ON o.o_custkey = c.c_custkey
-        |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_orderkey IN (
-        |  SELECT l_orderkey FROM graft_lineitem
+      """WITH hot AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM graft_lineitem
         |  GROUP BY l_orderkey
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(200 AS DECIMAL(18,2)))
-        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  date_format(o.o_orderdate, 'yyyy-MM-dd') AS odate,
+        |  CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+        |  CAST(CAST(hot.sq AS STRING) AS DOUBLE) AS sum_qty
+        |FROM hot
+        |JOIN graft_orders o ON o.o_orderkey = hot.l_orderkey
+        |JOIN graft_customer c ON c.c_custkey = o.o_custkey
         |ORDER BY totalprice DESC, o.o_orderkey
         |LIMIT 20""".stripMargin)
   }

@@ -57,17 +57,47 @@ class KnnFilteredSpec extends AnyFunSuite {
         .sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
         .map { case ((id, s), i) => (q, i + 1L, id, s) }
     }
+    val probesByQ = probes.groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val filteredSeq = rows.map(_._1).filter(filteredIds.contains)
     val expected = rows.map(_._1).flatMap { q =>
-      val probed = probes.filter(_._1 == q).map(_._2).toSet
-      val cand = rows.map(_._1)
-        .filter(c => c != q && filteredIds.contains(c) && probed.contains(bucketOf(c)))
+      val probed = probesByQ.getOrElse(q, Set.empty)
+      val cand = filteredSeq.filter(c => c != q && probed.contains(bucketOf(c)))
       if (cand.length >= k) topk(q, cand) // post-filter arm
-      else topk(q, (filteredIds - q).toSeq) // exact escalation arm
+      else topk(q, filteredSeq.filter(_ != q)) // exact escalation arm
     }.toSet
     assert(res.toSet == expected)
   }
 
   test("filtered kNN law at sf0.001") { law(SparkFixture.sf) }
+
+  /** 3000 labeled vectors, 1200 clustered (KnnDialSpec's skewed
+    * recipe + labels) — the TRIE dial (p0=4, maxD=12), where the
+    * probe set resolves through leaf keys and the filtered arms must
+    * still partition correctly. */
+  private lazy val trieDir: String = {
+    val d = "target/knn_filtered_trie_test"
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val hot = unit(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 3000).map { i =>
+      val v =
+        if (i < 1200) unit(hot.map(_ + rnd.nextGaussian() * 0.25))
+        else unit(Array.fill(64)(rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat).toSeq, i % 10)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("filtered kNN law at the trie dial (skewed 3000-vector corpus)") {
+    val (_, p0, maxD) = VectorOps.knnIndexed(spark, trieDir)
+    assert(p0 == 4 && maxD == 12, "fixture must open the adaptive dial")
+    law(trieDir)
+  }
 
   test("filtered kNN law at sf0.01 (both arms live)") {
     val dir = "/root/testdata/sf0.01"
