@@ -2337,10 +2337,16 @@ object Ledger {
       f.delete(trash, true)
     }
     // sidecars land BEFORE the manifest — same commit discipline as
-    // evolve/deleteWhere: a branch visible at v0 has its schema/DV
+    // evolve/deleteWhere: a branch visible at v0 has its schema/DV.
+    // The parent's CHECK set is INHERITED too: a WAP branch exists to
+    // be published back, so its audit window enforces the same
+    // invariants — an unconstrained branch would be the one door a
+    // violating row could enter the constrained table through.
     schemaOf(spark, table, fromVersion).foreach(writeSchema(spark, b, 0, _))
     deletionVector(spark, table, fromVersion)
       .foreach(_.write.mode("overwrite").parquet(deletePath(b, 0)))
+    val inheritedChecks = constraintsOf(spark, table, fromVersion)
+    if (inheritedChecks.nonEmpty) writeConstraints(spark, b, 0, inheritedChecks)
     writeSmallFile(f, new Path(branchBasePath(table, name)), fromVersion.toString)
     writeManifest(spark, b, 0, manifest(spark, table, fromVersion))
     b
@@ -2494,6 +2500,13 @@ object Ledger {
     if (schemaOf(spark, table, head).map(_.toDDL) !=
         schemaOf(spark, table, base).map(_.toDDL))
       conflict("parent schema evolved past the audited base")
+    // a parent setConstraints past the base is metadata-only and would
+    // otherwise rebase silently — but the branch's rows were audited
+    // under the OLD check set, and publish fast-forwards them into the
+    // parent unvalidated. Conservative, same as commitPrepared's rule:
+    // conflict, and the re-branch inherits the new set at creation.
+    if (constraintsOf(spark, table, head) != constraintsOf(spark, table, base))
+      conflict("parent CHECK-constraint set changed past the audited base")
     // deletion-vector rules, branch as the prepared loser
     val dvB = deletionVector(spark, table, base)
     val dvH = deletionVector(spark, table, head)

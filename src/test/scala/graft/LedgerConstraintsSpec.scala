@@ -125,6 +125,37 @@ class LedgerConstraintsSpec extends AnyFunSuite {
     }
   }
 
+  test("WAP branch inherits the parent's CHECK set; rebase conflicts on a set change") {
+    val t = mkTable("ck_branch")
+    val b = Ledger.branch(spark, t, 0, "audit")
+    // the branch is NOT the one door a violating row can enter through
+    intercept[IllegalArgumentException] {
+      Ledger.merge(spark, b, 0, ups(Seq((1L, -2L, "t1"))), "k")
+    }
+    Ledger.merge(spark, b, 0, ups(Seq((1L, 11L, "t1"))), "k")
+    // parent tightens its checks after the branch was audited: the
+    // branch's rows were validated under the OLD set, so rebase refuses
+    Ledger.setConstraints(spark, t, 0, checks :+ Check("v_cap", "v <= 400"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Ledger.rebaseBranch(spark, t, "audit", "k")
+    }
+    assert(e.getMessage.contains("CHECK-constraint"))
+  }
+
+  test("streaming commitBatch enforces the table's checks") {
+    val t = mkTable("ck_stream")
+    intercept[IllegalArgumentException] {
+      Ledger.commitBatch(spark, t, 0L,
+        Seq((1L, -3L, "t0")).toDF("k", "v", "tag"), "k")
+    }
+    assert(Ledger.latestVersion(spark, t) == 0)
+    // the refusal happened before the txn marker: the same batchId
+    // retries cleanly once the payload is fixed
+    assert(Ledger.commitBatch(spark, t, 0L,
+      Seq((1L, 3L, "t0")).toDF("k", "v", "tag"), "k"))
+    assert(Ledger.latestVersion(spark, t) == 1)
+  }
+
   test("nearest-sidecar lookup: constraints bind from their version on") {
     val t = Ledger.tableRoot("ck_lookup")
     val rows = (0L until 50L).map(i => (i, i, s"t$i")).toDF("k", "v", "tag")

@@ -165,9 +165,18 @@ class PlanSpec extends AnyFunSuite {
       s"the OR nation-pair predicate must not degrade the join:\n$plan")
   }
 
-  test("tpch18: quantity threshold aggregates before the semi join") {
+  test("tpch18: one fact aggregate, hot set joins out, the fact never sorts") {
     val plan = planOf(graft.ops.Relational.qTpch18(spark, sf))
-    assert(plan.contains("LeftSemi"), s"IN must become a semi join:\n$plan")
+    // the r10 factorized contract: lineitem is scanned EXACTLY ONCE
+    // (the old IN-subquery + re-join form scanned and sort-merged it
+    // twice — ~60 GB of transient sorted runs at sf100), aggregated
+    // with a map-side partial before its only exchange, and the rare
+    // hot set joins to orders/customer without any sort-merge pass
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"the fact must be scanned exactly once:\n$plan")
+    assert(plan.contains("partial_sum"), s"map-side combine before the shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no fact sort anywhere in the factorized plan:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 

@@ -43,6 +43,20 @@ if os.path.exists(probes):
     if rows:
         out["sf100_mover_steady"] = rows
 
+# scaled oracle spot-checks for the round's new queries (hand-recorded
+# from tools/spot_check.py runs; the harness prints PASS/FAIL + rows)
+out["spot_r10"] = {
+    "q_knn_filtered_sf1": {
+        "result": "PASS", "rows": 60000, "n_embeddings": 20000,
+        "note": "trie dial (p0=7, maxD=15); dial-aware oracle via "
+                "knnFilteredOracleSqlFor — served post-filter arm + "
+                "exact escalation arm both mirrored in DuckDB"},
+    "gate_full": {
+        "result": "196 pass, 0 fail then 197/197 after q_ledger_binpack "
+                  "landed (subset re-check 3/3)",
+        "note": "full sf0.01 Verify + oracle_check this round"},
+}
+
 # ladder bench JSONs (full in-suite runs, all declared queries)
 failures = []
 for sf, path in [("sf0.1", "/tmp/bench_sf01_r10.json"),
