@@ -368,7 +368,17 @@ object SparkEntry {
     * probe the P lowest), each probe resolved to its unique trie leaf
     * and deduped per (vec_id, leaf), mirroring [[graft.vector
     * .VectorOps.qKnnJoinMp]] clause for clause. */
-  def knnJoinOracleSqlFor(n: Long, probes: Int): String = {
+  def knnJoinOracleSqlFor(n: Long, probes: Int): String =
+    knnJoinOracleSqlFor(n, probes,
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+
+  /** `eCtes` variant: the corpus CTE chain (ending in
+    * `e(vec_id, v)`) is caller-supplied, so lineage-transformed
+    * corpora (q_knn_incr's final head) get the same dial-aware trie
+    * SQL as the raw table. `n` remains the DIAL-SETTING count — for
+    * the maintained index that is the BOOTSTRAP corpus size (the dial
+    * is an index-creation parameter; occupancies derive from `e`). */
+  def knnJoinOracleSqlFor(n: Long, probes: Int, eCtes: String): String = {
     val (p0, maxD) = graft.vector.VectorOps.knnDialFor(n)
     val cap = graft.vector.VectorOps.KnnCapOcc
     val planes = graft.vector.VectorOps.hyperplanes(maxD, 64)
@@ -404,7 +414,7 @@ object SparkEntry {
     if (p0 == maxD) {
       if (probes == 1)
         // flat gate chain (bucket = the p0-bit code, probe = flipped code)
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH $eCtes,
            |dk AS (SELECT vec_id, v,
            |  $dotCols FROM e),
            |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
@@ -419,7 +429,7 @@ object SparkEntry {
            |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
       else
         // flat multi-probe: P distinct single-bit flips, no resolution
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH $eCtes,
            |dk AS (SELECT vec_id, v,
            |  $dotCols FROM e),
            |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
@@ -455,7 +465,7 @@ object SparkEntry {
         s"(xor(b, flip) & ${mask(d)}) | ${1L << d}"
       }.mkString("[", ", ", "]")
       if (probes == 1)
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH $eCtes,
            |dk AS (SELECT vec_id, v,
            |  $dotCols FROM e),
            |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
@@ -486,7 +496,7 @@ object SparkEntry {
         // fl's occupancy joins + plane dots per reference and the plan
         // blows up combinatorially (observed: 10+ CPU-hours at sf1 vs
         // minutes materialized)
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH $eCtes,
            |dk AS (SELECT vec_id, v,
            |  $dotCols FROM e),
            |bk AS MATERIALIZED (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
@@ -513,6 +523,23 @@ object SparkEntry {
       }
     }
   }
+
+  /** Dial-aware q_knn_incr oracle SQL: the lineage-transformed FINAL
+    * corpus (survivors of the %17==3 delete with the %11==0 reversals,
+    * plus the negated %13==0 clones at +100000) pushed through the
+    * same single-flip trie chain. `nBootstrap` sets the dial exactly
+    * as the maintained index's creation did (the dial is an
+    * index-creation parameter — the v0 corpus count); occupancies and
+    * leaf depths derive from the FINAL corpus, mirroring the
+    * maintained histogram. */
+  def knnIncrOracleSqlFor(nBootstrap: Long): String =
+    knnJoinOracleSqlFor(nBootstrap, 1,
+      """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        |e AS (SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN list_reverse(v0) ELSE v0 END AS v
+        |        FROM base WHERE vec_id % 17 <> 3
+        |      UNION ALL
+        |      SELECT vec_id + 100000 AS vec_id, list_transform(v0, x -> -x) AS v
+        |        FROM base WHERE vec_id % 13 = 0)""".stripMargin)
 
   /** Dial-aware q_knn_filtered oracle SQL for scaled spot-checks:
     * the single-flip probe chain with the `label = 7` predicate on

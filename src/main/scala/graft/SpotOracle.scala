@@ -10,6 +10,7 @@ object SpotOracle {
     val kind = if (args.length > 1) args(1) else "1"
     println(kind match {
       case "filtered" => SparkEntry.knnFilteredOracleSqlFor(n)
+      case "incr"     => SparkEntry.knnIncrOracleSqlFor(n)
       case p          => SparkEntry.knnJoinOracleSqlFor(n, p.toInt)
     })
   }

@@ -51,6 +51,21 @@ out["spot_r10"] = {
         "note": "trie dial (p0=7, maxD=15); dial-aware oracle via "
                 "knnFilteredOracleSqlFor — served post-filter arm + "
                 "exact escalation arm both mirrored in DuckDB"},
+    "q_knn_incr_sf1": {
+        "result": "PASS", "rows": 61086, "n_embeddings": 20000,
+        "note": "the CDF-MAINTAINED index serving at the trie dial "
+                "hash-matches DuckDB recomputing the lineage-final "
+                "corpus from scratch through the same trie chain "
+                "(knnIncrOracleSqlFor; dial set by the bootstrap "
+                "count, occupancies by the final corpus — exactly "
+                "the maintained histogram's law)"},
+    "q_knn_join_sf1": {"result": "PASS", "rows": 60000,
+        "note": "re-checked after the generator's corpus-CTE "
+                "parameterization (regression guard)"},
+    "q_knn_join_mp_sf1": {"result": "PASS", "rows": 60000,
+        "note": "ditto, P=2"},
+    "q_ledger_constraints_sf1": {"result": "PASS", "rows": 46216},
+    "q_ledger_binpack_sf1": {"result": "PASS", "rows": 53787},
     "gate_full": {
         "result": "196 pass, 0 fail then 197/197 after q_ledger_binpack "
                   "landed (subset re-check 3/3)",

@@ -45,7 +45,8 @@ def main():
     queries = sys.argv[3:]
     oracle_path = os.path.join(out_dir, "oracle_sql.json")
     oracle = json.load(open(oracle_path))
-    dialed = {"q_knn_join": "1", "q_knn_join_mp": "2", "q_knn_filtered": "filtered"}
+    dialed = {"q_knn_join": "1", "q_knn_join_mp": "2",
+              "q_knn_filtered": "filtered", "q_knn_incr": "incr"}
     patch = [q for q in dialed if not queries or q in queries]
     if patch:
         n = count_embeddings(sf_dir)
