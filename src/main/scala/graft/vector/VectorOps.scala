@@ -460,6 +460,14 @@ object VectorOps {
     *    plan. The build side of that product is chosen from two
     *    standing-artifact scalars (counts, not data, on the driver) —
     *    the filtered-ANN analogue of AQE's runtime join-side pick.
+    *    Residual (documented, not hidden): a predicate CORRELATED with
+    *    the hash space (e.g. one embedding cluster) can strand a large
+    *    escalated set against a large filtered corpus, where any
+    *    brute-force product is wrong — that shape wants the index
+    *    PARTITIONED by the filter column (one trie per predicate
+    *    value, the standard filtered-ANN answer), which this design
+    *    supports by construction: build the same standing index over
+    *    `emb.filter(pred)`.
     *
     * Candidate counting is duplicate-free by construction: a corpus
     * vector lives in exactly one trie leaf, so a query's probed-bucket
