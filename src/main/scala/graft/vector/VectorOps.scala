@@ -473,9 +473,17 @@ object VectorOps {
     * vector lives in exactly one trie leaf, so a query's probed-bucket
     * union never sees the same candidate twice. Tie order and the
     * bounded-heap top-k tail match [[qKnnJoin]] bit-for-bit. */
-  def qKnnFiltered(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def qKnnFiltered(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnFiltered(spark, dir, col("label") === 7, k)
+
+  /** The library API behind [[qKnnFiltered]]: corpus-wide top-k under
+    * an arbitrary predicate over the index's payload columns. The
+    * declared query pins one instance (`label = 7`) to the DuckDB
+    * oracle; every instance shares the standing index, probe set, and
+    * the served/escalated split. */
+  def knnFiltered(spark: SparkSession, dir: String, pred: Column,
+      k: Int): DataFrame = {
     val (emb, p0, maxD) = knnIndexed(spark, dir)
-    val pred = col("label") === 7
     val queries = knnProbeQueries(spark, dir, emb, p0, maxD)
     val filtered = emb.filter(pred).select(col("bucket"), col("vec_id"), col("v"))
     val scored = filtered.join(queries, Seq("bucket"))
