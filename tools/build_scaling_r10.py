@@ -67,9 +67,10 @@ out["spot_r10"] = {
     "q_ledger_constraints_sf1": {"result": "PASS", "rows": 46216},
     "q_ledger_binpack_sf1": {"result": "PASS", "rows": 53787},
     "gate_full": {
-        "result": "196 pass, 0 fail then 197/197 after q_ledger_binpack "
-                  "landed (subset re-check 3/3)",
-        "note": "full sf0.01 Verify + oracle_check this round"},
+        "result": "197 pass, 0 fail",
+        "note": "full sf0.01 Verify + oracle_check at round-close HEAD "
+                "(also: 196/196 mid-round before q_ledger_binpack, and "
+                "per-change subset re-checks)"},
 }
 
 # ladder bench JSONs (full in-suite runs, all declared queries)
