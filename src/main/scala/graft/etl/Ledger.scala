@@ -245,8 +245,14 @@ object Ledger {
       keyCol: String, nFiles: Int = 8, clusterBy: Option[Column] = None,
       statCols: Seq[String] = Nil, checks: Seq[Check] = Nil): Unit = {
     val root = fs(spark, table)
-    root.delete(new Path(table), true)
+    // validation BEFORE the delete: a refused CREATE (unresolvable
+    // check, violating df) must leave any pre-existing table at this
+    // path intact — the same loud-and-atomic contract every other
+    // constraint site honors. Deleting first turned a refusal into
+    // data loss.
+    validateChecks(checks, df.schema, s"CREATE $table")
     enforceChecks(checks, df, s"CREATE $table")
+    root.delete(new Path(table), true)
     val laid = clusterBy match {
       case Some(z) => df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
       case None    => df.repartitionByRange(nFiles, col(keyCol))
@@ -359,6 +365,38 @@ object Ledger {
       .getOrElse(Nil)
   }
 
+  /** DECLARATION-TIME validation: every check expression must RESOLVE
+    * against the table schema and analyze to a boolean — a typo'd
+    * column name or a non-boolean expression is refused at the moment
+    * the constraint is declared (create/setConstraints), never left to
+    * surface as an analysis error in the middle of some later merge's
+    * rewrite. Metadata-only: analysis over a zero-row frame, no scan.
+    * Overload of [[enforceChecks]]'s content pass, not a replacement —
+    * both run at declaration (resolve first, then the one content
+    * scan). */
+  private def validateChecks(checks: Seq[Check], schema: StructType,
+      what: String): Unit = {
+    if (checks.isEmpty) return
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    checks.foreach { c =>
+      val analyzed =
+        try empty.select(expr(c.expr).as("_v"))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$what refused: CHECK ${c.name} ('${c.expr}') does not " +
+              s"resolve against the table schema " +
+              s"(${schema.fieldNames.mkString(", ")}): ${e.getMessage}")
+        }
+      require(analyzed.schema.head.dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"$what refused: CHECK ${c.name} ('${c.expr}') must be a boolean " +
+        s"expression, got ${analyzed.schema.head.dataType.simpleString}")
+    }
+  }
+
   /** One pass over `rows`, all checks at once; throws listing EVERY
     * violated check with its violation count. */
   private def enforceChecks(checks: Seq[Check], rows: DataFrame,
@@ -396,7 +434,12 @@ object Ledger {
   def setConstraints(spark: SparkSession, table: String, fromVersion: Int,
       checks: Seq[Check]): Unit = {
     val version = fromVersion + 1
-    enforceChecks(checks, readVersion(spark, table, fromVersion),
+    val current = readVersion(spark, table, fromVersion)
+    // resolve-first: a typo'd column or non-boolean expr is refused
+    // HERE, by name, before the content scan even plans
+    validateChecks(checks, current.schema,
+      s"ADD CONSTRAINT on $table@v$fromVersion")
+    enforceChecks(checks, current,
       s"ADD CONSTRAINT on $table@v$fromVersion")
     writeConstraints(spark, table, version, checks)
     carrySchema(spark, table, fromVersion, version)
@@ -521,45 +564,105 @@ object Ledger {
     * land in fresh files), so the routine maintenance pass must cost
     * O(small files), not O(table).
     *
-    * Selection and binning are manifest-sized driver work (sorted by
-    * min_key so packed files keep key-local ranges for the min/max
-    * skipping contract). The rewrite reads only the selected files,
-    * THROUGH the deletion vector — so their hidden rows are physically
-    * applied — and the successor vector releases exactly the keys that
-    * lived in those files ([[merge]]'s membership discipline; keys
-    * hiding in carried files stay in the vector). Logical content is
-    * IDENTICAL to `fromVersion` (spec-pinned). Returns the number of
-    * files packed away, 0 when fewer than `minInputFiles` qualify (no
-    * version is written — a maintenance no-op must not burn a version
-    * number or invalidate caches). */
+    * Selection is by LIVE row count (physical rows minus DV-hidden
+    * rows — a file that reads small IS small, whatever its parquet
+    * footer says); candidates are bounded manifest-sized, then the
+    * selected files are read ONCE — raw, file-tagged, materialized —
+    * and the exact live counts, the packed content (hidden rows
+    * physically applied), and the released DV key set all derive from
+    * that single read ([[merge]]'s membership discipline; keys hiding
+    * in carried files stay in the vector). `clusterBy` packs into the
+    * table's alternative layout — on a z-ordered table pass the same
+    * z expression the table was created with, so routine bin-pack
+    * maintenance PRESERVES the narrow both-dim stats the full
+    * `OPTIMIZE ZORDER` pass established instead of silently repacking
+    * the frontier in key order. Logical content is IDENTICAL to
+    * `fromVersion` (spec-pinned). Returns the number of files packed
+    * away, 0 when fewer than `minInputFiles` qualify (no version is
+    * written — a maintenance no-op must not burn a version number or
+    * invalidate caches). */
   def compactBinPack(spark: SparkSession, table: String, fromVersion: Int,
-      keyCol: String, targetRows: Long, minInputFiles: Int = 2): Int = {
+      keyCol: String, targetRows: Long, minInputFiles: Int = 2,
+      clusterBy: Option[Column] = None): Int = {
     require(targetRows > 0, "targetRows must be positive")
     val version = fromVersion + 1
     val m = manifest(spark, table, fromVersion)
-    val small = m.filter(col("rows") < targetRows)
-      .select(col("path"), col("rows")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    if (small.length < minInputFiles) return 0
-    val smallPaths = small.map(_._1)
-    val totalRows = small.map(_._2).sum
-    val nOut = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    val content = applyDv(spark, table, fromVersion,
-      readConformed(spark, table, fromVersion, smallPaths.toIndexedSeq))
-    val packed = writeDataFiles(spark,
-      content.repartitionByRange(nOut, col(keyCol)),
-      table, version, keyCol, statColsOf(m))
-    deletionVector(spark, table, fromVersion).foreach { d =>
-      val k = d.columns.head
-      val packedKeys = readConformed(spark, table, fromVersion,
-        smallPaths.toIndexedSeq).select(col(keyCol).as(k))
-      d.join(packedKeys, Seq(k), "left_anti")
-        .write.mode("overwrite").parquet(deletePath(table, version))
+    val dv = deletionVector(spark, table, fromVersion)
+    // Selection is by LIVE rows, not the manifest's physical count: a
+    // file whose physical rows clear targetRows but whose DV-hidden
+    // mass drags its LIVE count under it IS small-file debt (reads skip
+    // the hidden rows) and must be packable. The manifest alone can't
+    // see DV mass, so candidates are bounded first by range-joining the
+    // DV keys against per-file key ranges (manifest-sized driver work;
+    // ranges can overlap after merges, so this is an upper bound on
+    // hidden rows ⇒ a SUPERSET of the truly live-small files), then
+    // trimmed to the exact live count from the single candidate read
+    // below. Candidate-set I/O, never table I/O.
+    val cand: Array[String] = dv match {
+      case None =>
+        m.filter(col("rows") < targetRows)
+          .select(col("path")).collect().map(_.getString(0))
+      case Some(d) =>
+        val k = d.columns.head
+        val hid = d.join(broadcast(m),
+            col(k) >= col("min_key") && col(k) <= col("max_key"))
+          .groupBy(col("path")).agg(count(lit(1)).as("_hid_ub"))
+        m.join(hid, Seq("path"), "left")
+          .filter(col("rows") - coalesce(col("_hid_ub"), lit(0L)) < targetRows)
+          .select(col("path")).collect().map(_.getString(0))
     }
-    carrySchema(spark, table, fromVersion, version)
-    val carried = m.filter(!col("path").isInCollection(smallPaths.toSeq :+ ""))
-    writeManifest(spark, table, version, carried.unionByName(packed))
-    small.length
+    if (cand.length < minInputFiles) return 0
+    // ONE read of the candidate files — raw (through no DV), tagged
+    // with the source file, materialized: per-file live counts, the
+    // packed content, and the released DV key set all derive from it.
+    val (raw, rawRdd) = graft.dedup.Dedup.materializeStatsReset(
+      readConformed(spark, table, fromVersion, cand.toIndexedSeq)
+        .withColumn("_file", input_file_name()))
+    try {
+      val tagged = dv match {
+        case Some(d) =>
+          val k = d.columns.head
+          raw.join(d.select(col(k).as(keyCol))
+              .withColumn("_hidden", lit(true)), Seq(keyCol), "left")
+            .withColumn("_hidden", coalesce(col("_hidden"), lit(false)))
+        case None => raw.withColumn("_hidden", lit(false))
+      }
+      val stats = tagged.groupBy(col("_file"))
+        .agg(count(lit(1)).as("_tot"),
+          sum(when(col("_hidden"), 1L).otherwise(0L)).as("_hid"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val selected = stats.filter { case (_, tot, hid) => tot - hid < targetRows }
+      if (selected.length < minInputFiles) return 0
+      val selPaths = selected.map(_._1).toSet
+      val liveRows = selected.map { case (_, tot, hid) => tot - hid }.sum
+      val nOut = math.max(1L, (liveRows + targetRows - 1) / targetRows).toInt
+      val content = tagged
+        .filter(col("_file").isInCollection(selPaths.toSeq) && !col("_hidden"))
+        .drop("_file", "_hidden")
+      // z-aware packing: on a z-ordered table the nightly bin-pack must
+      // PRESERVE the layout contract the expensive full-compact
+      // (OPTIMIZE ZORDER) pass established — packing the frontier in
+      // key order would silently widen the secondary-dim min/max stats
+      // the pruned reads depend on. Same contract as [[compact]]'s
+      // clusterBy.
+      val laid = clusterBy match {
+        case Some(z) => content.repartitionByRange(nOut, z).sortWithinPartitions(z)
+        case None    => content.repartitionByRange(nOut, col(keyCol))
+      }
+      val packed = writeDataFiles(spark, laid, table, version, keyCol, statColsOf(m))
+      dv.foreach { d =>
+        val k = d.columns.head
+        val packedKeys = tagged.filter(col("_file").isInCollection(selPaths.toSeq))
+          .select(col(keyCol).as(k))
+        d.join(packedKeys, Seq(k), "left_anti")
+          .write.mode("overwrite").parquet(deletePath(table, version))
+      }
+      carrySchema(spark, table, fromVersion, version)
+      val carried = m.filter(!col("path").isInCollection(selPaths.toSeq :+ ""))
+      writeManifest(spark, table, version, carried.unionByName(packed))
+      selected.length
+    } finally rawRdd.unpersist(blocking = false)
   }
 
   /** Latest COMMITTED version — highest v<N> manifest directory whose

@@ -178,4 +178,36 @@ class LedgerConstraintsSpec extends AnyFunSuite {
       Ledger.merge(spark, t, 4, ups(Seq((9L, -9L, "y"))), "k")
     }
   }
+
+  test("unresolvable or non-boolean check expr refused at declaration, not at the next merge") {
+    val t = mkTable("ck_validate")
+    val e = intercept[IllegalArgumentException] {
+      Ledger.setConstraints(spark, t, 0, Seq(Check("typo", "v_misspelled >= 0")))
+    }
+    assert(e.getMessage.contains("typo") && e.getMessage.contains("does not resolve"))
+    assert(Ledger.latestVersion(spark, t) == 0) // refusal is metadata-atomic too
+    val e2 = intercept[IllegalArgumentException] {
+      Ledger.setConstraints(spark, t, 0, Seq(Check("notbool", "v + 1")))
+    }
+    assert(e2.getMessage.contains("boolean"))
+    assert(Ledger.latestVersion(spark, t) == 0)
+  }
+
+  test("a refused CREATE leaves the pre-existing table intact") {
+    val t = mkTable("ck_create_safe")
+    val before = Ledger.readVersion(spark, t, 0).orderBy("k").collect()
+    val bad = Seq((0L, -1L, "t0")).toDF("k", "v", "tag")
+    // content violation: refused BEFORE the old table is deleted
+    intercept[IllegalArgumentException] {
+      Ledger.create(spark, t, bad, "k", checks = checks)
+    }
+    assert(Ledger.readVersion(spark, t, 0).orderBy("k").collect().toSeq
+      == before.toSeq)
+    // resolution failure: likewise refused with the prior table intact
+    intercept[IllegalArgumentException] {
+      Ledger.create(spark, t, bad, "k", checks = Seq(Check("typo", "nope > 0")))
+    }
+    assert(Ledger.readVersion(spark, t, 0).orderBy("k").collect().toSeq
+      == before.toSeq)
+  }
 }
