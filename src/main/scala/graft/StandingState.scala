@@ -78,6 +78,22 @@ object StandingState {
           m.put(key, (version, art))
           art
       }
+
+    /** The current (version, artifact) pair, if any — for maintainers
+      * that advance the stamp themselves (streaming refresh loops). */
+    def peek(key: K): Option[(Long, V)] = m.get(key)
+
+    /** Stamp `art` at `version` UNLESS a newer stamp already exists —
+      * a streaming maintainer folding micro-batches must never regress
+      * the stamp below what a concurrent batch refresh advanced it to
+      * (a regressed stamp would make the next batch refresh re-apply a
+      * feed range, and the batch path's signed histogram delta is not
+      * idempotent). */
+    def advanceTo(key: K, version: Long, art: V): Unit =
+      m.get(key) match {
+        case Some((v, _)) if v > version => ()
+        case _ => m.put(key, (version, art))
+      }
   }
 
   private[graft] def versionedMemo[K, V](): VersionedMemo[K, V] =

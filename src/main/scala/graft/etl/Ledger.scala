@@ -672,6 +672,16 @@ object Ledger {
     * replay forever (`latestVersion == version` with the commit point
     * absent). Treating marker-less manifests as nonexistent lets the
     * replay recompute and overwrite the partial dir in place. */
+  /** Whether version N is still COMMITTED AND READABLE — its manifest
+    * (with the `_SUCCESS` commit marker) survives. [[vacuum]] drops
+    * expired manifests, so a maintainer holding a version number from
+    * before a vacuum must check this before reading a change feed
+    * anchored at it (a half-gone feed must re-bootstrap loudly, not
+    * read through missing history). */
+  def versionCommitted(spark: SparkSession, table: String, version: Int): Boolean =
+    version >= 0 &&
+      fs(spark, table).exists(new Path(manifestPath(table, version) + "/_SUCCESS"))
+
   def latestVersion(spark: SparkSession, table: String): Int = {
     val dir = new Path(s"$table/_manifest")
     val f = fs(spark, table)

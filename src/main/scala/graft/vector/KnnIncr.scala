@@ -61,9 +61,11 @@ object KnnIncr {
   final case class Dial(p0: Int, maxD: Int)
 
   /** The maintained artifact: hashed rows + full-code histogram (both
-    * materialized), the creation dial, and the RDD handles so a
-    * refresh can free its predecessor's blocks. */
+    * materialized), the creation dial, the BOOTSTRAP corpus size the
+    * dial was derived from (the epoch boundary's denominator), and the
+    * RDD handles so a refresh can free its predecessor's blocks. */
   final case class Index(rows: DataFrame, hist: DataFrame, dial: Dial,
+      n0: Long,
       handles: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]])
 
   private val indexMemo =
@@ -75,15 +77,55 @@ object KnnIncr {
 
   /** The index for `table`'s current head — bootstrapped once (the one
     * corpus-sized hash pass it ever costs), then maintained feed-sized
-    * per committed version. */
+    * per committed version. Two declared boundaries re-bootstrap
+    * instead of refreshing:
+    *
+    *  - VACUUM SAFETY: a refresh spans `prevV → head`, and [[Ledger
+    *    .vacuum]] may have dropped prevV's manifest since the artifact
+    *    was stamped — reading a change feed anchored at a half-gone
+    *    version is exactly the silent-drift class this module exists
+    *    to preclude, so a vacuumed-away anchor re-bootstraps loudly.
+    *  - EPOCH RE-INDEX: the dial is an index-CREATION parameter, and a
+    *    corpus grown ≥ 2^[[VectorOps.KnnMaxExtra]]× past its bootstrap
+    *    size has exhausted the split budget — every base cell can
+    *    already sit maxD−p0 planes deep, so further growth accretes
+    *    over-occupied leaves and recall/cost quietly degrade. That is
+    *    the standard ANN epoch-rebuild boundary; crossing it triggers
+    *    a declared re-bootstrap under a fresh dial (KnnIncrSpec pins
+    *    both the trigger and that refresh-equals-rebuild holds at the
+    *    new dial). */
   def maintainedIndex(spark: SparkSession, table: String): Index = {
     val head = Ledger.latestVersion(spark, table)
     indexMemo.getOrRefresh((spark.sparkContext.applicationId, table), head) {
       case None                  => bootstrap(spark, table, head)
       case Some((prevV, prev)) =>
         if (prevV.toInt > head) bootstrap(spark, table, head) // time travel / table recreated
-        else refresh(spark, table, prevV.toInt, head, prev)
+        else if (!Ledger.versionCommitted(spark, table, prevV.toInt)) {
+          Console.err.println(s"[knn-incr] $table: version ${prevV.toInt} was " +
+            "vacuumed away since the index was stamped - re-bootstrapping " +
+            "from the head instead of reading a half-gone change feed")
+          prev.handles.foreach(_.unpersist(blocking = false))
+          bootstrap(spark, table, head)
+        } else {
+          val next = refresh(spark, table, prevV.toInt, head, prev)
+          if (pastEpochBoundary(next)) {
+            Console.err.println(s"[knn-incr] $table: corpus grew past " +
+              s"2^${VectorOps.KnnMaxExtra}x its bootstrap size (n0=${next.n0}) - " +
+              "split budget exhausted; performing the declared epoch " +
+              "re-index under a fresh dial")
+            next.handles.foreach(_.unpersist(blocking = false))
+            bootstrap(spark, table, head)
+          } else next
+        }
     }
+  }
+
+  /** The declared epoch boundary: maintained corpus mass ≥ 2^KnnMaxExtra
+    * × the bootstrap size. One histogram-sized aggregate — runs only on
+    * refresh ticks, never on memo hits. */
+  private[vector] def pastEpochBoundary(idx: Index): Boolean = {
+    val mass = idx.hist.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    mass >= (math.max(idx.n0, 1L) << VectorOps.KnnMaxExtra)
   }
 
   private def bootstrap(spark: SparkSession, table: String, version: Int): Index = {
@@ -94,7 +136,7 @@ object KnnIncr {
     val (rows, rRdd) = graft.dedup.Dedup.materializeStatsReset(hashRows(base, maxD))
     val (hist, hRdd) = graft.dedup.Dedup.materializeStatsReset(
       rows.groupBy(col("full")).agg(count(lit(1)).as("c")))
-    Index(rows, hist, Dial(p0, maxD), Seq(rRdd, hRdd))
+    Index(rows, hist, Dial(p0, maxD), n, Seq(rRdd, hRdd))
   }
 
   /** One maintenance tick over the NET feed `from → to`: hash only the
@@ -123,7 +165,107 @@ object KnnIncr {
         .filter(col("c") > 0))
     hfRdd.unpersist(blocking = false)
     prev.handles.foreach(_.unpersist(blocking = false))
-    Index(rows, hist, prev.dial, Seq(rRdd, hRdd))
+    Index(rows, hist, prev.dial, prev.n0, Seq(rRdd, hRdd))
+  }
+
+  /** One maintenance tick from a NET change batch `(vec_id, op, v)`
+    * (op ∈ upsert/delete — [[Ledger.netChanges]]' shape): the streaming
+    * twin of [[refresh]]. The histogram RETRACTIONS derive from the
+    * codes STORED in `prev.rows` (the maintained artifact holds each
+    * key's current full code) instead of re-hashing feed pre-images —
+    * which also makes a replayed batch IDEMPOTENT: re-applying nets to
+    * retract-the-new-code/re-add-the-new-code, a no-op, exactly the
+    * property a foreachBatch consumer needs across restart replays
+    * (the batch [[refresh]]'s signed pre-image delta is NOT replay-safe,
+    * which is why the stream path exists as its own decomposition). */
+  private[vector] def refreshFromNet(spark: SparkSession, net: DataFrame,
+      prev: Index): Index = {
+    val keys = net.select(col("vec_id"))
+    val (added, aRdd) = graft.dedup.Dedup.materializeStatsReset(
+      hashRows(net.filter(col("op") === "upsert")
+        .select(col("vec_id"), col("v")), prev.dial.maxD))
+    // every net key present in the index retracts its STORED code
+    // (update pre-image or delete) — feed-keyed join, never a rescan
+    val (retract, retRdd) = graft.dedup.Dedup.materializeStatsReset(
+      prev.rows.join(keys, Seq("vec_id"))
+        .groupBy(col("full")).agg((-count(lit(1))).as("c")))
+    val (rows, rRdd) = graft.dedup.Dedup.materializeStatsReset(
+      prev.rows.join(keys, Seq("vec_id"), "left_anti").unionByName(added))
+    val (hist, hRdd) = graft.dedup.Dedup.materializeStatsReset(
+      prev.hist.unionByName(retract)
+        .unionByName(added.groupBy(col("full")).agg(count(lit(1)).as("c")))
+        .groupBy(col("full")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0))
+    aRdd.unpersist(blocking = false)
+    retRdd.unpersist(blocking = false)
+    prev.handles.foreach(_.unpersist(blocking = false))
+    Index(rows, hist, prev.dial, prev.n0, Seq(rRdd, hRdd))
+  }
+
+  /** CONTINUOUS index maintenance — the streaming composition of the
+    * two standing halves: [[Ledger.readChangesStream]] (the staged CDF
+    * as a Structured Streaming source) feeding [[refreshFromNet]] in a
+    * `foreachBatch`, so the ANN index is maintained the way
+    * [[Ledger.replicate]] maintains a replica. Bootstraps (or catches
+    * up) at the CURRENT head first; each micro-batch is net-reduced
+    * ([[Ledger.netChanges]]) and folded in, and the versioned memo's
+    * stamp ADVANCES to the batch's max commit_version — a
+    * [[maintainedIndex]] call between batches serves the stream-built
+    * artifact when it is current, or refreshes the gap feed-sized when
+    * the stream lags (the stamp never regresses: [[graft.StandingState
+    * .VersionedMemo.advanceTo]]). Versions at or below the bootstrap
+    * head are skipped (they are already IN the bootstrapped artifact);
+    * split-version batches and restart replays are safe because the
+    * net-batch fold is idempotent. Cross-batch version order is the
+    * same loud invariant [[Ledger.replicate]] pins. The caller owns the
+    * returned query's lifecycle; KnnIncrSpec proves the streamed
+    * lineage's final served kNN join byte-equals the batch
+    * [[maintainedIndex]] path. */
+  def maintainStream(spark: SparkSession, table: String, checkpoint: String,
+      fromVersion: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // floor BEFORE the bootstrap: a commit racing in between is then in
+    // the artifact AND above the floor — the net-batch fold re-applies
+    // it idempotently, whereas the reverse order would skip a version
+    // the artifact lacks (healed only by the next batch refresh)
+    val floor = Ledger.latestVersion(spark, table).toLong
+    maintainedIndex(spark, table) // bootstrap (or catch up) at the current head
+    val key = (spark.sparkContext.applicationId, table)
+    var hwm = floor       // highest upstream version SEEN this run
+    var lastId = -1L      // foreachBatch replay dedupe (replicate's lastTxn role)
+    Ledger.readChangesStream(spark, table, fromVersion)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id > lastId) {
+          val span = b.agg(min(col("commit_version")), max(col("commit_version"))).head()
+          if (!span.isNullAt(0)) {
+            val (mn, mx) = (span.getInt(0).toLong, span.getInt(1).toLong)
+            // versions ≤ the bootstrap head are already IN the artifact
+            val fresh = b.filter(col("commit_version") > floor)
+            if (!fresh.isEmpty) {
+              // the same loud order invariant replicate pins (equal is
+              // legal — one version's files may split across adjacent
+              // batches; the net-batch fold re-applies idempotently).
+              // Checked only for batches that carry NEW versions, so a
+              // restart replaying pre-bootstrap history stays silent.
+              require(mn >= hwm || mn <= floor,
+                s"out-of-order CDF delivery to the $table index " +
+                s"maintainer: batch spans [$mn,$mx] but version $hwm " +
+                "was already applied")
+              val (pv, prev) = indexMemo.peek(key).getOrElse {
+                val h = Ledger.latestVersion(spark, table)
+                (h.toLong, bootstrap(spark, table, h))
+              }
+              val next = refreshFromNet(spark,
+                Ledger.netChanges(fresh, "vec_id"), prev)
+              indexMemo.advanceTo(key, math.max(pv, mx), next)
+            }
+            hwm = math.max(hwm, mx)
+          }
+          lastId = id
+        }
+        ()
+      }.start()
   }
 
   /** Corpus-wide multi-probe kNN join over a maintained index — the
@@ -212,7 +354,8 @@ object KnnIncr {
     val base = Ledger.readVersion(spark, table, Ledger.latestVersion(spark, table))
       .select(col("vec_id"), col("v"))
     val rows = hashRows(base, dial.maxD)
-    Index(rows, rows.groupBy(col("full")).agg(count(lit(1)).as("c")), dial, Nil)
+    Index(rows, rows.groupBy(col("full")).agg(count(lit(1)).as("c")), dial,
+      0L, Nil)
   }
 
   // ---- the declared lineage + query ----

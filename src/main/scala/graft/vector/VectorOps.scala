@@ -490,10 +490,15 @@ object VectorOps {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
     // one pass: the k-bounded heap AND the candidate count per query —
-    // `nc >= k` is the served/escalated split
-    val heaped = scored.groupBy(col("q_id"))
-      .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"),
-        count(lit(1)).as("nc"))
+    // `nc >= k` is the served/escalated split. MATERIALIZED (narrow:
+    // one row per query, k ids + a count) because it feeds okIds,
+    // served, AND the build-side-pick scalar below — without it the
+    // probe-join + heap aggregate would execute once per consumer.
+    // Freed like every tracked artifact at StandingState.release().
+    val (heaped, _) = graft.dedup.Dedup.materializeStatsReset(
+      scored.groupBy(col("q_id"))
+        .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"),
+          count(lit(1)).as("nc")))
     val okIds = heaped.filter(col("nc") >= k).select(col("q_id"))
     val served = heaped.filter(col("nc") >= k).select(col("q_id"), col("tk"))
     // escalated = queries NOT served (shortfall or no probed candidate
@@ -501,7 +506,13 @@ object VectorOps {
     val short = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(okIds, Seq("q_id"), "left_anti")
     val corpusF = emb.filter(pred).select(col("vec_id"), col("v"))
-    val (nShort, nFilt) = (short.count(), corpusF.count())
+    // build-side pick scalars: |short| derives from the memoized corpus
+    // count minus the served count (one count over the materialized
+    // heap — the expensive plan never re-executes for a cardinality)
+    val nQ = embCountMemo.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      Tables.embeddings(spark, dir).count())
+    val (nShort, nFilt) = (nQ - okIds.count(), corpusF.count())
     val exactPairs =
       if (nShort <= nFilt) corpusF.crossJoin(broadcast(short))
       else short.crossJoin(broadcast(corpusF))

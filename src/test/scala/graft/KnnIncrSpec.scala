@@ -99,6 +99,77 @@ class KnnIncrSpec extends AnyFunSuite {
     assert(KnnIncr.maintainedIndex(spark, table) eq idx1)
   }
 
+  test("epoch boundary: growth past 2^KnnMaxExtra x bootstrap triggers the declared re-index") {
+    val table = Ledger.tableRoot("knn_incr_epoch")
+    Ledger.create(spark, table, vectors(0L, 50L, seed = 3L), "vec_id")
+    val idx0 = KnnIncr.maintainedIndex(spark, table)
+    assert(idx0.dial == KnnIncr.Dial(4, 4) && idx0.n0 == 50)
+    // below the boundary: the dial is a CREATION parameter — growth
+    // within the split budget must NOT silently re-dial
+    Ledger.merge(spark, table, 0, vectors(50L, 2050L, seed = 5L)
+      .select(col("vec_id"), lit("upsert").as("op"), col("v")), "vec_id")
+    val idx1 = KnnIncr.maintainedIndex(spark, table)
+    assert(idx1.dial == idx0.dial && idx1.n0 == 50)
+    // past it (mass 12800 = 50 << 8): the declared epoch re-index fires
+    Ledger.merge(spark, table, 1, vectors(2050L, 12800L, seed = 9L)
+      .select(col("vec_id"), lit("upsert").as("op"), col("v")), "vec_id")
+    val idx2 = KnnIncr.maintainedIndex(spark, table)
+    assert(idx2.n0 == 12800L, "epoch re-index must re-bootstrap (fresh n0)")
+    assert(idx2.dial != idx0.dial, "fresh dial derived from the grown corpus")
+    assert(histRows(idx2) == histRows(KnnIncr.rebuiltIndex(spark, table, idx2.dial)))
+  }
+
+  test("vacuum safety: a refresh anchored at a vacuumed-away version re-bootstraps") {
+    val table = Ledger.tableRoot("knn_incr_vacuum")
+    Ledger.create(spark, table, vectors(0L, 300L, seed = 13L), "vec_id")
+    assert(KnnIncr.maintainedIndex(spark, table).n0 == 300) // stamped at v0
+    Ledger.merge(spark, table, 0, vectors(300L, 340L, seed = 17L)
+      .select(col("vec_id"), lit("upsert").as("op"), col("v")), "vec_id")
+    Ledger.merge(spark, table, 1, vectors(340L, 380L, seed = 23L)
+      .select(col("vec_id"), lit("upsert").as("op"), col("v")), "vec_id")
+    Ledger.vacuum(spark, table, keepFrom = 2) // v0/v1 manifests are gone
+    // the stamped anchor (v0) no longer exists: the refresh must NOT
+    // try to read the 0→2 feed — it re-bootstraps from the head
+    val idx = KnnIncr.maintainedIndex(spark, table)
+    assert(idx.n0 == 380, "must have re-bootstrapped from the head")
+    assert(histRows(idx) == histRows(KnnIncr.rebuiltIndex(spark, table, idx.dial)))
+  }
+
+  test("streamed maintenance == batch maintenance, byte for byte") {
+    val a = Ledger.tableRoot("knn_incr_stream")
+    val b = Ledger.tableRoot("knn_incr_stream_twin")
+    for (t <- Seq(a, b)) {
+      Ledger.create(spark, t, vectors(0L, 2500L, seed = 7L), "vec_id")
+      Ledger.merge(spark, t, 0, clustered(2500L, 3000L, seed = 11L)
+        .select(col("vec_id"), lit("upsert").as("op"), col("v")), "vec_id")
+    }
+    Ledger.stageChanges(spark, a, "vec_id")
+    val q = KnnIncr.maintainStream(spark, a,
+      java.nio.file.Files.createTempDirectory("knn_incr_stream_ckpt")
+        .toString) // bootstrap covers v0+v1
+    try {
+      for (t <- Seq(a, b)) {
+        Ledger.merge(spark, t, 1, vectors(0L, 2500L, seed = 7L)
+          .filter(col("vec_id") % 13 === 0)
+          .select(col("vec_id"), lit("upsert").as("op"),
+            transform(col("v"), x => -x).as("v")), "vec_id")
+        Ledger.deleteWhere(spark, t, 2, "vec_id", col("vec_id") % 7 === 0)
+      }
+      Ledger.stageChanges(spark, a, "vec_id")
+      q.processAllAvailable()
+    } finally q.stop()
+    // prove the STREAM maintained a's artifact: vacuum away all pre-head
+    // versions — a memo lagging behind the head (stream didn't apply)
+    // would be forced to re-bootstrap here and change n0; a current
+    // stamp is a memo HIT that never touches the table
+    Ledger.vacuum(spark, a, keepFrom = 3)
+    val idxA = KnnIncr.maintainedIndex(spark, a)
+    assert(idxA.n0 == 3000, "stream must have maintained the artifact to the head")
+    val idxB = KnnIncr.maintainedIndex(spark, b) // batch path over the twin lineage
+    assert(histRows(idxA) == histRows(idxB))
+    assert(resultRows(idxA) == resultRows(idxB))
+  }
+
   test("refresh granularity is irrelevant: per-version ticks == one spanning refresh") {
     val a = Ledger.tableRoot("knn_incr_spec_tick")
     val b = Ledger.tableRoot("knn_incr_spec_span")
