@@ -97,6 +97,7 @@ object SparkEntry {
     // the r8 clustered study measured has a standing correctness gate
     "q_knn_join_mp" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoinMp(s, d, probes = 2)),
     "q_knn_filtered" -> ((s: SparkSession, d: String) => VectorOps.qKnnFiltered(s, d)),
+    "q_knn_filtered_part" -> ((s: SparkSession, d: String) => graft.vector.KnnPart.qKnnFilteredPart(s, d)),
     // the ANN index MAINTAINED from the ledger change feed (inserts,
     // update pre/post images, DV deletes — three incremental ticks,
     // never a head rebuild); the oracle recomputes the final corpus
@@ -632,6 +633,120 @@ object SparkEntry {
          |  b, ld, $bucketExpr AS bucket, $flipExpr AS flip FROM ld),
          |q AS (SELECT vec_id AS q_id, va AS qva, nv AS nq, bucket FROM fl
          |  UNION ALL SELECT vec_id, va, nv, unnest($probeList) AS bucket FROM fl),
+         |$arms""".stripMargin
+    }
+  }
+
+  /** Dial-aware q_knn_filtered_part oracle SQL: the PARTITIONED
+    * filtered-ANN chain — the trie (occupancies, leaf depths, bucket
+    * keys) is built over ONLY the `label = 7` rows under a dial derived
+    * from the PARTITION count `nF`, and every corpus vector resolves
+    * its own + flip probe leaves by joining its code's prefix chain
+    * against the partition's leaf-key set — mirroring
+    * [[graft.vector.KnnPart.knnFilteredPartitioned]] clause for clause.
+    * The flat arm (nF ≤ oracle scale) is the static gate entry; the
+    * trie arm serves ScaleGen corpora whose partition opens the
+    * adaptive dial. */
+  def knnFilteredPartOracleSqlFor(nF: Long): String = {
+    val (p0, maxD) = graft.vector.VectorOps.knnDialFor(nF)
+    val cap = graft.vector.VectorOps.KnnCapOcc
+    val planes = graft.vector.VectorOps.hyperplanes(maxD, 64)
+    val dotCols = planes.zipWithIndex.map { case (r, i) =>
+      val arr = r.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * (CAST($arr AS DOUBLE[]))[i])) AS d${i + 1}"
+    }.mkString(",\n  ")
+    val fullExpr = (0 until maxD)
+      .map(i => s"CASE WHEN d${i + 1} >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    def argminChain(m: Int): String = {
+      val whens = (0 until m - 1).map { i =>
+        val conds = ((i + 1) until m).map(j => s"abs(d${i + 1}) <= abs(d${j + 1})")
+        s"WHEN ${conds.mkString(" AND ")} THEN ${1L << i}"
+      }
+      s"CASE ${whens.mkString(" ")} ELSE ${1L << (m - 1)} END"
+    }
+    def mask(d: Int) = (1L << d) - 1
+    // shared tail: candidates from the partition (fl) by probed bucket,
+    // the ≥3 served split, escalated queries (drawn from ALL vectors,
+    // qa) re-ranked EXACT over the partition
+    val arms =
+      s"""pf AS MATERIALIZED (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
+         |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id),
+         |ok AS MATERIALIZED (SELECT q_id FROM pf GROUP BY q_id HAVING count(*) >= 3),
+         |r AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM pf WHERE q_id IN (SELECT q_id FROM ok)),
+         |sh AS (SELECT q_id, qva, nq FROM qa
+         |  WHERE q_id NOT IN (SELECT q_id FROM ok)),
+         |ex AS (SELECT sh.q_id, c.vec_id,
+         |  array_inner_product(sh.qva, c.va) / (sh.nq * c.nv) AS sim
+         |  FROM sh JOIN fl c ON c.vec_id <> sh.q_id),
+         |xr AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM ex)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3
+         |UNION ALL SELECT q_id, rn, vec_id, sim FROM xr WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin
+    if (p0 == maxD)
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dk AS (SELECT vec_id, label, v,
+         |  $dotCols FROM e),
+         |bk AS MATERIALIZED (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+         |fl AS MATERIALIZED (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv, b AS bucket
+         |  FROM bk WHERE label = 7),
+         |qa AS MATERIALIZED (SELECT vec_id AS q_id, CAST(v AS DOUBLE[64]) AS qva,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nq,
+         |  b AS bucket, ${argminChain(p0)} AS flip FROM bk),
+         |q AS (SELECT q_id, qva, nq, bucket FROM qa
+         |  UNION ALL SELECT q_id, qva, nq, xor(bucket, flip) AS bucket FROM qa),
+         |$arms""".stripMargin
+    else {
+      val occCtes = (p0 until maxD).map { d =>
+        s"occ$d AS (SELECT b & ${mask(d)} AS p, count(*) AS o FROM pb GROUP BY 1)"
+      }.mkString(",\n")
+      val occJoins = (p0 until maxD).map { d =>
+        s"LEFT JOIN occ$d t$d ON (pb.b & ${mask(d)}) = t$d.p"
+      }.mkString("\n  ")
+      val ldExpr = (p0 until maxD).map { d =>
+        s"WHEN t$d.o <= $cap THEN $d"
+      }.mkString("CASE ", " ", s" ELSE $maxD END")
+      val bucketExpr = (p0 to maxD).map { d =>
+        s"WHEN $d THEN (b & ${mask(d)}) | ${1L << d}"
+      }.mkString("CASE ld ", " ", " END")
+      val dots = (1 to maxD).map(i => s"d$i").mkString(", ")
+      val chain = (p0 to maxD).map(d => s"(b & ${mask(d)}) | ${1L << d}")
+        .mkString("[", ", ", "]")
+      val fchain = (p0 to maxD).map(d => s"(xor(b, flip) & ${mask(d)}) | ${1L << d}")
+        .mkString("[", ", ", "]")
+      val ldOfKey = (p0 to maxD).reverse.map(d => s"WHEN bucket >= ${1L << d} THEN $d")
+        .mkString("CASE ", " ", " END")
+      val flipExpr = (p0 to maxD).map(d => s"WHEN $d THEN ${argminChain(d)}")
+        .mkString("CASE ld ", " ", " END")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dk AS (SELECT vec_id, label, v,
+         |  $dotCols FROM e),
+         |bk AS MATERIALIZED (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
+         |pb AS MATERIALIZED (SELECT * FROM bk WHERE label = 7),
+         |$occCtes,
+         |pld AS (SELECT pb.*, $ldExpr AS ld
+         |  FROM pb
+         |  $occJoins),
+         |fl AS MATERIALIZED (SELECT vec_id, CAST(v AS DOUBLE[64]) AS va,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nv,
+         |  $bucketExpr AS bucket FROM pld),
+         |leaf AS MATERIALIZED (SELECT DISTINCT bucket FROM fl),
+         |qa AS MATERIALIZED (SELECT vec_id AS q_id, CAST(v AS DOUBLE[64]) AS qva,
+         |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nq, b,
+         |  $dots FROM bk),
+         |och AS (SELECT q_id, unnest($chain) AS cand FROM qa),
+         |own AS (SELECT q_id, cand AS bucket FROM och JOIN leaf ON och.cand = leaf.bucket),
+         |owd AS (SELECT q_id, bucket, $ldOfKey AS ld FROM own),
+         |ofq AS (SELECT owd.q_id, $flipExpr AS flip, qa.b
+         |  FROM owd JOIN qa USING (q_id)),
+         |fch AS (SELECT q_id, unnest($fchain) AS cand FROM ofq),
+         |fres AS (SELECT q_id, cand AS bucket FROM fch JOIN leaf ON fch.cand = leaf.bucket),
+         |pq AS (SELECT q_id, bucket FROM own UNION ALL SELECT q_id, bucket FROM fres),
+         |q AS (SELECT pq.q_id, qa.qva, qa.nq, pq.bucket FROM pq JOIN qa USING (q_id)),
          |$arms""".stripMargin
     }
   }
@@ -1524,6 +1639,13 @@ object SparkEntry {
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3
          |UNION ALL SELECT q_id, rn, vec_id, sim FROM xr WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin,
+    // q_knn_filtered_part: the PARTITIONED filtered-ANN arm — the trie
+    // is built over the label = 7 rows only, under the PARTITION's own
+    // dial (flat at every oracle corpus: the partition is far below the
+    // trie threshold, exactly like the shared index — they coincide at
+    // gate scale and diverge at ScaleGen corpora, where the generator
+    // form takes over). The generator emits the flat chain here.
+    "q_knn_filtered_part" -> knnFilteredPartOracleSqlFor(100),
     // q_knn_incr: the FINAL corpus recomputed logically — survivors of
     // the %17==3 DELETE WHERE carry the %11==0 reversal upserts, plus
     // the negated %13==0 clones at +100000 — then the same flat-dial

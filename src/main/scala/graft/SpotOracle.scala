@@ -9,9 +9,11 @@ object SpotOracle {
     val n = args(0).toLong
     val kind = if (args.length > 1) args(1) else "1"
     println(kind match {
-      case "filtered" => SparkEntry.knnFilteredOracleSqlFor(n)
-      case "incr"     => SparkEntry.knnIncrOracleSqlFor(n)
-      case p          => SparkEntry.knnJoinOracleSqlFor(n, p.toInt)
+      case "filtered"      => SparkEntry.knnFilteredOracleSqlFor(n)
+      // n = the PARTITION's row count (label = 7), not the corpus'
+      case "filtered_part" => SparkEntry.knnFilteredPartOracleSqlFor(n)
+      case "incr"          => SparkEntry.knnIncrOracleSqlFor(n)
+      case p               => SparkEntry.knnJoinOracleSqlFor(n, p.toInt)
     })
   }
 }

@@ -282,25 +282,12 @@ object KnnIncr {
       if (p0 == maxD)
         idx.rows.withColumn("ld", lit(p0)).withColumn("bucket", col("full"))
       else {
-        // keymap from the MAINTAINED histogram: per-depth occupancy
-        // roll-ups + the monotone min-depth rule — identical math to
-        // the rebuild's knnKeymap, all histogram-sized
-        val h = idx.hist
-        val withOcc = (p0 until maxD).foldLeft(h) { (acc, d) =>
-          val occ = h.groupBy(col("full").bitwiseAND(lit((1L << d) - 1)).as(s"p$d"))
-            .agg(sum(col("c")).as(s"o$d"))
-          acc.join(occ, acc("full").bitwiseAND(lit((1L << d) - 1)) === occ(s"p$d"))
-            .drop(s"p$d")
-        }
-        val leafDepth = (p0 until maxD).foldRight(lit(maxD): Column) { (d, deeper) =>
-          when(col(s"o$d") <= VectorOps.KnnCapOcc, lit(d)).otherwise(deeper)
-        }
-        val km = withOcc.select(col("full"), leafDepth.as("ld"))
-        val trieKey = (p0 to maxD).map { d =>
-          when(col("ld") === d,
-            col("full").bitwiseAND(lit((1L << d) - 1)) + lit(1L << d))
-        }.reduceRight(_.otherwise(_))
-        idx.rows.join(km, Seq("full")).withColumn("bucket", trieKey)
+        // keymap from the MAINTAINED histogram: the SHARED monotone
+        // min-depth rule ([[VectorOps.leafDepthsFromHist]]) — identical
+        // math to the rebuild by construction, all histogram-sized
+        val km = VectorOps.leafDepthsFromHist(idx.hist, p0, maxD)
+        idx.rows.join(km, Seq("full"))
+          .withColumn("bucket", VectorOps.trieKeyExpr(p0, maxD))
       }
     // lowest-|margin| usable-plane flip in a PROJECTION (the janino
     // Generate-method-limit note at VectorOps.knnIndexed applies)

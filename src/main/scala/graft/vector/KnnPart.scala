@@ -1,0 +1,195 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PARTITIONED filtered ANN — one standing trie PER PREDICATE VALUE,
+  * the arm that closes [[VectorOps.knnFiltered]]'s documented residual.
+  *
+  * The unpartitioned filtered join post-filters the SHARED index's
+  * probed leaves and escalates shortfall queries to exact-over-the-
+  * filtered-corpus. Its worst case is a predicate CORRELATED with the
+  * hash space — e.g. a label that IS one embedding cluster: every
+  * query outside the cluster probes leaves the predicate guts, so the
+  * escalated set is large AND the filtered corpus is large, and the
+  * exact arm's |escalated| × |filtered| product is quadratic-shaped.
+  * The standard production answer (Qdrant/Vespa payload-partitioned
+  * indexes, Milvus partition key) is to PARTITION the index by the
+  * filter column: this module builds the SAME occupancy-adaptive trie
+  * ([[VectorOps.knnIndexed]]'s design — same hash family, same
+  * monotone min-depth keymap rule via the SHARED
+  * [[VectorOps.leafDepthsFromHist]]) over ONLY the partition's rows,
+  * under a dial derived from the PARTITION's size. Leaves are then
+  * sized to the partition's own density — a cluster-valued predicate
+  * gets a trie whose hot cells split exactly where ITS mass is — so
+  * queries near the cluster are served from capped leaves and the
+  * escalated set collapses to the queries with genuinely no nearby
+  * partition mass (KnnPartSpec pins the collapse against the
+  * unpartitioned arm on a cluster-correlated fixture).
+  *
+  * Query semantics match [[VectorOps.knnFiltered]]: EVERY corpus
+  * vector is a query; a query whose probed partition leaves yield ≥ k
+  * candidates is served from them, the rest escalate to exact over the
+  * partition — never a silently truncated neighbor list. Probes are
+  * the query's OWN leaf in the partition trie plus its lowest-|margin|
+  * flip leaf; since queries are generally NOT partition members, both
+  * resolve by joining the query code's prefix chain against the
+  * partition's leaf-key relation (prefix-freeness ⇒ at most one match
+  * per chain; an unmatched chain means no partition mass anywhere near
+  * the query's cell — it escalates). Own and flip leaves are disjoint:
+  * the flip bit sits below the own-leaf depth, and a leaf on the
+  * flipped chain at or above the flip depth would be an ancestor of
+  * the own leaf, violating prefix-freeness.
+  *
+  * Scale shape: the partition index is a standing artifact per
+  * (session, corpus, value) — model-not-data, bucketed, maintained the
+  * same way the shared index is; candidates ride a bucket equi-join
+  * (never a cross join); the escalation product picks its build side
+  * from two standing-artifact scalars like the unpartitioned arm. At
+  * the gate corpus both dials are flat and coincide, so this query's
+  * results equal `q_knn_filtered`'s there — they diverge exactly where
+  * the partitioned design matters (partition dial ≠ corpus dial; the
+  * sf1+ spot-checks and KnnPartSpec exercise the divergence).
+  */
+object KnnPart {
+
+  private val partIndexMemo =
+    graft.StandingState.memo[(String, String, Int), (DataFrame, Int, Int)]()
+  private val partCountMemo =
+    graft.StandingState.memo[(String, String, Int), Long]()
+
+  /** The per-value standing index `(vec_id, v, full, ld, bucket)` over
+    * `label = labelValue` rows only, plus its dial. Flat below oracle
+    * scale (byte-identical to the DuckDB chain the gate embeds);
+    * occupancy-adaptive trie above it, materialized + memoized like
+    * every standing index. */
+  private[graft] def partitionIndex(spark: SparkSession, dir: String,
+      labelValue: Int): (DataFrame, Int, Int) = {
+    val key = (spark.sparkContext.applicationId, dir, labelValue)
+    def base = Tables.embeddings(spark, dir)
+      .filter(col("label") === labelValue)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nF = partCountMemo.getOrElseUpdate(key, base.count())
+    val (p0, maxD) = VectorOps.knnDialFor(nF)
+    val planes = VectorOps.hyperplanes(maxD, 64)
+    def coded = base.withColumn("full", VectorOps.lshBucket(col("v"), planes))
+    if (p0 == maxD)
+      (coded.withColumn("ld", lit(p0)).withColumn("bucket", col("full")), p0, maxD)
+    else partIndexMemo.getOrElseUpdate(key, {
+      val h = coded.groupBy(col("full")).agg(count(lit(1)).as("c"))
+      val km = VectorOps.leafDepthsFromHist(h, p0, maxD)
+      val (emb, _) = graft.dedup.Dedup.materializeStatsReset(
+        coded.join(km, Seq("full"))
+          .withColumn("bucket", VectorOps.trieKeyExpr(p0, maxD)))
+      (emb, p0, maxD)
+    })
+  }
+
+  /** Partition-size scalar (memoized) — the escalation arm's
+    * build-side pick and the dial both derive from it. */
+  private[graft] def partitionCount(spark: SparkSession, dir: String,
+      labelValue: Int): Long =
+    partCountMemo.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, labelValue),
+      Tables.embeddings(spark, dir)
+        .filter(col("label") === labelValue).count())
+
+  /** The probe relation `(q_id, qv, bucket)` — every corpus vector
+    * probing its own + flip leaves IN THE PARTITION TRIE. Exposed for
+    * KnnPartSpec's independent arm recomputation. */
+  private[graft] def partitionProbes(spark: SparkSession, dir: String,
+      part: DataFrame, p0: Int, maxD: Int): DataFrame = {
+    val planes = VectorOps.hyperplanes(maxD, 64)
+    val pow2 = array((0 until maxD).map(p => lit(1L << p)): _*)
+    val qAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qfull", VectorOps.lshBucket(col("qv"), planes))
+    val absDots = array(planes.map(r =>
+      abs(VectorOps.dot(col("qv"), array(r.map(lit): _*)))): _*)
+    if (p0 == maxD) {
+      // flat: every p0-bit code is its own bucket; all planes usable
+      val flip = element_at(pow2,
+        array_position(absDots, array_min(absDots)).cast("int"))
+      qAll.select(col("q_id"), col("qv"),
+        explode(array(col("qfull"), col("qfull").bitwiseXOR(flip))).as("bucket"))
+    } else {
+      val leafKeys = part.select(col("bucket").as("leaf_key")).distinct()
+      def chain(c: Column) = array((p0 to maxD).map(d =>
+        c.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)): _*)
+      val own = qAll.select(col("q_id"), explode(chain(col("qfull"))).as("cand"))
+        .join(leafKeys, col("cand") === col("leaf_key"))
+        .select(col("q_id"), col("cand").as("bucket"))
+      // the matched leaf's depth is its marker-bit position; the flip
+      // is the lowest-|margin| plane AMONG THE PLANES THAT LEAF USES
+      val ldOf = (maxD to p0 by -1).map(d =>
+        when(col("bucket") >= lit(1L << d), lit(d))).reduceRight(_.otherwise(_))
+      val oq = own.withColumn("ld", ldOf).join(qAll, Seq("q_id"))
+      val usable = slice(absDots, lit(1), col("ld"))
+      val flip = element_at(pow2,
+        array_position(usable, array_min(usable)).cast("int"))
+      val fres = oq.select(col("q_id"),
+          explode(chain(col("qfull").bitwiseXOR(flip))).as("cand"))
+        .join(leafKeys, col("cand") === col("leaf_key"))
+        .select(col("q_id"), col("cand").as("bucket"))
+      // own ∪ flip disjoint by prefix-freeness (scaladoc above) —
+      // no dedup needed, mirroring the unpartitioned probe set
+      own.unionByName(fres)
+        .join(qAll.select(col("q_id"), col("qv")), Seq("q_id"))
+        .select(col("q_id"), col("qv"), col("bucket"))
+    }
+  }
+
+  /** Q-knn-filtered-part: [[knnFilteredPartitioned]] pinned at
+    * `label = 7` — the cluster-valued predicate (the synthetic corpus'
+    * labels ARE its embedding clusters, so this is exactly the
+    * correlated shape the partitioned arm exists for). */
+  def qKnnFilteredPart(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnFilteredPartitioned(spark, dir, 7, k)
+
+  /** Corpus-wide top-k under `label = labelValue`, served from the
+    * value's OWN partition trie with exact escalation — the library
+    * API behind [[qKnnFilteredPart]]. */
+  def knnFilteredPartitioned(spark: SparkSession, dir: String,
+      labelValue: Int, k: Int): DataFrame = {
+    val (part, p0, maxD) = partitionIndex(spark, dir, labelValue)
+    val probes = partitionProbes(spark, dir, part, p0, maxD)
+    val scored = part.select(col("bucket"), col("vec_id"), col("v"))
+      .join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine(col("qv"), col("v")).as("sim"))
+    // one pass: bounded heap + candidate count (the served/escalated
+    // split), materialized once for its three consumers
+    val (heaped, _) = graft.dedup.Dedup.materializeStatsReset(
+      scored.groupBy(col("q_id"))
+        .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"),
+          count(lit(1)).as("nc")))
+    val okIds = heaped.filter(col("nc") >= k).select(col("q_id"))
+    val served = heaped.filter(col("nc") >= k).select(col("q_id"), col("tk"))
+    val short = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .join(okIds, Seq("q_id"), "left_anti")
+    val corpusP = part.select(col("vec_id"), col("v"))
+    // build-side pick from two standing scalars (counts, never data)
+    val nShort = VectorOps.embCount(spark, dir) - okIds.count()
+    val nP = partitionCount(spark, dir, labelValue)
+    val exactPairs =
+      if (nShort <= nP) corpusP.crossJoin(broadcast(short))
+      else short.crossJoin(broadcast(corpusP))
+    val exact = exactPairs.filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosine(col("qv"), col("v")).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"))
+      .select(col("q_id"), col("tk"))
+    served.unionByName(exact)
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id1").as("vec_id"), col("col.sortKey").as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+}

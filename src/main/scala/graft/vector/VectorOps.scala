@@ -228,6 +228,41 @@ object VectorOps {
   val KnnProbes: Int = sys.props.get("graft.knn.probes").map(_.toInt).getOrElse(1)
 
   private val embCountMemo = graft.StandingState.memo[(String, String), Long]()
+
+  /** Memoized corpus cardinality — the scalar that sizes dials and
+    * build-side picks (shared with [[KnnPart]]). */
+  private[vector] def embCount(spark: SparkSession, dir: String): Long =
+    embCountMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables.embeddings(spark, dir).count())
+
+  /** Leaf depths from a full-code histogram `(full, c)` — per-depth
+    * occupancy roll-ups + the monotone min-depth rule
+    * `leafDepth(c) = min d ∈ [p0, maxD]: occ_d(prefix_d(c)) ≤ cap`.
+    * THE keymap math, shared verbatim by the from-scratch build
+    * ([[knnIndexed]]), the CDF-maintained index ([[KnnIncr]]), and the
+    * per-predicate-value partition tries ([[KnnPart]]) — one
+    * definition, so the three index families cannot drift. All work is
+    * histogram-sized. */
+  private[vector] def leafDepthsFromHist(h: DataFrame, p0: Int, maxD: Int): DataFrame = {
+    val withOcc = (p0 until maxD).foldLeft(h) { (acc, d) =>
+      val occ = h.groupBy(col("full").bitwiseAND(lit((1L << d) - 1)).as(s"p$d"))
+        .agg(sum(col("c")).as(s"o$d"))
+      acc.join(occ, acc("full").bitwiseAND(lit((1L << d) - 1)) === occ(s"p$d"))
+        .drop(s"p$d")
+    }
+    val leafDepth = (p0 until maxD).foldRight(lit(maxD): Column) { (d, deeper) =>
+      when(col(s"o$d") <= KnnCapOcc, lit(d)).otherwise(deeper)
+    }
+    withOcc.select(col("full"), leafDepth.as("ld"))
+  }
+
+  /** Trie-encoded bucket key of `full` truncated to depth `ld`
+    * (`prefix | 1<<depth` — static branches keep the masks literal and
+    * the key codegen'd). Shared with [[KnnIncr]]/[[KnnPart]]. */
+  private[vector] def trieKeyExpr(p0: Int, maxD: Int): Column =
+    (p0 to maxD).map { d =>
+      when(col("ld") === d, col("full").bitwiseAND(lit((1L << d) - 1)) + lit(1L << d))
+    }.reduceRight(_.otherwise(_))
   private val knnKeymapMemo = graft.StandingState.memo[(String, String), DataFrame]()
   private val knnIndexMemo = graft.StandingState.memo[(String, String), (DataFrame, Int, Int)]()
   private val knnLeafKeysMemo = graft.StandingState.memo[(String, String), DataFrame]()
@@ -240,17 +275,8 @@ object VectorOps {
       p0: Int, maxD: Int, dir: String): DataFrame =
     knnKeymapMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val h = emb0.groupBy(col("full")).agg(count(lit(1)).as("c"))
-      val withOcc = (p0 until maxD).foldLeft(h) { (acc, d) =>
-        val occ = h.groupBy(col("full").bitwiseAND(lit((1L << d) - 1)).as(s"p$d"))
-          .agg(sum(col("c")).as(s"o$d"))
-        acc.join(occ, acc("full").bitwiseAND(lit((1L << d) - 1)) === occ(s"p$d"))
-          .drop(s"p$d")
-      }
-      val leafDepth = (p0 until maxD).foldRight(lit(maxD): Column) { (d, deeper) =>
-        when(col(s"o$d") <= KnnCapOcc, lit(d)).otherwise(deeper)
-      }
       val (km, _) = graft.dedup.Dedup.materializeStatsReset(
-        withOcc.select(col("full"), leafDepth.as("ld")))
+        leafDepthsFromHist(h, p0, maxD))
       km
     })
 
@@ -282,12 +308,6 @@ object VectorOps {
     if (p0 == maxD) // flat gate path: bucket = the 4-bit code itself
       (emb0.withColumn("ld", lit(p0)).withColumn("bucket", col("full")), p0, maxD)
     else knnIndexMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      // trie-encoded key of `full` truncated to depth `ld` (9 static
-      // branches — keeps masks literal and the whole key codegen'd)
-      def trieKey(full: Column, ld: Column): Column =
-        (p0 to maxD).map { d =>
-          when(ld === d, full.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d))
-        }.reduceRight(_.otherwise(_))
       val src = emb0
       // multi-probe flip bit — lowest-|margin| plane among the planes
       // this vector's leaf key uses — computed at INDEX BUILD time and
@@ -302,7 +322,7 @@ object VectorOps {
       val flipExpr = element_at(array((0 until maxD).map(p => lit(1L << p)): _*),
         array_position(usable, array_min(usable)).cast("int"))
       val indexed0 = src.join(knnKeymap(spark, src, p0, maxD, dir), Seq("full"))
-        .withColumn("bucket", trieKey(col("full"), col("ld")))
+        .withColumn("bucket", trieKeyExpr(p0, maxD))
         .withColumn("flip", flipExpr)
       // multi-probe dial (> 1): ALSO store the ordered flip-bit array —
       // the P lowest-|margin| usable planes, ascending margin with
@@ -509,9 +529,7 @@ object VectorOps {
     // build-side pick scalars: |short| derives from the memoized corpus
     // count minus the served count (one count over the materialized
     // heap — the expensive plan never re-executes for a cardinality)
-    val nQ = embCountMemo.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir),
-      Tables.embeddings(spark, dir).count())
+    val nQ = embCount(spark, dir)
     val (nShort, nFilt) = (nQ - okIds.count(), corpusF.count())
     val exactPairs =
       if (nShort <= nFilt) corpusF.crossJoin(broadcast(short))

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.vector.{KnnPart, VectorOps}
+
+/** Laws of the PARTITIONED filtered-ANN arm (q_knn_filtered_part):
+  * the per-value trie is the occupancy-adaptive index recomputed
+  * independently here (codes, occupancy roll-ups, monotone min-depth
+  * leaf rule, prefix-free keys); every query's own + flip probe leaves
+  * resolve correctly through the partition's leaf-key chain; the
+  * served/escalated split and both serving arms match an independent
+  * recomputation; and — the reason the arm exists — on a CLUSTER-
+  * CORRELATED predicate the partitioned escalated set collapses to
+  * zero where the unpartitioned arm strands hundreds of queries. */
+class KnnPartSpec extends AnyFunSuite {
+  import SparkFixture.spark
+
+  private val k = 3
+
+  /** 12000 labeled vectors; label 7 IS one embedding cluster (2400
+    * members around a shared direction at σ = 0.15 — tight enough that
+    * the SHARED trie separates the cluster from everything else, so
+    * out-cluster leaves are label-7-poor and the unpartitioned arm
+    * strands hundreds of queries; spread enough that the PARTITION's
+    * own coarser trie keeps every occupied region ≥ target occupancy).
+    * Corpus dial (6, 14); partition dial (4, 12) — both tries open,
+    * and they differ. */
+  private lazy val dir: String = {
+    val d = "target/knn_part_trie_test"
+    val rnd = new scala.util.Random(29)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val hot = unit(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 12000).map { i =>
+      if (i < 2400)
+        (i.toLong, unit(hot.map(_ + rnd.nextGaussian() * 0.15))
+          .map(_.toFloat).toSeq, 7)
+      else
+        (i.toLong, unit(Array.fill(64)(rnd.nextGaussian()))
+          .map(_.toFloat).toSeq, i % 7)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Driver-side recompute of the WHOLE partitioned pipeline from raw
+    * rows: codes, partition keymap, probe resolution, both arms.
+    * Returns (expected result set, escalated query ids). */
+  private def recompute(rows: Array[(Long, Int, Array[Double])], maxD: Int,
+      p0: Int): (Set[(Long, Long, Long, Double)], Set[Long]) = {
+    val planes = VectorOps.hyperplanes(maxD, 64).map(_.toArray)
+    def dots(v: Array[Double]): Array[Double] =
+      planes.map(r => r.zip(v).map { case (a, b) => a * b }.sum).toArray
+    def codeOf(ds: Array[Double]): Long =
+      ds.zipWithIndex.map { case (x, p) => if (x >= 0) 1L << p else 0L }.sum
+    val part = rows.filter(_._2 == 7)
+    val partCodes = part.map(t => t._1 -> codeOf(dots(t._3))).toMap
+    // occupancy roll-ups + monotone min-depth rule over the PARTITION
+    def occ(d: Int): Map[Long, Int] =
+      partCodes.values.groupBy(_ & ((1L << d) - 1)).map { case (p, g) => p -> g.size }
+    val occs = (p0 until maxD).map(d => d -> occ(d)).toMap
+    def leafOf(code: Long): Long = {
+      val d = (p0 until maxD).find(d =>
+        occs(d)(code & ((1L << d) - 1)) <= VectorOps.KnnCapOcc).getOrElse(maxD)
+      (code & ((1L << d) - 1)) | (1L << d)
+    }
+    val bucketOf = partCodes.map { case (id, c) => id -> leafOf(c) }
+    val leafSet = bucketOf.values.toSet
+    // probe resolution for EVERY query vector (partition member or not)
+    val byId = rows.map(t => t._1 -> t._3).toMap
+    def probesOf(q: Long): Set[Long] = {
+      val ds = dots(byId(q))
+      val code = codeOf(ds)
+      val chain = (p0 to maxD).map(d => (code & ((1L << d) - 1)) | (1L << d))
+      chain.find(leafSet.contains) match {
+        case None => Set.empty
+        case Some(own) =>
+          val ld = (63 - java.lang.Long.numberOfLeadingZeros(own)).toInt
+          val usable = ds.take(ld).map(math.abs)
+          val flip = 1L << usable.indexOf(usable.min)
+          val fchain = (p0 to maxD).map(d =>
+            ((code ^ flip) & ((1L << d) - 1)) | (1L << d))
+          Set(own) ++ fchain.find(leafSet.contains)
+      }
+    }
+    val partIds = part.map(_._1)
+    def topk(q: Long, cands: Seq[Long]): Seq[(Long, Long, Long, Double)] = {
+      val qv = byId(q)
+      cands.map(c => (c, cos(qv, byId(c)))).sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex.map { case ((id, s), i) => (q, i + 1L, id, s) }
+    }
+    val escalated = scala.collection.mutable.Set[Long]()
+    val expected = rows.map(_._1).flatMap { q =>
+      val probed = probesOf(q)
+      val cand = partIds.filter(c => c != q && probed.contains(bucketOf(c)))
+      if (cand.length >= k) topk(q, cand.toSeq)
+      else { escalated += q; topk(q, partIds.filter(_ != q).toSeq) }
+    }.toSet
+    (expected, escalated.toSet)
+  }
+
+  test("partitioned filtered kNN law at the trie dial, recomputed from raw rows") {
+    val (part, p0, maxD) = KnnPart.partitionIndex(spark, dir, 7)
+    assert((p0, maxD) == (4, 12), "partition must open its own trie dial")
+    val (_, cp0, cmaxD) = VectorOps.knnIndexed(spark, dir)
+    assert((cp0, cmaxD) == (6, 14), "corpus dial must differ from the partition's")
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val (expected, _) = recompute(rows, maxD, p0)
+    // the index itself: keys prefix-free, buckets match the recompute
+    val got = KnnPart.qKnnFilteredPart(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    // structural: every partition leaf's occupancy respects the cap
+    // rule (≤ cap, or bottomed out at maxD)
+    val occ = part.groupBy(col("bucket")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    occ.foreach { case (key, c) =>
+      val d = 63 - java.lang.Long.numberOfLeadingZeros(key)
+      assert(c <= VectorOps.KnnCapOcc || d == maxD,
+        s"leaf $key at depth $d holds $c > cap")
+    }
+  }
+
+  test("cluster-correlated predicate: partitioned escalation collapses where unpartitioned strands") {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val n = rows.length
+    // partitioned escalated set (independent recompute, trie dial (4,12))
+    val (_, escPart) = recompute(rows, maxD = 12, p0 = 4)
+    // unpartitioned escalated set: label-7 candidate counts through the
+    // SHARED index's probe relation (the q_knn_filtered plan's split)
+    val (idx, p0, maxD) = VectorOps.knnIndexed(spark, dir)
+    val filtered = idx.filter(col("label") === 7)
+      .select(col("bucket"), col("vec_id").as("c_id"))
+    val okUnpart = VectorOps.knnProbeQueries(spark, dir, idx, p0, maxD)
+      .join(filtered, Seq("bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .groupBy(col("q_id")).count()
+      .filter(col("count") >= k).collect().map(_.getLong(0)).toSet
+    val escUnpart = rows.map(_._1).filterNot(okUnpart.contains).toSet
+    info(s"escalated: unpartitioned=${escUnpart.size}/$n, partitioned=${escPart.size}/$n")
+    // the stranding: the shared trie's fine leaves are label-7-poor
+    // outside the cluster, so the unpartitioned arm escalates hundreds
+    // of queries against the 2400-row filtered side (measured 510 at
+    // this seed — the |escalated| x |filtered| product the VERDICT
+    // residual names)
+    assert(escUnpart.size > 400,
+      "fixture must actually strand the unpartitioned arm")
+    // the partition trie is dialed to the PARTITION's density: its
+    // occupied leaves hold ~target-occupancy rows of the partition
+    // itself, so the escalated set collapses (measured 0 at this seed)
+    assert(escPart.size * 10 < escUnpart.size,
+      s"partitioned escalation (${escPart.size}) must collapse vs " +
+      s"unpartitioned (${escUnpart.size})")
+    assert(escPart.size < 50, "partitioned escalated set must be small")
+  }
+}
