@@ -48,9 +48,9 @@ object Bench {
       // maintained-ANN lineage + index (q_knn_incr's standing table):
       // built here so pass 1 times the SERVING join, not fixture setup
       graft.vector.KnnIncr.qKnnIncr(spark, sfDir).count()
-      // per-predicate-value partition trie (q_knn_filtered_part's
-      // standing index) — same rationale
-      graft.vector.KnnPart.partitionIndex(spark, sfDir, 7)._1.count()
+      // per-predicate-value partition trie + probe relation
+      // (q_knn_filtered_part's standing artifacts) — same rationale
+      graft.vector.KnnPart.warm(spark, sfDir)
     } catch { case _: Throwable => () }
     // Two full passes, min per query: single-pass numbers on this VM
     // carry ±40 % contention spikes (PERF.md); the min of two

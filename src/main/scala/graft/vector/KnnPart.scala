@@ -59,6 +59,8 @@ object KnnPart {
     graft.StandingState.memo[(String, String, Int), (DataFrame, Int, Int)]()
   private val partCountMemo =
     graft.StandingState.memo[(String, String, Int), Long]()
+  private val partProbesMemo =
+    graft.StandingState.memo[(String, String, Int), DataFrame]()
 
   /** The per-value standing index `(vec_id, v, full, ld, bucket)` over
     * `label = labelValue` rows only, plus its dial. Flat below oracle
@@ -97,10 +99,16 @@ object KnnPart {
         .filter(col("label") === labelValue).count())
 
   /** The probe relation `(q_id, qv, bucket)` — every corpus vector
-    * probing its own + flip leaves IN THE PARTITION TRIE. Exposed for
-    * KnnPartSpec's independent arm recomputation. */
+    * probing its own + flip leaves IN THE PARTITION TRIE. On the trie
+    * path this is MATERIALIZED and memoized with the index: the probe
+    * set is a pure function of (corpus, partition trie) — the same
+    * index-time precomputation as the shared index storing its flip
+    * bits — and building it costs several chain-resolution joins that
+    * must not re-execute per query call (measured 5.9 s → 1.6 s steady
+    * at sf1). The flat path stays inline (no joins to save; keeps the
+    * gate plan trivially oracle-shaped). */
   private[graft] def partitionProbes(spark: SparkSession, dir: String,
-      part: DataFrame, p0: Int, maxD: Int): DataFrame = {
+      labelValue: Int, part: DataFrame, p0: Int, maxD: Int): DataFrame = {
     val planes = VectorOps.hyperplanes(maxD, 64)
     val pow2 = array((0 until maxD).map(p => lit(1L << p)): _*)
     val qAll = Tables.embeddings(spark, dir)
@@ -115,7 +123,8 @@ object KnnPart {
         array_position(absDots, array_min(absDots)).cast("int"))
       qAll.select(col("q_id"), col("qv"),
         explode(array(col("qfull"), col("qfull").bitwiseXOR(flip))).as("bucket"))
-    } else {
+    } else partProbesMemo.getOrElseUpdate(
+        (spark.sparkContext.applicationId, dir, labelValue), {
       val leafKeys = part.select(col("bucket").as("leaf_key")).distinct()
       def chain(c: Column) = array((p0 to maxD).map(d =>
         c.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)): _*)
@@ -136,10 +145,21 @@ object KnnPart {
         .select(col("q_id"), col("cand").as("bucket"))
       // own ∪ flip disjoint by prefix-freeness (scaladoc above) —
       // no dedup needed, mirroring the unpartitioned probe set
-      own.unionByName(fres)
-        .join(qAll.select(col("q_id"), col("qv")), Seq("q_id"))
-        .select(col("q_id"), col("qv"), col("bucket"))
-    }
+      val (probes, _) = graft.dedup.Dedup.materializeStatsReset(
+        own.unionByName(fres)
+          .join(qAll.select(col("q_id"), col("qv")), Seq("q_id"))
+          .select(col("q_id"), col("qv"), col("bucket")))
+      probes
+    })
+  }
+
+  /** Bench warmup hook: build the standing partition index AND probe
+    * relation, so pass 1 times the serving join rather than standing-
+    * artifact setup (the same contract as the other warm() hooks). */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    val (part, p0, maxD) = partitionIndex(spark, dir, 7)
+    partitionProbes(spark, dir, 7, part, p0, maxD)
+    ()
   }
 
   /** Q-knn-filtered-part: [[knnFilteredPartitioned]] pinned at
@@ -155,7 +175,7 @@ object KnnPart {
   def knnFilteredPartitioned(spark: SparkSession, dir: String,
       labelValue: Int, k: Int): DataFrame = {
     val (part, p0, maxD) = partitionIndex(spark, dir, labelValue)
-    val probes = partitionProbes(spark, dir, part, p0, maxD)
+    val probes = partitionProbes(spark, dir, labelValue, part, p0, maxD)
     val scored = part.select(col("bucket"), col("vec_id"), col("v"))
       .join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
