@@ -45,7 +45,7 @@ print(open('/tmp/disk_fingerprint_r11.json').read())"
 rung() { # sfdir out heap passes
   echo "=== rung $1 start $(date +%T)"
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_BENCH_PASSES="$4" \
-    java -Xmx"$3" $JOPTS -cp "$CP" graft.Bench 2>/dev/null | grep '"metric"' > "$2"
+    java -Xmx"$3" $JOPTS -cp "$CP" graft.Bench 2>/dev/null | grep '"metric"' | head -1 > "$2"
   echo "=== rung $1 done $(date +%T)"
   python3 -c "
 import json; d=json.load(open('$2'))
@@ -57,5 +57,5 @@ case "${1:-all}" in
   sf01)  rung /root/testdata/sf0.1 /tmp/bench_sf01_r11.json 48g 2 ;;
   sf1)   rung target/scaledata/sf1 /tmp/bench_sf1_r11.json 48g 2 ;;
   sf10)  rung target/scaledata/sf10 /tmp/bench_sf10_r11.json 48g 2 ;;
-  sf100) rm -rf target/graft_* ; rung target/scaledata/sf100 /tmp/bench_sf100_r11.json 64g 1 ;;
+  sf100) rm -rf target/graft_* spark-warehouse /tmp/blockmgr-* /tmp/spark-* ; rung target/scaledata/sf100 /tmp/bench_sf100_r11.json 64g 1 ;;
 esac
