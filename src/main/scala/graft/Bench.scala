@@ -48,6 +48,9 @@ object Bench {
       // maintained-ANN lineage + index (q_knn_incr's standing table):
       // built here so pass 1 times the SERVING join, not fixture setup
       graft.vector.KnnIncr.qKnnIncr(spark, sfDir).count()
+      // stream-maintained twin lineage (q_knn_stream's standing table +
+      // subscription) — the query times serving, not the stream drain
+      graft.vector.KnnIncr.qKnnStream(spark, sfDir).count()
       // per-predicate-value partition trie + probe relation
       // (q_knn_filtered_part's standing artifacts) — same rationale
       graft.vector.KnnPart.warm(spark, sfDir)

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_knn_join_mp" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoinMp(s, d, probes = 2)),
     "q_knn_filtered" -> ((s: SparkSession, d: String) => VectorOps.qKnnFiltered(s, d)),
     "q_knn_filtered_part" -> ((s: SparkSession, d: String) => graft.vector.KnnPart.qKnnFilteredPart(s, d)),
+    "q_knn_stream" -> ((s: SparkSession, d: String) => graft.vector.KnnIncr.qKnnStream(s, d)),
     // the ANN index MAINTAINED from the ledger change feed (inserts,
     // update pre/post images, DV deletes — three incremental ticks,
     // never a head rebuild); the oracle recomputes the final corpus
@@ -1653,6 +1654,32 @@ object SparkEntry {
     // serves this from the CDF-maintained index; any retraction/sign/
     // bucket drift in maintenance mismatches this hash.
     "q_knn_incr" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         |e AS (SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN list_reverse(v0) ELSE v0 END AS v
+         |        FROM base WHERE vec_id % 17 <> 3
+         |      UNION ALL
+         |      SELECT vec_id + 100000 AS vec_id, list_transform(v0, x -> -x) AS v
+         |        FROM base WHERE vec_id % 13 = 0),
+         |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket,
+         |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
+         |  ${planeDotsSql(2)} AS d3, ${planeDotsSql(3)} AS d4 FROM e),
+         |qf AS (SELECT vec_id AS q_id, v AS qv, bucket,
+         |  CASE WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) AND abs(d1) <= abs(d4) THEN 1
+         |       WHEN abs(d2) <= abs(d3) AND abs(d2) <= abs(d4) THEN 2
+         |       WHEN abs(d3) <= abs(d4) THEN 4 ELSE 8 END AS flip
+         |  FROM bk),
+         |q AS (SELECT q_id, qv, bucket FROM qf
+         |  UNION ALL SELECT q_id, qv, xor(bucket, flip) AS bucket FROM qf),
+         |p AS (SELECT q_id, bk.vec_id, $cosineSql AS sim
+         |  FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // q_knn_stream: the SAME lineage and dial maintained by a LIVE
+    // Structured Streaming subscription (KnnIncr.maintainStream) —
+    // maintained == rebuilt by construction, so the oracle is the
+    // identical from-scratch recompute; a streaming-fold drift (replay
+    // double-count, missed retraction, stale stamp) breaks this hash.
+    "q_knn_stream" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
          |e AS (SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN list_reverse(v0) ELSE v0 END AS v
          |        FROM base WHERE vec_id % 17 <> 3

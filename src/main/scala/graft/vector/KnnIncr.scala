@@ -390,4 +390,58 @@ object KnnIncr {
     val table = builtLineage(spark, dir)
     knnJoinIndexed(spark, maintainedIndex(spark, table), k)
   }
+
+  // ---- the STREAM-maintained declared lineage + query ----
+
+  private def knnStreamTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_knns", dir.replaceAll(".*/", ""))
+
+  private val streamLineageMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** The SAME logical lineage as [[builtLineage]] (clone inserts →
+    * reversal updates → DV deletes), but maintained by a LIVE
+    * Structured Streaming subscription: bootstrap at v0, one batch
+    * catch-up to v1 when [[maintainStream]] starts, then the update
+    * and delete commits (the hard retraction cases) are staged into
+    * the CDF and folded in by the stream's net-batch refresh —
+    * `processAllAvailable` drains before serving. Because the dial and
+    * final corpus equal [[builtLineage]]'s and maintained ≡ rebuilt by
+    * construction, the DuckDB oracle is the identical from-scratch
+    * recompute — any streaming-fold drift (a replay double-count, a
+    * missed retraction, a stamp regression serving a stale artifact)
+    * breaks the hash at the gate. Standing table + subscription, one
+    * build per (session, corpus). */
+  private def builtStreamLineage(spark: SparkSession, dir: String): String =
+    streamLineageMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = knnStreamTableRoot(dir)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Ledger.create(spark, table, emb, "vec_id")
+      maintainedIndex(spark, table) // bootstrap at v0 (dial from n, like q_knn_incr)
+      Ledger.merge(spark, table, 0, emb.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          lit("upsert").as("op"), transform(col("v"), x => -x).as("v")), "vec_id")
+      Ledger.stageChanges(spark, table, "vec_id")
+      val q = maintainStream(spark, table,
+        java.nio.file.Files.createTempDirectory("knn_stream_ckpt").toString)
+      try {
+        Ledger.merge(spark, table, 1, emb.filter(col("vec_id") % 11 === 0)
+          .select(col("vec_id"), lit("upsert").as("op"),
+            reverse(col("v")).as("v")), "vec_id")
+        Ledger.deleteWhere(spark, table, 2, "vec_id",
+          col("vec_id") % 17 === 3 && col("vec_id") < 100000L)
+        Ledger.stageChanges(spark, table, "vec_id")
+        q.processAllAvailable()
+      } finally q.stop()
+      table
+    })
+
+  /** Q-knn-stream: the corpus-wide kNN join served from the index a
+    * LIVE streaming subscription maintained — the declared form of
+    * [[maintainStream]] (KnnIncrSpec pins streamed ≡ batch; this query
+    * puts the streaming fold itself under the oracle gate). */
+  def qKnnStream(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val table = builtStreamLineage(spark, dir)
+    knnJoinIndexed(spark, maintainedIndex(spark, table), k)
+  }
 }

@@ -60,6 +60,7 @@ def main():
     oracle = json.load(open(oracle_path))
     dialed = {"q_knn_join": "1", "q_knn_join_mp": "2",
               "q_knn_filtered": "filtered", "q_knn_incr": "incr",
+              "q_knn_stream": "incr",
               "q_knn_filtered_part": "filtered_part"}
     patch = [q for q in dialed if not queries or q in queries]
     if patch:
