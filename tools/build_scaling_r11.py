@@ -27,7 +27,8 @@ PREV = "SCALING_r10.json"
 out = {
     "round": 11,
     "note": "Round-11 evidence: the partitioned filtered-ANN arm "
-            "(q_knn_filtered_part, 198th declared query) in-suite at every "
+            "(q_knn_filtered_part) and the stream-maintained ANN index "
+            "(q_knn_stream) in-suite at every "
             "rung with dial-aware DuckDB spot-checks ingested from "
             "spot_results.json (machine-readable, builder-gated); steady "
             "probes REQUIRED for every >2.5x sf100 mover vs the r10 rung "
