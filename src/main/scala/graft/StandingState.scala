@@ -83,16 +83,22 @@ object StandingState {
       * that advance the stamp themselves (streaming refresh loops). */
     def peek(key: K): Option[(Long, V)] = m.get(key)
 
-    /** Stamp `art` at `version` UNLESS a newer stamp already exists —
-      * a streaming maintainer folding micro-batches must never regress
-      * the stamp below what a concurrent batch refresh advanced it to
-      * (a regressed stamp would make the next batch refresh re-apply a
-      * feed range, and the batch path's signed histogram delta is not
-      * idempotent). */
-    def advanceTo(key: K, version: Long, art: V): Unit =
+    /** Stamp `art` at `version` UNLESS the current stamp is already AT
+      * OR PAST it — a streaming maintainer folding micro-batches must
+      * never regress the stamp below what a concurrent batch refresh
+      * advanced it to (a regressed stamp would make the next batch
+      * refresh re-apply a feed range, and the batch path's signed
+      * histogram delta is not idempotent), and an equal-stamp overwrite
+      * is refused too: a maintainer that folded STALE versions can
+      * arrive at the current stamp carrying regressed values (r11
+      * ADVICE), and the artifact already stamped there is the correct
+      * one. Returns whether the put landed; a refused put's artifact
+      * was never seen by the memo, so its persisted blocks are the
+      * CALLER's to release. */
+    def advanceTo(key: K, version: Long, art: V): Boolean =
       m.get(key) match {
-        case Some((v, _)) if v > version => ()
-        case _ => m.put(key, (version, art))
+        case Some((v, _)) if v >= version => false
+        case _ => m.put(key, (version, art)); true
       }
   }
 

@@ -230,42 +230,69 @@ object KnnIncr {
     // the artifact lacks (healed only by the next batch refresh)
     val floor = Ledger.latestVersion(spark, table).toLong
     maintainedIndex(spark, table) // bootstrap (or catch up) at the current head
-    val key = (spark.sparkContext.applicationId, table)
     var hwm = floor       // highest upstream version SEEN this run
     var lastId = -1L      // foreachBatch replay dedupe (replicate's lastTxn role)
     Ledger.readChangesStream(spark, table, fromVersion)
       .writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         if (id > lastId) {
-          val span = b.agg(min(col("commit_version")), max(col("commit_version"))).head()
-          if (!span.isNullAt(0)) {
-            val (mn, mx) = (span.getInt(0).toLong, span.getInt(1).toLong)
-            // versions ≤ the bootstrap head are already IN the artifact
-            val fresh = b.filter(col("commit_version") > floor)
-            if (!fresh.isEmpty) {
-              // the same loud order invariant replicate pins (equal is
-              // legal — one version's files may split across adjacent
-              // batches; the net-batch fold re-applies idempotently).
-              // Checked only for batches that carry NEW versions, so a
-              // restart replaying pre-bootstrap history stays silent.
-              require(mn >= hwm || mn <= floor,
-                s"out-of-order CDF delivery to the $table index " +
-                s"maintainer: batch spans [$mn,$mx] but version $hwm " +
-                "was already applied")
-              val (pv, prev) = indexMemo.peek(key).getOrElse {
-                val h = Ledger.latestVersion(spark, table)
-                (h.toLong, bootstrap(spark, table, h))
-              }
-              val next = refreshFromNet(spark,
-                Ledger.netChanges(fresh, "vec_id"), prev)
-              indexMemo.advanceTo(key, math.max(pv, mx), next)
-            }
-            hwm = math.max(hwm, mx)
-          }
+          hwm = applyStreamBatch(spark, table, b, floor, hwm)
           lastId = id
         }
         ()
       }.start()
+  }
+
+  /** One micro-batch's fold — extracted so the stale-replay guard is
+    * unit-testable without a live stream. The batch is filtered by the
+    * artifact's CURRENT STAMP, never by the stream-start floor: the
+    * docstring above supports concurrent batch-path [[maintainedIndex]]
+    * refreshes, which advance the stamp past the floor, and re-folding
+    * versions such a refresh already applied would REGRESS updated keys
+    * and resurrect deleted ones through [[refreshFromNet]]'s
+    * retract-stored-code/add-batch-value fold (replay idempotence only
+    * holds for batches carrying the artifact's OWN values). Symmetric
+    * guard at the put: a concurrent refresh can also advance the stamp
+    * while this fold runs, so a refused [[graft.StandingState
+    * .VersionedMemo.advanceTo]] releases the discarded artifact's
+    * blocks instead of leaking them. Returns the updated upstream
+    * high-water mark. */
+  private[graft] def applyStreamBatch(spark: SparkSession, table: String,
+      b: DataFrame, floor: Long, hwm: Long): Long = {
+    val key = (spark.sparkContext.applicationId, table)
+    val span = b.agg(min(col("commit_version")), max(col("commit_version"))).head()
+    if (span.isNullAt(0)) return hwm
+    val (mn, mx) = (span.getInt(0).toLong, span.getInt(1).toLong)
+    val peeked = indexMemo.peek(key)
+    val (pv, prev) = peeked.getOrElse {
+      val h = Ledger.latestVersion(spark, table)
+      (h.toLong, bootstrap(spark, table, h))
+    }
+    // versions ≤ the CURRENT stamp are already IN the artifact —
+    // whether from the bootstrap or a concurrent batch refresh
+    val fresh = b.filter(col("commit_version") > pv)
+    if (!fresh.isEmpty) {
+      // the same loud order invariant replicate pins (equal is
+      // legal — one version's files may split across adjacent
+      // batches; the net-batch fold re-applies idempotently).
+      // Checked only for batches that carry NEW versions, so a
+      // restart replaying pre-bootstrap history stays silent.
+      require(mn >= hwm || mn <= floor,
+        s"out-of-order CDF delivery to the $table index " +
+        s"maintainer: batch spans [$mn,$mx] but version $hwm " +
+        "was already applied")
+      val next = refreshFromNet(spark,
+        Ledger.netChanges(fresh, "vec_id"), prev)
+      if (!indexMemo.advanceTo(key, mx, next))
+        next.handles.foreach(_.unpersist(blocking = false))
+    } else if (peeked.isEmpty) {
+      // bootstrapped above with nothing to fold: register the artifact
+      // (or release it, if a concurrent refresh landed one first) so
+      // its blocks never dangle unreachable
+      if (!indexMemo.advanceTo(key, pv, prev))
+        prev.handles.foreach(_.unpersist(blocking = false))
+    }
+    math.max(hwm, mx)
   }
 
   /** Corpus-wide multi-probe kNN join over a maintained index — the

@@ -170,6 +170,48 @@ class KnnIncrSpec extends AnyFunSuite {
     assert(resultRows(idxA) == resultRows(idxB))
   }
 
+  test("a stream batch carrying versions a concurrent batch refresh already applied is a no-op") {
+    // The r11 ADVICE regression shape: the stream is subscribed with
+    // floor = v0, a BATCH-path maintainedIndex refresh then applies
+    // v1+v2 (stamp → 2), and a micro-batch carrying v1's images (above
+    // the floor, at/below the stamp) arrives late. Folding it would
+    // retract the keys' CURRENT (v2) codes and re-add their v1 values —
+    // regressed neighbors served silently. The stamp-filtered fold must
+    // leave the artifact untouched.
+    val table = Ledger.tableRoot("knn_incr_stale_replay")
+    Ledger.create(spark, table, vectors(0L, 300L, seed = 29L), "vec_id")
+    KnnIncr.maintainedIndex(spark, table) // bootstrap at v0 (the stream's floor)
+    Ledger.merge(spark, table, 0, vectors(0L, 300L, seed = 29L)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), lit("upsert").as("op"),
+        transform(col("v"), x => x * 2).as("v")), "vec_id")
+    Ledger.merge(spark, table, 1, vectors(0L, 300L, seed = 29L)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), lit("upsert").as("op"),
+        reverse(col("v")).as("v")), "vec_id")
+    val idx2 = KnnIncr.maintainedIndex(spark, table) // batch refresh → stamp 2
+    // fabricate the late micro-batch: v1's change images, stream-shaped
+    val staleBatch = Ledger.readChangesFull(spark, table, 0, 1, "vec_id")
+      .withColumn("commit_version", lit(1))
+    val hwm = KnnIncr.applyStreamBatch(spark, table, staleBatch, floor = 0L, hwm = 0L)
+    assert(hwm == 1L)
+    // untouched: same artifact object served, and it still equals the
+    // from-scratch head rebuild (a regressed fold would break both)
+    assert(KnnIncr.maintainedIndex(spark, table) eq idx2)
+    assert(histRows(idx2) == histRows(KnnIncr.rebuiltIndex(spark, table, idx2.dial)))
+    assert(resultRows(idx2) == resultRows(KnnIncr.rebuiltIndex(spark, table, idx2.dial)))
+  }
+
+  test("advanceTo refuses stale and equal stamps, accepts newer ones") {
+    val m = graft.StandingState.versionedMemo[String, String]()
+    assert(m.advanceTo("k", 5L, "a5")) // empty → put
+    assert(!m.advanceTo("k", 4L, "a4")) // regression refused
+    assert(!m.advanceTo("k", 5L, "a5'")) // equal-stamp overwrite refused
+    assert(m.peek("k").contains((5L, "a5")))
+    assert(m.advanceTo("k", 6L, "a6"))
+    assert(m.peek("k").contains((6L, "a6")))
+  }
+
   test("refresh granularity is irrelevant: per-version ticks == one spanning refresh") {
     val a = Ledger.tableRoot("knn_incr_spec_tick")
     val b = Ledger.tableRoot("knn_incr_spec_span")
