@@ -1,6 +1,7 @@
 package graft
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
@@ -105,6 +106,60 @@ object StandingState {
   private[graft] def versionedMemo[K, V](): VersionedMemo[K, V] =
     new VersionedMemo[K, V](memo[K, (Long, V)]())
 
+  /** A BOUNDED standing-artifact registry: at most `budget()` entries,
+    * least-recently-USED first out, `onEvict` releasing the evicted
+    * artifact's persisted blocks. The unbounded [[memo]] is right for
+    * artifacts whose key space is the session's corpus set (one kNN
+    * trie per dir); it is wrong for artifacts keyed by a DATA VALUE —
+    * one partition trie per predicate value over a high-cardinality
+    * filter column is an unbounded standing cost, so those registries
+    * carry a budget (r11 VERDICT #4). Eviction frees blocks, never
+    * correctness: an evicted entry rebuilds from source on next use,
+    * exactly like a [[release]]d memo. `budget()` is re-read per
+    * insertion so dial experiments can change it between calls. Like
+    * [[release]], eviction must not race an in-flight query still
+    * holding the evicted frames. */
+  final class BoundedMemo[K, V] private[StandingState] (
+      budget: () => Int, onEvict: (K, V) => Unit) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+    def getOrElseUpdate(key: K)(build: => V): V = {
+      m.synchronized(Option(m.get(key))) match {
+        case Some(v) => v
+        case None =>
+          val v = build // never under the lock: builds run Spark jobs
+          m.synchronized {
+            Option(m.get(key)) match {
+              case Some(winner) => // lost a build race: keep the winner
+                onEvict(key, v); winner
+              case None =>
+                m.put(key, v)
+                while (m.size > math.max(1, budget())) {
+                  val it = m.entrySet().iterator()
+                  val e = it.next(); it.remove()
+                  onEvict(e.getKey, e.getValue)
+                }
+                v
+            }
+          }
+      }
+    }
+    /** Lookup without touching LRU order (test/diagnostic surface). */
+    def peek(key: K): Option[V] = m.synchronized {
+      m.entrySet().iterator().asScala.find(_.getKey == key).map(_.getValue)
+    }
+    def size: Int = m.synchronized(m.size)
+    private[StandingState] def clearAll(): Unit = m.synchronized(m.clear())
+  }
+  private val boundedLedger =
+    new java.util.concurrent.ConcurrentLinkedQueue[BoundedMemo[_, _]]()
+
+  private[graft] def boundedMemo[K, V](budget: () => Int,
+      onEvict: (K, V) => Unit): BoundedMemo[K, V] = {
+    val m = new BoundedMemo[K, V](budget, onEvict)
+    boundedLedger.add(m)
+    m
+  }
+
   /** Checkpoints currently tracked (LEAKCHECK / diagnostics). */
   def trackedCheckpoints: Int = rddLedger.size
 
@@ -120,5 +175,6 @@ object StandingState {
       r = rddLedger.poll()
     }
     memoLedger.forEach(m => m.clear())
+    boundedLedger.forEach(m => m.clearAll())
   }
 }

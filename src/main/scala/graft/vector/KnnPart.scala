@@ -55,12 +55,45 @@ import graft.Tables
   */
 object KnnPart {
 
-  private val partIndexMemo =
-    graft.StandingState.memo[(String, String, Int), (DataFrame, Int, Int)]()
+  /** One predicate value's standing artifacts: the partition trie and
+    * (once built) its materialized probe relation, with every
+    * persisted RDD handle so budget eviction can free the blocks. */
+  private final class PartEntry(val emb: DataFrame, val p0: Int, val maxD: Int) {
+    var probes: Option[DataFrame] = None
+    var handles: List[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = Nil
+  }
+
+  /** Budget on standing per-VALUE artifacts. The session memos keyed by
+    * corpus dir are naturally small (one entry per corpus); a registry
+    * keyed by a DATA VALUE is not — a high-cardinality filter column
+    * would memoize one trie + one materialized probe relation per
+    * distinct value with no bound (r11 VERDICT #4). At most this many
+    * values stay standing; least-recently-served evicts first, its
+    * persisted blocks released, and a re-queried evicted value rebuilds
+    * from source (correctness unaffected — KnnPartSpec pins rebuilt ≡
+    * first build). Overridable (-Dgraft.knn.part.budget=N) because the
+    * right bound is a deployment's memory-vs-rebuild trade. Must be ≥
+    * the number of values queried CONCURRENTLY — eviction, like
+    * [[graft.StandingState.release]], must not race an in-flight query
+    * still holding the evicted frames. */
+  private[graft] def partBudget: Int =
+    sys.props.get("graft.knn.part.budget").map(_.toInt).getOrElse(8)
+
+  private val partRegistry =
+    graft.StandingState.boundedMemo[(String, String, Int), PartEntry](
+      () => partBudget,
+      (_, e) => e.synchronized(e.handles).foreach(_.unpersist(blocking = false)))
   private val partCountMemo =
     graft.StandingState.memo[(String, String, Int), Long]()
-  private val partProbesMemo =
-    graft.StandingState.memo[(String, String, Int), DataFrame]()
+
+  /** Test hook: the registry's live size and a value's persisted
+    * handles (empty once evicted — their blocks are already released,
+    * which the budget spec asserts via storage levels). */
+  private[graft] def registrySize: Int = partRegistry.size
+  private[graft] def entryHandles(spark: SparkSession, dir: String,
+      labelValue: Int): Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
+    partRegistry.peek((spark.sparkContext.applicationId, dir, labelValue))
+      .map(e => e.synchronized(e.handles)).getOrElse(Nil)
 
   /** The per-value standing index `(vec_id, v, full, ld, bucket)` over
     * `label = labelValue` rows only, plus its dial. Flat below oracle
@@ -79,15 +112,27 @@ object KnnPart {
     def coded = base.withColumn("full", VectorOps.lshBucket(col("v"), planes))
     if (p0 == maxD)
       (coded.withColumn("ld", lit(p0)).withColumn("bucket", col("full")), p0, maxD)
-    else partIndexMemo.getOrElseUpdate(key, {
-      val h = coded.groupBy(col("full")).agg(count(lit(1)).as("c"))
-      val km = VectorOps.leafDepthsFromHist(h, p0, maxD)
-      val (emb, _) = graft.dedup.Dedup.materializeStatsReset(
-        coded.join(km, Seq("full"))
-          .withColumn("bucket", VectorOps.trieKeyExpr(p0, maxD)))
-      (emb, p0, maxD)
-    })
+    else {
+      val e = entryFor(spark, key, coded, p0, maxD)
+      (e.emb, e.p0, e.maxD)
+    }
   }
+
+  /** The registry entry for a trie-dial partition value — built (or
+    * rebuilt after a budget eviction) under the bounded registry. */
+  private def entryFor(spark: SparkSession, key: (String, String, Int),
+      coded: => DataFrame, p0: Int, maxD: Int): PartEntry =
+    partRegistry.getOrElseUpdate(key) {
+      val src = coded
+      val h = src.groupBy(col("full")).agg(count(lit(1)).as("c"))
+      val km = VectorOps.leafDepthsFromHist(h, p0, maxD)
+      val (emb, rdd) = graft.dedup.Dedup.materializeStatsReset(
+        src.join(km, Seq("full"))
+          .withColumn("bucket", VectorOps.trieKeyExpr(p0, maxD)))
+      val e = new PartEntry(emb, p0, maxD)
+      e.handles = rdd :: Nil
+      e
+    }
 
   /** Partition-size scalar (memoized) — the escalation arm's
     * build-side pick and the dial both derive from it. */
@@ -123,8 +168,23 @@ object KnnPart {
         array_position(absDots, array_min(absDots)).cast("int"))
       qAll.select(col("q_id"), col("qv"),
         explode(array(col("qfull"), col("qfull").bitwiseXOR(flip))).as("bucket"))
-    } else partProbesMemo.getOrElseUpdate(
-        (spark.sparkContext.applicationId, dir, labelValue), {
+    } else {
+      // the probe relation lives IN the value's registry entry — built
+      // at most once per residency, evicted (and rebuilt) WITH its trie
+      val entry = entryFor(spark,
+        (spark.sparkContext.applicationId, dir, labelValue),
+        sys.error("partition trie must be resident before its probes"),
+        p0, maxD)
+      entry.synchronized(entry.probes) match {
+        case Some(p) => p
+        case None    => buildProbes(entry, part, qAll, absDots, pow2, p0, maxD)
+      }
+    }
+  }
+
+  private def buildProbes(entry: PartEntry, part: DataFrame, qAll: DataFrame,
+      absDots: Column, pow2: Column, p0: Int, maxD: Int): DataFrame = {
+    {
       val leafKeys = part.select(col("bucket").as("leaf_key")).distinct()
       def chain(c: Column) = array((p0 to maxD).map(d =>
         c.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)): _*)
@@ -145,12 +205,21 @@ object KnnPart {
         .select(col("q_id"), col("cand").as("bucket"))
       // own ∪ flip disjoint by prefix-freeness (scaladoc above) —
       // no dedup needed, mirroring the unpartitioned probe set
-      val (probes, _) = graft.dedup.Dedup.materializeStatsReset(
+      val (probes, rdd) = graft.dedup.Dedup.materializeStatsReset(
         own.unionByName(fres)
           .join(qAll.select(col("q_id"), col("qv")), Seq("q_id"))
           .select(col("q_id"), col("qv"), col("bucket")))
-      probes
-    })
+      entry.synchronized {
+        entry.probes match {
+          case Some(winner) => // lost a build race: keep the winner
+            rdd.unpersist(blocking = false); winner
+          case None =>
+            entry.probes = Some(probes)
+            entry.handles ::= rdd
+            probes
+        }
+      }
+    }
   }
 
   /** Bench warmup hook: build the standing partition index AND probe

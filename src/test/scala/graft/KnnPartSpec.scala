@@ -135,6 +135,54 @@ class KnnPartSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-index budget: LRU eviction releases blocks and an evicted value rebuilds correctly") {
+    // three trie-scale partitions (2100 members each > the 2000 flat
+    // threshold) under budget 2: serving a third value must evict the
+    // least-recently-served one, RELEASE its persisted blocks, and a
+    // re-query of the evicted value must rebuild byte-identical results
+    val d = "target/knn_part_budget_test"
+    val rnd = new scala.util.Random(41)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = (0 until 3).map(_ => unit(Array.fill(64)(rnd.nextGaussian())))
+    val rows = (0 until 6300).map { i =>
+      val lab = i % 3
+      (i.toLong, unit(centers(lab).map(_ + rnd.nextGaussian() * 0.6))
+        .map(_.toFloat).toSeq, lab)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val prevBudget = sys.props.get("graft.knn.part.budget")
+    sys.props("graft.knn.part.budget") = "2"
+    try {
+      val before = KnnPart.registrySize
+      def serve(v: Int) = KnnPart.knnFilteredPartitioned(spark, d, v, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val r0 = serve(0)
+      val h0 = KnnPart.entryHandles(spark, d, 0)
+      assert(h0.nonEmpty, "trie-scale value must hold persisted handles")
+      assert(h0.forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
+      serve(1)
+      serve(2) // budget 2 → value 0 (least recently served) evicts
+      assert(KnnPart.registrySize - before <= 2, "registry must respect the budget")
+      assert(KnnPart.entryHandles(spark, d, 0).isEmpty, "evicted entry must be gone")
+      assert(h0.forall(_.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
+        "eviction must release the evicted value's persisted blocks")
+      // survivors' blocks stay resident
+      assert(KnnPart.entryHandles(spark, d, 2)
+        .forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
+      // the evicted value rebuilds from source, byte-identical
+      assert(serve(0) == r0, "rebuilt-after-eviction must equal the first build")
+    } finally {
+      prevBudget match {
+        case Some(v) => sys.props("graft.knn.part.budget") = v
+        case None => sys.props -= "graft.knn.part.budget"
+      }
+    }
+  }
+
   test("cluster-correlated predicate: partitioned escalation collapses where unpartitioned strands") {
     val rows = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
