@@ -54,6 +54,9 @@ object Bench {
       // per-predicate-value partition trie + probe relation
       // (q_knn_filtered_part's standing artifacts) — same rationale
       graft.vector.KnnPart.warm(spark, sfDir)
+      // router fixture + route measurements + the fixture's partition
+      // artifacts (q_knn_routed's standing state) — same rationale
+      graft.vector.KnnRouter.warm(spark)
     } catch { case _: Throwable => () }
     // Two full passes, min per query: single-pass numbers on this VM
     // carry ±40 % contention spikes (PERF.md); the min of two

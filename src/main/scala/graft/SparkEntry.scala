@@ -98,6 +98,7 @@ object SparkEntry {
     "q_knn_join_mp" -> ((s: SparkSession, d: String) => VectorOps.qKnnJoinMp(s, d, probes = 2)),
     "q_knn_filtered" -> ((s: SparkSession, d: String) => VectorOps.qKnnFiltered(s, d)),
     "q_knn_filtered_part" -> ((s: SparkSession, d: String) => graft.vector.KnnPart.qKnnFilteredPart(s, d)),
+    "q_knn_routed" -> ((s: SparkSession, d: String) => graft.vector.KnnRouter.qKnnRouted(s, d)),
     "q_knn_stream" -> ((s: SparkSession, d: String) => graft.vector.KnnIncr.qKnnStream(s, d)),
     // the ANN index MAINTAINED from the ledger change feed (inserts,
     // update pre/post images, DV deletes — three incremental ticks,
@@ -551,7 +552,16 @@ object SparkEntry {
     * either dial (the static oracle entry carries the flat gate
     * chain; this generator exists for ScaleGen corpora where the
     * occupancy-adaptive trie opens). */
-  def knnFilteredOracleSqlFor(n: Long): String = {
+  def knnFilteredOracleSqlFor(n: Long): String =
+    knnFilteredOracleSqlFor(n, a => s"$a.label = 7", "embeddings")
+
+  /** Predicate- and source-parameterized variant (the routed query's
+    * shared-arm branch): `predSql(alias)` renders the predicate against
+    * a CTE alias carrying `(vec_id, label, …)` — e.g.
+    * `fl.vec_id % 2 = 0`; `srcSql` names the corpus relation (a table
+    * or a `read_parquet(...)` over a fixture). */
+  def knnFilteredOracleSqlFor(n: Long, predSql: String => String,
+      srcSql: String): String = {
     val (p0, maxD) = graft.vector.VectorOps.knnDialFor(n)
     val cap = graft.vector.VectorOps.KnnCapOcc
     val planes = graft.vector.VectorOps.hyperplanes(maxD, 64)
@@ -576,7 +586,7 @@ object SparkEntry {
     // re-inlines the plane dots per reference (the mp-oracle lesson).
     val arms =
       s"""pf AS MATERIALIZED (SELECT q_id, fl.vec_id, array_inner_product(qva, fl.va) / (nq * fl.nv) AS sim
-         |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id AND fl.label = 7),
+         |  FROM fl JOIN q USING (bucket) WHERE fl.vec_id <> q.q_id AND ${predSql("fl")}),
          |ok AS MATERIALIZED (SELECT q_id FROM pf GROUP BY q_id HAVING count(*) >= 3),
          |r AS (SELECT q_id, vec_id, sim,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
@@ -585,14 +595,14 @@ object SparkEntry {
          |  WHERE vec_id NOT IN (SELECT q_id FROM ok)),
          |ex AS (SELECT sh.q_id, c.vec_id,
          |  array_inner_product(sh.qva, c.va) / (sh.nq * c.nv) AS sim
-         |  FROM sh JOIN fl c ON c.label = 7 AND c.vec_id <> sh.q_id),
+         |  FROM sh JOIN fl c ON ${predSql("c")} AND c.vec_id <> sh.q_id),
          |xr AS (SELECT q_id, vec_id, sim,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM ex)
          |SELECT q_id, rn, vec_id, sim FROM r WHERE rn <= 3
          |UNION ALL SELECT q_id, rn, vec_id, sim FROM xr WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin
     if (p0 == maxD)
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM $srcSql),
          |dk AS (SELECT vec_id, label, v,
          |  $dotCols FROM e),
          |bk AS (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
@@ -621,7 +631,7 @@ object SparkEntry {
       val probeList = (p0 to maxD).map { d =>
         s"(xor(b, flip) & ${mask(d)}) | ${1L << d}"
       }.mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM $srcSql),
          |dk AS (SELECT vec_id, label, v,
          |  $dotCols FROM e),
          |bk AS MATERIALIZED (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
@@ -648,7 +658,12 @@ object SparkEntry {
     * The flat arm (nF ≤ oracle scale) is the static gate entry; the
     * trie arm serves ScaleGen corpora whose partition opens the
     * adaptive dial. */
-  def knnFilteredPartOracleSqlFor(nF: Long): String = {
+  def knnFilteredPartOracleSqlFor(nF: Long): String =
+    knnFilteredPartOracleSqlFor(nF, "embeddings")
+
+  /** Source-parameterized variant — `srcSql` names the corpus relation
+    * (a table, or `read_parquet(...)` over the router fixture). */
+  def knnFilteredPartOracleSqlFor(nF: Long, srcSql: String): String = {
     val (p0, maxD) = graft.vector.VectorOps.knnDialFor(nF)
     val cap = graft.vector.VectorOps.KnnCapOcc
     val planes = graft.vector.VectorOps.hyperplanes(maxD, 64)
@@ -688,7 +703,7 @@ object SparkEntry {
          |UNION ALL SELECT q_id, rn, vec_id, sim FROM xr WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin
     if (p0 == maxD)
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM $srcSql),
          |dk AS (SELECT vec_id, label, v,
          |  $dotCols FROM e),
          |bk AS MATERIALIZED (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
@@ -723,7 +738,7 @@ object SparkEntry {
         .mkString("CASE ", " ", " END")
       val flipExpr = (p0 to maxD).map(d => s"WHEN $d THEN ${argminChain(d)}")
         .mkString("CASE ld ", " ", " END")
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM $srcSql),
          |dk AS (SELECT vec_id, label, v,
          |  $dotCols FROM e),
          |bk AS MATERIALIZED (SELECT *, CAST($fullExpr AS BIGINT) AS b FROM dk),
@@ -750,6 +765,28 @@ object SparkEntry {
          |q AS (SELECT pq.q_id, qa.qva, qa.nq, pq.bucket FROM pq JOIN qa USING (q_id)),
          |$arms""".stripMargin
     }
+  }
+
+  /** q_knn_routed oracle SQL — over the ROUTER FIXTURE (12000 rows,
+    * label-7 = a tight 2400-member cluster; see
+    * [[graft.vector.KnnRouter.fixtureDir]]), so it is one STATIC text
+    * at every corpus scale. Branch `label7` embeds the PARTITION-trie
+    * chain (dial (4,12) from nF = 2400) — the arm the router provably
+    * picks for the decisively correlated shape; branch `par0` embeds
+    * the SHARED-trie chain (dial (6,14) from n = 12000) under
+    * `vec_id % 2 = 0` — the uncorrelated shape that stays shared. The
+    * dials diverge, so a mis-routed arm breaks this hash at the gate
+    * corpus itself; KnnRouterSpec pins the decisions against the
+    * measured splits. */
+  def knnRoutedOracleSql: String = {
+    val src = s"read_parquet('${graft.vector.KnnRouter.fixturePath}" +
+      "/embeddings.parquet/*.parquet')"
+    val b1 = knnFilteredPartOracleSqlFor(2400, src)
+    val b2 = knnFilteredOracleSqlFor(12000, a => s"$a.vec_id % 2 = 0", src)
+    s"""SELECT 'label7' AS pred, q_id, rn, vec_id, sim FROM ($b1)
+       |UNION ALL
+       |SELECT 'par0' AS pred, q_id, rn, vec_id, sim FROM ($b2)
+       |ORDER BY pred, q_id, rn""".stripMargin
   }
 
   /** Scaled-integer mean of a computed double — mirrors
@@ -1647,6 +1684,12 @@ object SparkEntry {
     // gate scale and diverge at ScaleGen corpora, where the generator
     // form takes over). The generator emits the flat chain here.
     "q_knn_filtered_part" -> knnFilteredPartOracleSqlFor(100),
+    // q_knn_routed: the ROUTER exercised on both shapes over its
+    // fixture corpus — the label7 branch embeds the partition-trie
+    // chain, par0 the shared-trie chain; the dials diverge (4,12) vs
+    // (6,14), so the gate hash itself catches a mis-route. One static
+    // text at every scale (fixture-backed, like q_emb_dup).
+    "q_knn_routed" -> knnRoutedOracleSql,
     // q_knn_incr: the FINAL corpus recomputed logically — survivors of
     // the %17==3 DELETE WHERE carry the %11==0 reversal upserts, plus
     // the negated %13==0 clones at +100000 — then the same flat-dial
