@@ -51,6 +51,9 @@ object Bench {
       // stream-maintained twin lineage (q_knn_stream's standing table +
       // subscription) — the query times serving, not the stream drain
       graft.vector.KnnIncr.qKnnStream(spark, sfDir).count()
+      // maintained-PARTITION-trie lineage (q_knn_part_incr's standing
+      // table + index + serve artifacts) — same rationale
+      graft.vector.KnnPart.qKnnPartIncr(spark, sfDir).count()
       // per-predicate-value partition trie + probe relation
       // (q_knn_filtered_part's standing artifacts) — same rationale
       graft.vector.KnnPart.warm(spark, sfDir)

@@ -105,6 +105,7 @@ object SparkEntry {
     // never a head rebuild); the oracle recomputes the final corpus
     // from scratch, so maintenance drift breaks the hash
     "q_knn_incr" -> ((s: SparkSession, d: String) => graft.vector.KnnIncr.qKnnIncr(s, d)),
+    "q_knn_part_incr" -> ((s: SparkSession, d: String) => graft.vector.KnnPart.qKnnPartIncr(s, d)),
     "q_knn_clusters" -> ((s: SparkSession, d: String) => VectorOps.qKnnClusters(s, d)),
     "q_semantic_curate" -> ((s: SparkSession, d: String) => VectorOps.qSemanticCurate(s, d)),
     "q_kmeans" -> ((s: SparkSession, d: String) => VectorOps.qKmeans(s, d)),
@@ -766,6 +767,27 @@ object SparkEntry {
          |$arms""".stripMargin
     }
   }
+
+  /** Dial-aware q_knn_part_incr oracle SQL: the lineage-transformed
+    * FINAL corpus — survivors of the %17==3 delete with the %11==0
+    * reversals AND the %19==0 label shifts to (label+1) % 10, plus the
+    * label-kept negated %13==0 clones at +100000 — pushed through the
+    * PARTITION-trie chain (label = 7 candidates, every head row a
+    * query). `nF` sets the dial exactly as the maintained partition
+    * index's creation did (the v0 label-7 count); occupancies and leaf
+    * depths derive from the FINAL partition, mirroring the maintained
+    * histogram. */
+  def knnPartIncrOracleSqlFor(nF: Long): String =
+    knnFilteredPartOracleSqlFor(nF,
+      """(SELECT vec_id,
+        |   CASE WHEN vec_id % 19 = 0 THEN (label + 1) % 10 ELSE label END AS label,
+        |   CASE WHEN vec_id % 11 = 0 THEN list_reverse(embedding) ELSE embedding END AS embedding
+        | FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+        | WHERE vec_id % 17 <> 3
+        | UNION ALL
+        | SELECT vec_id + 100000 AS vec_id, label, list_transform(embedding, x -> -x) AS embedding
+        | FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+        | WHERE vec_id % 13 = 0)""".stripMargin)
 
   /** q_knn_routed oracle SQL — over the ROUTER FIXTURE (12000 rows,
     * label-7 = a tight 2400-member cluster; see
@@ -1684,6 +1706,15 @@ object SparkEntry {
     // gate scale and diverge at ScaleGen corpora, where the generator
     // form takes over). The generator emits the flat chain here.
     "q_knn_filtered_part" -> knnFilteredPartOracleSqlFor(100),
+    // q_knn_part_incr: the CDF-MAINTAINED partition trie — the final
+    // corpus recomputed logically (reversals, label shifts, clones,
+    // deletes) through the partition chain; the Spark side serves this
+    // from four incremental feed-sized ticks, so any maintenance drift
+    // (a missed move direction, a stale histogram) breaks this hash.
+    // Flat at the gate (the v0 label-7 partition is far below trie
+    // scale); tools/spot_check regenerates the dialed form at ScaleGen
+    // corpora.
+    "q_knn_part_incr" -> knnPartIncrOracleSqlFor(100),
     // q_knn_routed: the ROUTER exercised on both shapes over its
     // fixture corpus — the label7 branch embeds the partition-trie
     // chain, par0 the shared-trie chain; the dials diverge (4,12) vs

@@ -13,6 +13,8 @@ object SpotOracle {
       // n = the PARTITION's row count (label = 7), not the corpus'
       case "filtered_part" => SparkEntry.knnFilteredPartOracleSqlFor(n)
       case "incr"          => SparkEntry.knnIncrOracleSqlFor(n)
+      // n = the BOOTSTRAP partition's row count (label = 7 at v0)
+      case "part_incr"     => SparkEntry.knnPartIncrOracleSqlFor(n)
       case p               => SparkEntry.knnJoinOracleSqlFor(n, p.toInt)
     })
   }

@@ -94,27 +94,51 @@ object KnnIncr {
     *    a declared re-bootstrap under a fresh dial (KnnIncrSpec pins
     *    both the trigger and that refresh-equals-rebuild holds at the
     *    new dial). */
-  def maintainedIndex(spark: SparkSession, table: String): Index = {
+  def maintainedIndex(spark: SparkSession, table: String): Index =
+    maintainedIndexImpl(spark, table, None)
+
+  /** The PARTITION-trie twin: the same feed-sized maintenance (same
+    * memo freshness, epoch boundary, vacuum safety), restricted to the
+    * `label = labelValue` slice of the table — what keeps
+    * [[KnnPart]]-style per-value indexes fresh over a CHURNING ledger
+    * corpus (r11 VERDICT #3: partition tries were build-once memos
+    * while the shared index was CDF-maintained). The slice filter is
+    * applied to the CHANGE FEED, which makes cross-partition MOVES
+    * fall out of the generic fold: an update moving a row INTO the
+    * partition keeps only its post-image (an add with nothing to
+    * retract — the key isn't in this index), one moving OUT keeps only
+    * its pre-image (a retract with nothing to add). The dial derives
+    * from the PARTITION's bootstrap size, like every partition trie.
+    * KnnPartIncrSpec pins maintained ≡ rebuilt through inserts,
+    * updates, deletes, and both move directions. */
+  def maintainedPartIndex(spark: SparkSession, table: String,
+      labelValue: Int): Index =
+    maintainedIndexImpl(spark, table, Some(labelValue))
+
+  private def maintainedIndexImpl(spark: SparkSession, table: String,
+      part: Option[Int]): Index = {
     val head = Ledger.latestVersion(spark, table)
-    indexMemo.getOrRefresh((spark.sparkContext.applicationId, table), head) {
-      case None                  => bootstrap(spark, table, head)
+    val memoKey = (spark.sparkContext.applicationId,
+      table + part.fold("")(v => s"#label=$v"))
+    indexMemo.getOrRefresh(memoKey, head) {
+      case None                  => bootstrap(spark, table, head, part)
       case Some((prevV, prev)) =>
-        if (prevV.toInt > head) bootstrap(spark, table, head) // time travel / table recreated
+        if (prevV.toInt > head) bootstrap(spark, table, head, part) // time travel / table recreated
         else if (!Ledger.versionCommitted(spark, table, prevV.toInt)) {
           Console.err.println(s"[knn-incr] $table: version ${prevV.toInt} was " +
             "vacuumed away since the index was stamped - re-bootstrapping " +
             "from the head instead of reading a half-gone change feed")
           prev.handles.foreach(_.unpersist(blocking = false))
-          bootstrap(spark, table, head)
+          bootstrap(spark, table, head, part)
         } else {
-          val next = refresh(spark, table, prevV.toInt, head, prev)
+          val next = refresh(spark, table, prevV.toInt, head, prev, part)
           if (pastEpochBoundary(next)) {
             Console.err.println(s"[knn-incr] $table: corpus grew past " +
               s"2^${VectorOps.KnnMaxExtra}x its bootstrap size (n0=${next.n0}) - " +
               "split budget exhausted; performing the declared epoch " +
               "re-index under a fresh dial")
             next.handles.foreach(_.unpersist(blocking = false))
-            bootstrap(spark, table, head)
+            bootstrap(spark, table, head, part)
           } else next
         }
     }
@@ -128,8 +152,10 @@ object KnnIncr {
     mass >= (math.max(idx.n0, 1L) << VectorOps.KnnMaxExtra)
   }
 
-  private def bootstrap(spark: SparkSession, table: String, version: Int): Index = {
-    val base = Ledger.readVersion(spark, table, version)
+  private def bootstrap(spark: SparkSession, table: String, version: Int,
+      part: Option[Int] = None): Index = {
+    val base = part.foldLeft(Ledger.readVersion(spark, table, version))(
+        (df, v) => df.filter(col("label") === v))
       .select(col("vec_id"), col("v"))
     val n = base.count()
     val (p0, maxD) = VectorOps.knnDialFor(n)
@@ -146,13 +172,18 @@ object KnnIncr {
     * granularity — per version or spanning many — cannot change the
     * result (KnnIncrSpec pins this too). */
   private[vector] def refresh(spark: SparkSession, table: String,
-      from: Int, to: Int, prev: Index): Index = {
+      from: Int, to: Int, prev: Index, part: Option[Int] = None): Index = {
     if (from == to) return prev
     val sgn = when(col("op").isin("insert", "update_postimage"), 1L).otherwise(-1L)
-    // feed-sized, consumed three times (removals, additions, hist delta)
+    // feed-sized, consumed three times (removals, additions, hist delta).
+    // A partition index filters the FEED to its slice — a cross-
+    // partition move then contributes only the image on its side of the
+    // boundary (pre-image OUT = bare retract, post-image IN = bare add)
+    val feed = part.foldLeft(
+        Ledger.readChangesFull(spark, table, from, to, "vec_id"))(
+        (df, v) => df.filter(col("label") === v))
     val (hf, hfRdd) = graft.dedup.Dedup.materializeStatsReset(
-      hashRows(Ledger.readChangesFull(spark, table, from, to, "vec_id")
-        .select(col("op"), col("vec_id"), col("v")), prev.dial.maxD)
+      hashRows(feed.select(col("op"), col("vec_id"), col("v")), prev.dial.maxD)
         .withColumn("_sgn", sgn))
     val removedKeys = hf.filter(col("_sgn") === -1L).select(col("vec_id"))
     val added = hf.filter(col("_sgn") === 1L)
@@ -364,8 +395,19 @@ object KnnIncr {
     * hash-equals it over this rebuild. Test/diagnostic surface, not a
     * declared path. */
   private[graft] def rebuiltIndex(spark: SparkSession, table: String,
-      dial: Dial): Index = {
-    val base = Ledger.readVersion(spark, table, Ledger.latestVersion(spark, table))
+      dial: Dial): Index = rebuiltIndexImpl(spark, table, dial, None)
+
+  /** The partition twin of [[rebuiltIndex]]: a from-scratch re-index of
+    * the head's `label = labelValue` slice under the same dial. */
+  private[graft] def rebuiltPartIndex(spark: SparkSession, table: String,
+      dial: Dial, labelValue: Int): Index =
+    rebuiltIndexImpl(spark, table, dial, Some(labelValue))
+
+  private def rebuiltIndexImpl(spark: SparkSession, table: String,
+      dial: Dial, part: Option[Int]): Index = {
+    val base = part.foldLeft(
+        Ledger.readVersion(spark, table, Ledger.latestVersion(spark, table)))(
+        (df, v) => df.filter(col("label") === v))
       .select(col("vec_id"), col("v"))
     val rows = hashRows(base, dial.maxD)
     Index(rows, rows.groupBy(col("full")).agg(count(lit(1)).as("c")), dial,

@@ -154,12 +154,52 @@ object KnnPart {
     * gate plan trivially oracle-shaped). */
   private[graft] def partitionProbes(spark: SparkSession, dir: String,
       labelValue: Int, part: DataFrame, p0: Int, maxD: Int): DataFrame = {
-    val planes = VectorOps.hyperplanes(maxD, 64)
-    val pow2 = array((0 until maxD).map(p => lit(1L << p)): _*)
     val qAll = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("qv"))
-      .withColumn("qfull", VectorOps.lshBucket(col("qv"), planes))
+    if (p0 == maxD)
+      probeRelation(qAll, sys.error("flat probes resolve no leaves"), p0, maxD)
+    else {
+      // the probe relation lives IN the value's registry entry — built
+      // at most once per residency, evicted (and rebuilt) WITH its trie
+      val entry = entryFor(spark,
+        (spark.sparkContext.applicationId, dir, labelValue),
+        sys.error("partition trie must be resident before its probes"),
+        p0, maxD)
+      entry.synchronized(entry.probes) match {
+        case Some(p) => p
+        case None =>
+          val (probes, rdd) = graft.dedup.Dedup.materializeStatsReset(
+            probeRelation(qAll,
+              part.select(col("bucket").as("leaf_key")).distinct(), p0, maxD))
+          entry.synchronized {
+            entry.probes match {
+              case Some(winner) => // lost a build race: keep the winner
+                rdd.unpersist(blocking = false); winner
+              case None =>
+                entry.probes = Some(probes)
+                entry.handles ::= rdd
+                probes
+            }
+          }
+      }
+    }
+  }
+
+  /** Own + flip probe relation `(q_id, qv, bucket)` for an ARBITRARY
+    * query relation `(q_id, qv)` against a partition trie at dial
+    * (p0, maxD) — ONE definition shared by the static-corpus path and
+    * the CDF-maintained path ([[knnFilteredPartMaintained]]) so the
+    * two cannot drift. Flat dial: every p0-bit code is its own bucket
+    * (`leafKeys` untouched — by-name). Trie dial: chain-resolve the
+    * own + flip leaves against the partition's prefix-free leaf keys.
+    * Unmaterialized — each caller memoizes per its own standing
+    * discipline (registry entry / versioned memo). */
+  private[graft] def probeRelation(qAll0: DataFrame, leafKeys: => DataFrame,
+      p0: Int, maxD: Int): DataFrame = {
+    val planes = VectorOps.hyperplanes(maxD, 64)
+    val pow2 = array((0 until maxD).map(p => lit(1L << p)): _*)
+    val qAll = qAll0.withColumn("qfull", VectorOps.lshBucket(col("qv"), planes))
     val absDots = array(planes.map(r =>
       abs(VectorOps.dot(col("qv"), array(r.map(lit): _*)))): _*)
     if (p0 == maxD) {
@@ -169,27 +209,11 @@ object KnnPart {
       qAll.select(col("q_id"), col("qv"),
         explode(array(col("qfull"), col("qfull").bitwiseXOR(flip))).as("bucket"))
     } else {
-      // the probe relation lives IN the value's registry entry — built
-      // at most once per residency, evicted (and rebuilt) WITH its trie
-      val entry = entryFor(spark,
-        (spark.sparkContext.applicationId, dir, labelValue),
-        sys.error("partition trie must be resident before its probes"),
-        p0, maxD)
-      entry.synchronized(entry.probes) match {
-        case Some(p) => p
-        case None    => buildProbes(entry, part, qAll, absDots, pow2, p0, maxD)
-      }
-    }
-  }
-
-  private def buildProbes(entry: PartEntry, part: DataFrame, qAll: DataFrame,
-      absDots: Column, pow2: Column, p0: Int, maxD: Int): DataFrame = {
-    {
-      val leafKeys = part.select(col("bucket").as("leaf_key")).distinct()
+      val lk = leafKeys
       def chain(c: Column) = array((p0 to maxD).map(d =>
         c.bitwiseAND(lit((1L << d) - 1)) + lit(1L << d)): _*)
       val own = qAll.select(col("q_id"), explode(chain(col("qfull"))).as("cand"))
-        .join(leafKeys, col("cand") === col("leaf_key"))
+        .join(lk, col("cand") === col("leaf_key"))
         .select(col("q_id"), col("cand").as("bucket"))
       // the matched leaf's depth is its marker-bit position; the flip
       // is the lowest-|margin| plane AMONG THE PLANES THAT LEAF USES
@@ -201,24 +225,13 @@ object KnnPart {
         array_position(usable, array_min(usable)).cast("int"))
       val fres = oq.select(col("q_id"),
           explode(chain(col("qfull").bitwiseXOR(flip))).as("cand"))
-        .join(leafKeys, col("cand") === col("leaf_key"))
+        .join(lk, col("cand") === col("leaf_key"))
         .select(col("q_id"), col("cand").as("bucket"))
       // own ∪ flip disjoint by prefix-freeness (scaladoc above) —
       // no dedup needed, mirroring the unpartitioned probe set
-      val (probes, rdd) = graft.dedup.Dedup.materializeStatsReset(
-        own.unionByName(fres)
-          .join(qAll.select(col("q_id"), col("qv")), Seq("q_id"))
-          .select(col("q_id"), col("qv"), col("bucket")))
-      entry.synchronized {
-        entry.probes match {
-          case Some(winner) => // lost a build race: keep the winner
-            rdd.unpersist(blocking = false); winner
-          case None =>
-            entry.probes = Some(probes)
-            entry.handles ::= rdd
-            probes
-        }
-      }
+      own.unionByName(fres)
+        .join(qAll.select(col("q_id"), col("qv")), Seq("q_id"))
+        .select(col("q_id"), col("qv"), col("bucket"))
     }
   }
 
@@ -245,27 +258,38 @@ object KnnPart {
       labelValue: Int, k: Int): DataFrame = {
     val (part, p0, maxD) = partitionIndex(spark, dir, labelValue)
     val probes = partitionProbes(spark, dir, labelValue, part, p0, maxD)
+    val queriesAll = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    serveFiltered(queriesAll, part, probes,
+      VectorOps.embCount(spark, dir),
+      partitionCount(spark, dir, labelValue), k)
+  }
+
+  /** The serving tail — probe-join score, bounded heap + candidate
+    * count (the served/escalated split, materialized once for its
+    * three consumers), exact escalation over the partition with the
+    * AQE-style build-side pick from two standing scalars. ONE
+    * definition shared by the static-corpus and CDF-maintained paths.
+    * `nQ`/`nP` are by-name: only the escalation arm's build-side pick
+    * forces them. */
+  private[graft] def serveFiltered(queriesAll: DataFrame, part: DataFrame,
+      probes: DataFrame, nQ: => Long, nP: => Long, k: Int): DataFrame = {
     val scored = part.select(col("bucket"), col("vec_id"), col("v"))
       .join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         VectorOps.cosine(col("qv"), col("v")).as("sim"))
-    // one pass: bounded heap + candidate count (the served/escalated
-    // split), materialized once for its three consumers
     val (heaped, _) = graft.dedup.Dedup.materializeStatsReset(
       scored.groupBy(col("q_id"))
         .agg(graft.functions.TopKNative.topK(k)(col("sim"), col("vec_id"), lit(0)).as("tk"),
           count(lit(1)).as("nc")))
     val okIds = heaped.filter(col("nc") >= k).select(col("q_id"))
     val served = heaped.filter(col("nc") >= k).select(col("q_id"), col("tk"))
-    val short = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("q_id"),
-        col("embedding").cast("array<double>").as("qv"))
-      .join(okIds, Seq("q_id"), "left_anti")
+    val short = queriesAll.join(okIds, Seq("q_id"), "left_anti")
     val corpusP = part.select(col("vec_id"), col("v"))
     // build-side pick from two standing scalars (counts, never data)
-    val nShort = VectorOps.embCount(spark, dir) - okIds.count()
-    val nP = partitionCount(spark, dir, labelValue)
+    val nShort = nQ - okIds.count()
     val exactPairs =
       if (nShort <= nP) corpusP.crossJoin(broadcast(short))
       else short.crossJoin(broadcast(corpusP))
@@ -281,4 +305,116 @@ object KnnPart {
         col("col.id1").as("vec_id"), col("col.sortKey").as("sim"))
       .orderBy(col("q_id"), col("rn"))
   }
+
+  // ---- the CDF-MAINTAINED partition trie: serving + declared query ----
+
+  /** Serve-time artifacts for a MAINTAINED partition index, stamped at
+    * the table's committed version like the index itself: the bucketed
+    * partition relation (keymap derived from the MAINTAINED histogram
+    * — the shared [[VectorOps.leafDepthsFromHist]] math), the
+    * materialized probe relation over the HEAD corpus, and the two
+    * build-side scalars. A merge bumps the version; the next query
+    * misses the stamp, rebuilds from the refreshed index, and the
+    * superseded artifacts' blocks are released. */
+  private val maintainedServeMemo =
+    graft.StandingState.versionedMemo[(String, String, Int),
+      (DataFrame, DataFrame, DataFrame, Long, Long,
+        Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]])]()
+
+  /** Corpus-wide top-k under `label = labelValue` over a LEDGER table,
+    * served from the CDF-MAINTAINED partition trie
+    * ([[KnnIncr.maintainedPartIndex]]) with exact escalation — the
+    * maintained twin of [[knnFilteredPartitioned]], sharing its probe
+    * construction ([[probeRelation]]) and serving tail
+    * ([[serveFiltered]]) by definition. */
+  def knnFilteredPartMaintained(spark: SparkSession, table: String,
+      labelValue: Int, k: Int = 3): DataFrame = {
+    val idx = KnnIncr.maintainedPartIndex(spark, table, labelValue)
+    val head = graft.etl.Ledger.latestVersion(spark, table)
+    val (part, probes, queriesAll, nQ, nP, _) =
+      maintainedServeMemo.getOrRefresh(
+          (spark.sparkContext.applicationId, table, labelValue), head) { prev =>
+        prev.foreach { case (_, (_, _, _, _, _, handles)) =>
+          handles.foreach(_.unpersist(blocking = false)) }
+        val KnnIncr.Dial(p0, maxD) = idx.dial
+        val qAll = graft.etl.Ledger.readVersion(spark, table, head)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val nQv = qAll.count()
+        val nPv = idx.hist.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+        if (p0 == maxD) {
+          val partDf = idx.rows.select(col("full").as("bucket"),
+            col("vec_id"), col("v"))
+          (partDf, probeRelation(qAll,
+            sys.error("flat probes resolve no leaves"), p0, maxD),
+            qAll, nQv, nPv, Nil)
+        } else {
+          val (partDf, h1) = graft.dedup.Dedup.materializeStatsReset(
+            idx.rows.join(VectorOps.leafDepthsFromHist(idx.hist, p0, maxD),
+                Seq("full"))
+              .withColumn("bucket", VectorOps.trieKeyExpr(p0, maxD))
+              .select(col("bucket"), col("vec_id"), col("v")))
+          val (pr, h2) = graft.dedup.Dedup.materializeStatsReset(
+            probeRelation(qAll,
+              partDf.select(col("bucket").as("leaf_key")).distinct(), p0, maxD))
+          (partDf, pr, qAll, nQv, nPv, Seq(h1, h2))
+        }
+      }
+    serveFiltered(queriesAll, part, probes, nQ, nP, k)
+  }
+
+  private def knnPartTableRoot(dir: String): String =
+    graft.GraftPaths.sink("graft_ledger_knnp", dir.replaceAll(".*/", ""))
+
+  private val partLineageMemo = graft.StandingState.memo[(String, String), String]()
+
+  /** The maintained-PARTITION-trie lineage — q_knn_incr's shape plus
+    * the cases only a partition index has: v0 = the labeled embeddings
+    * corpus; v1 MERGES negated clones of the %13==0 vectors at +100000
+    * (label kept — label-7 clones are partition INSERTS); v2 upserts
+    * the %11==0 vectors reversed (in-partition UPDATES retract + add);
+    * v3 label-shifts the %19==0 originals to (label+1) % 10 —
+    * CROSS-PARTITION MOVES, the retract-without-add / add-without-
+    * retract case (label-7 rows flow OUT to 8, label-6 rows flow IN);
+    * v4 DELETE WHERE %17==3 (deletion-vector deletes). The label-7
+    * index refreshes feed-sized after every commit — the final
+    * artifact is the product of four incremental ticks, never a head
+    * rebuild, so the from-scratch DuckDB oracle catches any
+    * maintenance drift including a missed move direction. */
+  private def builtPartLineage(spark: SparkSession, dir: String): String =
+    partLineageMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val table = knnPartTableRoot(dir)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      graft.etl.Ledger.create(spark, table, emb, "vec_id")
+      KnnIncr.maintainedPartIndex(spark, table, 7) // bootstrap at v0
+      graft.etl.Ledger.merge(spark, table, 0, emb.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          lit("upsert").as("op"), transform(col("v"), x => -x).as("v"),
+          col("label")), "vec_id")
+      KnnIncr.maintainedPartIndex(spark, table, 7) // label-7 clones flow IN
+      graft.etl.Ledger.merge(spark, table, 1, emb.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id"), lit("upsert").as("op"),
+          reverse(col("v")).as("v"), col("label")), "vec_id")
+      KnnIncr.maintainedPartIndex(spark, table, 7) // in-partition updates
+      graft.etl.Ledger.merge(spark, table, 2,
+        graft.etl.Ledger.readVersion(spark, table, 2)
+          .filter(col("vec_id") % 19 === 0 && col("vec_id") < 100000L)
+          .select(col("vec_id"), lit("upsert").as("op"), col("v"),
+            ((col("label") + 1) % 10).as("label")), "vec_id")
+      KnnIncr.maintainedPartIndex(spark, table, 7) // moves: 6→7 IN, 7→8 OUT
+      graft.etl.Ledger.deleteWhere(spark, table, 3, "vec_id",
+        col("vec_id") % 17 === 3 && col("vec_id") < 100000L)
+      KnnIncr.maintainedPartIndex(spark, table, 7) // DV deletes drop rows + mass
+      table
+    })
+
+  /** Q-knn-part-incr: the partitioned filtered kNN served from the
+    * CDF-MAINTAINED label-7 trie at the lineage's head. The oracle
+    * recomputes the final corpus logically (survivors with %11
+    * reversals and %19 label shifts, plus the label-kept negated
+    * clones) and runs the partition-trie chain from scratch, dialed on
+    * the PARTITION's bootstrap count. */
+  def qKnnPartIncr(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnFilteredPartMaintained(spark, builtPartLineage(spark, dir), 7, k)
 }

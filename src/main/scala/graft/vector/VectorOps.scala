@@ -243,7 +243,7 @@ object VectorOps {
     * per-predicate-value partition tries ([[KnnPart]]) — one
     * definition, so the three index families cannot drift. All work is
     * histogram-sized. */
-  private[vector] def leafDepthsFromHist(h: DataFrame, p0: Int, maxD: Int): DataFrame = {
+  private[graft] def leafDepthsFromHist(h: DataFrame, p0: Int, maxD: Int): DataFrame = {
     val withOcc = (p0 until maxD).foldLeft(h) { (acc, d) =>
       val occ = h.groupBy(col("full").bitwiseAND(lit((1L << d) - 1)).as(s"p$d"))
         .agg(sum(col("c")).as(s"o$d"))
@@ -259,7 +259,7 @@ object VectorOps {
   /** Trie-encoded bucket key of `full` truncated to depth `ld`
     * (`prefix | 1<<depth` — static branches keep the masks literal and
     * the key codegen'd). Shared with [[KnnIncr]]/[[KnnPart]]. */
-  private[vector] def trieKeyExpr(p0: Int, maxD: Int): Column =
+  private[graft] def trieKeyExpr(p0: Int, maxD: Int): Column =
     (p0 to maxD).map { d =>
       when(col("ld") === d, col("full").bitwiseAND(lit((1L << d) - 1)) + lit(1L << d))
     }.reduceRight(_.otherwise(_))
