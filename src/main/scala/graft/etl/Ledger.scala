@@ -1086,6 +1086,53 @@ object Ledger {
     def reset(): Unit = claims.clear()
   }
 
+  /** The PROCESS-GRADE twin of [[CasLogStore]]: the same conditional-
+    * put contract (claim = compare-and-set on one EXTERNAL coordination
+    * table, not a per-version filesystem create), backed by a single
+    * shared file under an exclusive cross-process `FileLock` — read the
+    * claim set, append iff absent, force, release. One claimant of any
+    * number of concurrent processes observes "absent", which is exactly
+    * the `If-None-Match`/DynamoDB conditional-put guarantee the in-JVM
+    * [[CasLogStore]] stands in for. This is the stress-harness
+    * emulation, not a production store — a plain-S3 deployment still
+    * swaps in the service-backed conditional put; what ProbeCasMulti
+    * certifies with it is that the commit protocol ABOVE the trait
+    * (claim → sidecars → manifest → validate/rebase) is serializable
+    * across real JVMs for the conditional-put claim style too, not only
+    * for create-exclusive (ProbeOccMulti's territory). In-JVM
+    * contenders hold their lock through the JVM-wide lock table
+    * (`OverlappingFileLockException` → brief spin), so the same store
+    * also serves the threaded stress. */
+  final class FileCasLogStore(storePath: String) extends LogStore {
+    def tryClaim(spark: SparkSession, table: String, version: Int): Boolean = {
+      val f = new java.io.File(storePath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      try {
+        var lock: java.nio.channels.FileLock = null
+        while (lock == null) {
+          try lock = raf.getChannel.lock()
+          catch { // another THREAD of this JVM holds it: spin briefly
+            case _: java.nio.channels.OverlappingFileLockException =>
+              Thread.sleep(2)
+          }
+        }
+        try {
+          val key = s"$table#v$version"
+          val bytes = new Array[Byte](raf.length().toInt)
+          raf.readFully(bytes)
+          if (new String(bytes, "UTF-8").linesIterator.contains(key)) false
+          else {
+            raf.seek(raf.length())
+            raf.write((key + "\n").getBytes("UTF-8"))
+            raf.getChannel.force(true)
+            true
+          }
+        } finally lock.release()
+      } finally raf.close()
+    }
+  }
+
   // ---- per-writer transaction markers (streaming idempotency) ----
 
   private def txnPath(table: String, version: Int) = s"$table/_txns/v$version"
