@@ -16,6 +16,51 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Disk fingerprint (r11 VERDICT #8): cross-round bench comparisons
+    // need their denominator IN the artifact — this VM tier drifts
+    // (r9 93/276, r10 228/510, r11 197/456 MB/s cold-read/write), and
+    // r11's +9% uniform wall drift was host tier, provable only from a
+    // hand-run fingerprint. Measured before any Spark work: 1 GiB
+    // forced sequential write, then (after a best-effort page-cache
+    // drop) a raw sequential read of the corpus' lineitem bytes capped
+    // at 512 MB. Failures degrade to an empty block, never a crash.
+    val fp: String = try {
+      val dirP = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dirP)
+      val tmp = java.nio.file.Files.createTempFile(dirP, "fp_", ".bin")
+      val buf = java.nio.ByteBuffer.allocate(8 << 20)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.WRITE)
+      val t0 = System.nanoTime()
+      var written = 0L
+      while (written < (1L << 30)) {
+        buf.clear(); while (buf.hasRemaining) ch.write(buf)
+        written += buf.capacity()
+      }
+      ch.force(true); ch.close()
+      val wMbs = written / 1e6 / ((System.nanoTime() - t0) / 1e9)
+      java.nio.file.Files.delete(tmp)
+      try java.nio.file.Files.write( // root-only; harmless to fail
+        java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3".getBytes)
+      catch { case _: Throwable => () }
+      val li = new java.io.File(s"$sfDir/lineitem.parquet")
+      val files = if (li.isDirectory)
+        li.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      else Array(li)
+      val rBuf = new Array[Byte](8 << 20)
+      val t1 = System.nanoTime()
+      var read = 0L
+      val cap = 512L << 20
+      files.iterator.takeWhile(_ => read < cap).foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try {
+          var n = in.read(rBuf)
+          while (n >= 0 && read < cap) { read += n; n = in.read(rBuf) }
+        } finally in.close()
+      }
+      val rMbs = read / 1e6 / ((System.nanoTime() - t1) / 1e9)
+      f""""fp":{"write_mb_s":$wMbs%.1f,"read_mb_s":$rMbs%.1f,"read_mb":${read / 1e6}%.0f}"""
+    } catch { case _: Throwable => """"fp":{}""" }
     // Warmup: JIT + classloading + parquet-reader init dominate the
     // first job in a fresh JVM (~4-5 s) and aren't any query's cost.
     // One small scan+agg+window pass loads the hot code paths. The
@@ -110,7 +155,7 @@ object Bench {
     val failed = results.toSeq.filter(_._2 < 0).map(_._1).sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir",$fp}"""
     println(line)
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES (${failed.size}): ${failed.mkString(", ")}")
@@ -160,7 +205,7 @@ object Bench {
     spark.stop()
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_are":"slowest10_of_full_map_in_target/bench.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_are":"slowest10_of_full_map_in_target/bench.json","sf":"$sfDir",$fp}""")
     System.out.flush()
     if (failed.nonEmpty) sys.exit(3)
   }
