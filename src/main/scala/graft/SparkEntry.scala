@@ -542,7 +542,7 @@ object SparkEntry {
         |e AS (SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN list_reverse(v0) ELSE v0 END AS v
         |        FROM base WHERE vec_id % 17 <> 3
         |      UNION ALL
-        |      SELECT vec_id + 100000 AS vec_id, list_transform(v0, x -> -x) AS v
+        |      SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(v0, x -> -x) AS v
         |        FROM base WHERE vec_id % 13 = 0)""".stripMargin)
 
   /** Dial-aware q_knn_filtered oracle SQL for scaled spot-checks:
@@ -785,7 +785,7 @@ object SparkEntry {
         | FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
         | WHERE vec_id % 17 <> 3
         | UNION ALL
-        | SELECT vec_id + 100000 AS vec_id, label, list_transform(embedding, x -> -x) AS embedding
+        | SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id, label, list_transform(embedding, x -> -x) AS embedding
         | FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
         | WHERE vec_id % 13 = 0)""".stripMargin)
 
@@ -1732,7 +1732,7 @@ object SparkEntry {
          |e AS (SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN list_reverse(v0) ELSE v0 END AS v
          |        FROM base WHERE vec_id % 17 <> 3
          |      UNION ALL
-         |      SELECT vec_id + 100000 AS vec_id, list_transform(v0, x -> -x) AS v
+         |      SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(v0, x -> -x) AS v
          |        FROM base WHERE vec_id % 13 = 0),
          |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket,
          |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,
@@ -1758,7 +1758,7 @@ object SparkEntry {
          |e AS (SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN list_reverse(v0) ELSE v0 END AS v
          |        FROM base WHERE vec_id % 17 <> 3
          |      UNION ALL
-         |      SELECT vec_id + 100000 AS vec_id, list_transform(v0, x -> -x) AS v
+         |      SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, list_transform(v0, x -> -x) AS v
          |        FROM base WHERE vec_id % 13 = 0),
          |bk AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket,
          |  ${planeDotsSql(0)} AS d1, ${planeDotsSql(1)} AS d2,

@@ -421,9 +421,20 @@ object KnnIncr {
 
   private val lineageMemo = graft.StandingState.memo[(String, String), String]()
 
+  /** Clone-id offset for the declared lineages: `max(vec_id) + 1`,
+    * derived from the CORPUS (one memoized scalar) — a fixed literal
+    * offset collides with real ids the moment the corpus outgrows it
+    * (at sf10 the 200k-row corpus swallowed +100000 "clones" as
+    * overwrites, a shape the insert-modelling oracle cannot express),
+    * and a lineage whose semantics silently change with scale is
+    * exactly what a 100 TB design must not do. The oracle mirrors it
+    * as a scalar subquery. */
+  private[vector] def cloneOffset(spark: SparkSession, dir: String): Long =
+    graft.vector.VectorOps.embMaxIdPlusOne(spark, dir)
+
   /** The maintained-ANN lineage: v0 = the embeddings corpus; v1 MERGES
-    * negated clones of the %13==0 vectors at +100000 (inserts); v2
-    * upserts the %11==0 vectors reversed (updates — pre-images must
+    * negated clones of the %13==0 vectors at +cloneOffset (inserts);
+    * v2 upserts the %11==0 vectors reversed (updates — pre-images must
     * retract); v3 DELETE WHERE %17==3 (deletion-vector deletes). The
     * index REFRESHES after every commit — the final artifact is the
     * product of three incremental ticks, never a head rebuild, so the
@@ -433,12 +444,13 @@ object KnnIncr {
   private def builtLineage(spark: SparkSession, dir: String): String =
     lineageMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val table = knnTableRoot(dir)
+      val off = cloneOffset(spark, dir)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       Ledger.create(spark, table, emb, "vec_id")
       maintainedIndex(spark, table) // bootstrap at v0
       Ledger.merge(spark, table, 0, emb.filter(col("vec_id") % 13 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"),
+        .select((col("vec_id") + off).as("vec_id"),
           lit("upsert").as("op"), transform(col("v"), x => -x).as("v")), "vec_id")
       maintainedIndex(spark, table) // feed-sized: hashes only the clones
       Ledger.merge(spark, table, 1, emb.filter(col("vec_id") % 11 === 0)
@@ -446,7 +458,7 @@ object KnnIncr {
           reverse(col("v")).as("v")), "vec_id")
       maintainedIndex(spark, table) // update images: retract + add
       Ledger.deleteWhere(spark, table, 2, "vec_id",
-        col("vec_id") % 17 === 3 && col("vec_id") < 100000L)
+        col("vec_id") % 17 === 3 && col("vec_id") < off)
       maintainedIndex(spark, table) // DV deletes drop rows + histogram mass
       table
     })
@@ -483,12 +495,13 @@ object KnnIncr {
   private def builtStreamLineage(spark: SparkSession, dir: String): String =
     streamLineageMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val table = knnStreamTableRoot(dir)
+      val off = cloneOffset(spark, dir)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       Ledger.create(spark, table, emb, "vec_id")
       maintainedIndex(spark, table) // bootstrap at v0 (dial from n, like q_knn_incr)
       Ledger.merge(spark, table, 0, emb.filter(col("vec_id") % 13 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"),
+        .select((col("vec_id") + off).as("vec_id"),
           lit("upsert").as("op"), transform(col("v"), x => -x).as("v")), "vec_id")
       Ledger.stageChanges(spark, table, "vec_id")
       val q = maintainStream(spark, table,
@@ -498,7 +511,7 @@ object KnnIncr {
           .select(col("vec_id"), lit("upsert").as("op"),
             reverse(col("v")).as("v")), "vec_id")
         Ledger.deleteWhere(spark, table, 2, "vec_id",
-          col("vec_id") % 17 === 3 && col("vec_id") < 100000L)
+          col("vec_id") % 17 === 3 && col("vec_id") < off)
         Ledger.stageChanges(spark, table, "vec_id")
         q.processAllAvailable()
       } finally q.stop()

@@ -383,13 +383,14 @@ object KnnPart {
   private def builtPartLineage(spark: SparkSession, dir: String): String =
     partLineageMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val table = knnPartTableRoot(dir)
+      val off = KnnIncr.cloneOffset(spark, dir)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label"))
       graft.etl.Ledger.create(spark, table, emb, "vec_id")
       KnnIncr.maintainedPartIndex(spark, table, 7) // bootstrap at v0
       graft.etl.Ledger.merge(spark, table, 0, emb.filter(col("vec_id") % 13 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"),
+        .select((col("vec_id") + off).as("vec_id"),
           lit("upsert").as("op"), transform(col("v"), x => -x).as("v"),
           col("label")), "vec_id")
       KnnIncr.maintainedPartIndex(spark, table, 7) // label-7 clones flow IN
@@ -399,12 +400,12 @@ object KnnPart {
       KnnIncr.maintainedPartIndex(spark, table, 7) // in-partition updates
       graft.etl.Ledger.merge(spark, table, 2,
         graft.etl.Ledger.readVersion(spark, table, 2)
-          .filter(col("vec_id") % 19 === 0 && col("vec_id") < 100000L)
+          .filter(col("vec_id") % 19 === 0 && col("vec_id") < off)
           .select(col("vec_id"), lit("upsert").as("op"), col("v"),
             ((col("label") + 1) % 10).as("label")), "vec_id")
       KnnIncr.maintainedPartIndex(spark, table, 7) // moves: 6→7 IN, 7→8 OUT
       graft.etl.Ledger.deleteWhere(spark, table, 3, "vec_id",
-        col("vec_id") % 17 === 3 && col("vec_id") < 100000L)
+        col("vec_id") % 17 === 3 && col("vec_id") < off)
       KnnIncr.maintainedPartIndex(spark, table, 7) // DV deletes drop rows + mass
       table
     })

@@ -235,6 +235,14 @@ object VectorOps {
     embCountMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Tables.embeddings(spark, dir).count())
 
+  private val embMaxIdMemo = graft.StandingState.memo[(String, String), Long]()
+
+  /** `max(vec_id) + 1` — the clone-id offset the declared lineages use
+    * (see [[KnnIncr.cloneOffset]]); memoized like [[embCount]]. */
+  private[vector] def embMaxIdPlusOne(spark: SparkSession, dir: String): Long =
+    embMaxIdMemo.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables.embeddings(spark, dir).agg(max(col("vec_id"))).head().getLong(0) + 1L)
+
   /** Leaf depths from a full-code histogram `(full, c)` — per-depth
     * occupancy roll-ups + the monotone min-depth rule
     * `leafDepth(c) = min d ∈ [p0, maxD]: occ_d(prefix_d(c)) ≤ cap`.
