@@ -61,14 +61,19 @@ def main():
     dialed = {"q_knn_join": "1", "q_knn_join_mp": "2",
               "q_knn_filtered": "filtered", "q_knn_incr": "incr",
               "q_knn_stream": "incr",
-              "q_knn_filtered_part": "filtered_part"}
+              "q_knn_filtered_part": "filtered_part",
+              # dialed on the BOOTSTRAP partition count (label-7 at v0
+              # = the raw corpus' label-7 count)
+              "q_knn_part_incr": "part_incr"}
+    # q_knn_routed is fixture-backed (static SQL at every scale): no patch
+    part_dialed = {"q_knn_filtered_part", "q_knn_part_incr"}
     patch = [q for q in dialed if not queries or q in queries]
     if patch:
         n = count_embeddings(sf_dir)
         n7 = count_embeddings(sf_dir, label=7) \
-            if "q_knn_filtered_part" in patch else None
+            if any(q in part_dialed for q in patch) else None
         for q in patch:
-            dial_n = n7 if q == "q_knn_filtered_part" else n
+            dial_n = n7 if q in part_dialed else n
             sql = subprocess.run(
                 ["java", *JOPTS, "-cp", CP, "graft.SpotOracle",
                  str(dial_n), dialed[q]],
