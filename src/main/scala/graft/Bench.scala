@@ -14,6 +14,29 @@ object Bench {
       // high-cardinality keys; the 128-key default would fall back to
       // sort-based aggregation and sort the whole candidate relation
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // the suite's standing artifacts (ANN indexes, maintained
+      // lineages, probe relations — all MEMORY_AND_DISK localCheckpoints)
+      // grew past the point where the DEFAULT 0.5 protected-storage
+      // fraction starves execution: at sf100 q_tfidf's in-suite
+      // aggregation deterministically OOM'd at 64g AND 80g while
+      // passing alone at 64g (triage bundles sf100-1786896967/-898843 —
+      // the r11 mystery mass-failure mode, finally named). Protecting
+      // less storage lets execution evict cold standing blocks to DISK
+      // (they are disk-backed; eviction is a re-read, never a loss)
+      // instead of dying — the spill-aware posture a shared cluster
+      // would run with.
+      .config("spark.memory.storageFraction", "0.3")
+      // the ContextCleaner only drops a finished query's shuffle files
+      // after a FULL GC proves the RDDs unreachable, and at an 80g heap
+      // full GCs almost never happen on their own — the default 30min
+      // periodicGC is useless inside a ~30min suite, so dead shuffle
+      // files accumulated ~20 GB of blockmgr by mid-suite and the
+      // sf100 rung ENOSPC'd during q_zorder_write's ~2×lineitem
+      // transient (triage bundles sf100-1786902273/-905172; a jcmd
+      // GC.run freed 6 GB instantly, proving the mechanism). 2min keeps
+      // blockmgr near one query's working set; the GC itself is a
+      // sub-second pause amortized across the suite.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Disk fingerprint (r11 VERDICT #8): cross-round bench comparisons
@@ -118,6 +141,11 @@ object Bench {
     val passes = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(2))
     def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+      // stderr marker BEFORE each query: when a rung dies mid-suite
+      // (the r11/r12 executor-OOM → dead-context → mass-instant-error
+      // signature), the triage bundle's stderr then NAMES the victim —
+      // the per-query map alone can't (map iteration order ≠ sorted)
+      System.err.println(s"[bench] $name start")
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

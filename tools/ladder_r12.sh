@@ -88,5 +88,11 @@ case "${1:-all}" in
   sf01)  rung /root/testdata/sf0.1 /tmp/bench_sf01_r12.json 48g 2 ;;
   sf1)   rung target/scaledata/sf1 /tmp/bench_sf1_r12.json 48g 2 ;;
   sf10)  rung target/scaledata/sf10 /tmp/bench_sf10_r12.json 48g 2 ;;
-  sf100) rm -rf target/graft_* spark-warehouse /tmp/blockmgr-* /tmp/spark-* ; rung target/scaledata/sf100 /tmp/bench_sf100_r12.json 64g 1 ;;
+  # 80g (r11 ran 64g): the suite gained two corpus-sized standing
+  # lineages this round (q_knn_stream's live-maintained table and
+  # q_knn_part_incr's maintained partition index + serve artifacts, all
+  # resident at 2M vectors) and the first 64g cut died exactly like
+  # r11's mystery re-cut — executor OOM → dead context → mass instant
+  # errors (triage bundle sf100-1786896967 finally names the mode)
+  sf100) rm -rf target/graft_* spark-warehouse /tmp/blockmgr-* /tmp/spark-* ; rung target/scaledata/sf100 /tmp/bench_sf100_r12.json 80g 1 ;;
 esac
