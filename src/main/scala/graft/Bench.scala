@@ -4,9 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle width decoupled from task slots: the sf100 rung runs
+    // local[16] (halving concurrent execution-page demand — the r12
+    // in-suite OOM was 26 tasks each refusing a 512 MB–1 GiB page at
+    // 80 g) while KEEPING 32 shuffle partitions, so per-partition data
+    // stays the tested size and only the number of simultaneously
+    // resident partitions drops — the same knob a cluster turns by
+    // running fewer, fatter executors against an unchanged shuffle
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -63,9 +71,18 @@ object Bench {
       ch.force(true); ch.close()
       val wMbs = written / 1e6 / ((System.nanoTime() - t0) / 1e9)
       java.nio.file.Files.delete(tmp)
-      try java.nio.file.Files.write( // root-only; harmless to fail
-        java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3".getBytes)
-      catch { case _: Throwable => () }
+      // the page-cache drop is a MACHINE-GLOBAL side effect, so it is
+      // opt-in (SPARK_GRAFT_FP_DROP=1 — the ladder sets it; a casual
+      // bench run must not evict every other process's cache). The fp
+      // block records which denominator it measured: cold=1 reads are
+      // device-speed, cold=0 reads are page-cache-speed — comparisons
+      // must only pair like with like.
+      val dropped =
+        if (sys.env.get("SPARK_GRAFT_FP_DROP").contains("1")) {
+          try { java.nio.file.Files.write( // root-only; harmless to fail
+            java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3".getBytes); 1 }
+          catch { case _: Throwable => 0 }
+        } else 0
       val li = new java.io.File(s"$sfDir/lineitem.parquet")
       val files = if (li.isDirectory)
         li.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -82,7 +99,12 @@ object Bench {
         } finally in.close()
       }
       val rMbs = read / 1e6 / ((System.nanoTime() - t1) / 1e9)
-      f""""fp":{"write_mb_s":$wMbs%.1f,"read_mb_s":$rMbs%.1f,"read_mb":${read / 1e6}%.0f}"""
+      // Locale.ROOT: the f-interpolator honors the JVM default locale,
+      // and a comma decimal separator would make the record unparseable
+      String.format(java.util.Locale.ROOT,
+        """"fp":{"write_mb_s":%.1f,"read_mb_s":%.1f,"read_mb":%.0f,"cold":%d}""",
+        Double.box(wMbs), Double.box(rMbs), Double.box(read / 1e6),
+        Integer.valueOf(dropped))
     } catch { case _: Throwable => """"fp":{}""" }
     // Warmup: JIT + classloading + parquet-reader init dominate the
     // first job in a fresh JVM (~4-5 s) and aren't any query's cost.

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_knn_filtered" -> ((s: SparkSession, d: String) => VectorOps.qKnnFiltered(s, d)),
     "q_knn_filtered_part" -> ((s: SparkSession, d: String) => graft.vector.KnnPart.qKnnFilteredPart(s, d)),
     "q_knn_routed" -> ((s: SparkSession, d: String) => graft.vector.KnnRouter.qKnnRouted(s, d)),
+    "q_knn_routed_range" -> ((s: SparkSession, d: String) => graft.vector.KnnRouter.qKnnRoutedRange(s, d)),
     "q_knn_stream" -> ((s: SparkSession, d: String) => graft.vector.KnnIncr.qKnnStream(s, d)),
     // the ANN index MAINTAINED from the ledger change feed (inserts,
     // update pre/post images, DV deletes — three incremental ticks,
@@ -809,6 +810,17 @@ object SparkEntry {
        |UNION ALL
        |SELECT 'par0' AS pred, q_id, rn, vec_id, sim FROM ($b2)
        |ORDER BY pred, q_id, rn""".stripMargin
+  }
+
+  /** q_knn_routed_range oracle SQL — the GENERIC-predicate routed query
+    * ([[graft.vector.KnnRouter.qKnnRoutedRange]]): `label BETWEEN 3 AND
+    * 5` is no partition-key equality, so the router's fallback serves
+    * the SHARED arm, and the oracle is the shared-trie chain (fixture
+    * dial (6, 14)) under the range predicate. */
+  def knnRoutedRangeOracleSql: String = {
+    val src = s"read_parquet('${graft.vector.KnnRouter.fixturePath}" +
+      "/embeddings.parquet/*.parquet')"
+    knnFilteredOracleSqlFor(12000, a => s"$a.label BETWEEN 3 AND 5", src)
   }
 
   /** Scaled-integer mean of a computed double — mirrors
@@ -1721,6 +1733,13 @@ object SparkEntry {
     // (6,14), so the gate hash itself catches a mis-route. One static
     // text at every scale (fixture-backed, like q_emb_dup).
     "q_knn_routed" -> knnRoutedOracleSql,
+    // q_knn_routed_range: the router under a GENERIC predicate (a label
+    // RANGE — not a partition-key equality, so no per-value trie can
+    // exist and the partKey=None fallback must serve the SHARED arm
+    // whatever the measured split says; r12 VERDICT #3). The oracle is
+    // the shared-trie chain under the range predicate over the same
+    // fixture — one static text at every scale.
+    "q_knn_routed_range" -> knnRoutedRangeOracleSql,
     // q_knn_incr: the FINAL corpus recomputed logically — survivors of
     // the %17==3 DELETE WHERE carry the %11==0 reversal upserts, plus
     // the negated %13==0 clones at +100000 — then the same flat-dial

@@ -101,6 +101,21 @@ object StandingState {
         case Some((v, _)) if v >= version => false
         case _ => m.put(key, (version, art)); true
       }
+
+    /** [[advanceTo]] that ALSO accepts an equal-stamp REPLACEMENT —
+      * for maintainers whose fold re-admits the stamped version's rows
+      * (one commit's files can split across adjacent micro-batches: the
+      * first part folds and stamps V, and refusing the second part's
+      * equal-stamp artifact would drop it permanently — silent index
+      * drift). Only safe when the replacing artifact was folded from
+      * rows at or above the current stamp, so it can never carry a
+      * version the stamp claims but the artifact lacks; a stamp
+      * REGRESSION is still refused, exactly as [[advanceTo]]. */
+    def advanceOrReplace(key: K, version: Long, art: V): Boolean =
+      m.get(key) match {
+        case Some((v, _)) if v > version => false
+        case _ => m.put(key, (version, art)); true
+      }
   }
 
   private[graft] def versionedMemo[K, V](): VersionedMemo[K, V] =
@@ -116,36 +131,87 @@ object StandingState {
     * carry a budget (r11 VERDICT #4). Eviction frees blocks, never
     * correctness: an evicted entry rebuilds from source on next use,
     * exactly like a [[release]]d memo. `budget()` is re-read per
-    * insertion so dial experiments can change it between calls. Like
-    * [[release]], eviction must not race an in-flight query still
-    * holding the evicted frames. */
+    * insertion so dial experiments can change it between calls.
+    * Eviction is SAFE against in-flight serves: [[BoundedMemo.pinned]]
+    * is a serve-scope lease that defers the evicted entry's block
+    * release to the last unpin (r12 VERDICT #4 closed). */
   final class BoundedMemo[K, V] private[StandingState] (
       budget: () => Int, onEvict: (K, V) => Unit) {
-    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
-    def getOrElseUpdate(key: K)(build: => V): V = {
-      m.synchronized(Option(m.get(key))) match {
-        case Some(v) => v
+    /** A slot's pin count is a SERVE-SCOPE LEASE (r12 VERDICT #4): a
+      * budget overflow still removes a pinned slot from the map (the
+      * budget bounds standing entries — a new lookup rebuilds), but its
+      * `onEvict` — the block release — is DEFERRED to the last unpin,
+      * so eviction can never unpersist frames an in-flight serve still
+      * reads (unpersisting a localCheckpointed RDD destroys lineage;
+      * the racing query would FAIL, not recompute). */
+    private final class Slot(val key: K, val v: V) {
+      var pins = 0; var doomed = false
+    }
+    private val m = new java.util.LinkedHashMap[K, Slot](16, 0.75f, true)
+
+    /** Register a freshly built value (or yield to a race winner) and
+      * trim to budget. Under the lock — `onEvict` is unpersist-cheap. */
+    private def insertAndTrim(key: K, v: V, pin: Boolean): Slot = m.synchronized {
+      Option(m.get(key)) match {
+        case Some(winner) => // lost a build race: keep the winner
+          onEvict(key, v)
+          if (pin) winner.pins += 1
+          winner
         case None =>
-          val v = build // never under the lock: builds run Spark jobs
-          m.synchronized {
-            Option(m.get(key)) match {
-              case Some(winner) => // lost a build race: keep the winner
-                onEvict(key, v); winner
-              case None =>
-                m.put(key, v)
-                while (m.size > math.max(1, budget())) {
-                  val it = m.entrySet().iterator()
-                  val e = it.next(); it.remove()
-                  onEvict(e.getKey, e.getValue)
-                }
-                v
-            }
+          val s = new Slot(key, v)
+          if (pin) s.pins += 1
+          m.put(key, s)
+          while (m.size > math.max(1, budget())) {
+            val it = m.entrySet().iterator()
+            val e = it.next(); it.remove()
+            val es = e.getValue
+            if (es.pins > 0) es.doomed = true // release deferred to last unpin
+            else onEvict(e.getKey, es.v)
           }
+          s
       }
     }
+
+    def getOrElseUpdate(key: K)(build: => V): V = {
+      m.synchronized(Option(m.get(key))) match {
+        case Some(s) => s.v
+        case None =>
+          val v = build // never under the lock: builds run Spark jobs
+          insertAndTrim(key, v, pin = false).v
+      }
+    }
+
+    /** Run `use` with the entry PINNED: concurrent inserts that
+      * overflow the budget cannot release this value's blocks until
+      * `use` returns (they mark the slot doomed; the last unpin runs
+      * the deferred `onEvict`). The lease covers the CALL — a caller
+      * returning a lazy plan over the entry's frames must make it
+      * self-contained (materialize) before the lease ends. */
+    def pinned[T](key: K)(build: => V)(use: V => T): T = {
+      val slot = m.synchronized {
+        Option(m.get(key)).map { s => s.pins += 1; s }
+      }.getOrElse {
+        val v = build // never under the lock: builds run Spark jobs
+        insertAndTrim(key, v, pin = true)
+      }
+      try use(slot.v)
+      finally {
+        val deferred = m.synchronized {
+          slot.pins -= 1
+          if (slot.doomed && slot.pins == 0) { slot.doomed = false; true }
+          else false
+        }
+        if (deferred) onEvict(slot.key, slot.v)
+      }
+    }
+
     /** Lookup without touching LRU order (test/diagnostic surface). */
     def peek(key: K): Option[V] = m.synchronized {
-      m.entrySet().iterator().asScala.find(_.getKey == key).map(_.getValue)
+      m.entrySet().iterator().asScala.find(_.getKey == key).map(_.getValue.v)
+    }
+    /** A key's live pin count, 0 if absent (test/diagnostic surface). */
+    private[graft] def pinCount(key: K): Int = m.synchronized {
+      Option(m.get(key)).map(_.pins).getOrElse(0)
     }
     def size: Int = m.synchronized(m.size)
     private[StandingState] def clearAll(): Unit = m.synchronized(m.clear())

@@ -279,15 +279,24 @@ object KnnIncr {
     * artifact's CURRENT STAMP, never by the stream-start floor: the
     * docstring above supports concurrent batch-path [[maintainedIndex]]
     * refreshes, which advance the stamp past the floor, and re-folding
-    * versions such a refresh already applied would REGRESS updated keys
-    * and resurrect deleted ones through [[refreshFromNet]]'s
-    * retract-stored-code/add-batch-value fold (replay idempotence only
-    * holds for batches carrying the artifact's OWN values). Symmetric
-    * guard at the put: a concurrent refresh can also advance the stamp
-    * while this fold runs, so a refused [[graft.StandingState
-    * .VersionedMemo.advanceTo]] releases the discarded artifact's
-    * blocks instead of leaking them. Returns the updated upstream
-    * high-water mark. */
+    * versions BELOW what such a refresh already applied would REGRESS
+    * updated keys and resurrect deleted ones through
+    * [[refreshFromNet]]'s retract-stored-code/add-batch-value fold
+    * (replay idempotence only holds for batches carrying the artifact's
+    * OWN values). Rows AT the stamp are RE-ADMITTED: one commit's files
+    * may split across adjacent micro-batches, so the first part can
+    * fold and stamp V while the second part is still in flight —
+    * filtering it out would drop it permanently (the r12 ADVICE silent-
+    * drift hole). Re-folding the stamped version is safe by the same
+    * idempotence: for its already-applied keys the artifact holds
+    * version V's values, so retract-stored/add-batch nets to a no-op,
+    * and the not-yet-applied split remainder applies normally.
+    * Symmetric guard at the put: a concurrent refresh can advance the
+    * stamp while this fold runs, so the put goes through
+    * [[graft.StandingState.VersionedMemo.advanceOrReplace]] — an
+    * equal-stamp artifact (the healed split) replaces, a regression is
+    * refused and the discarded artifact's blocks are released instead
+    * of leaking. Returns the updated upstream high-water mark. */
   private[graft] def applyStreamBatch(spark: SparkSession, table: String,
       b: DataFrame, floor: Long, hwm: Long): Long = {
     val key = (spark.sparkContext.applicationId, table)
@@ -299,9 +308,11 @@ object KnnIncr {
       val h = Ledger.latestVersion(spark, table)
       (h.toLong, bootstrap(spark, table, h))
     }
-    // versions ≤ the CURRENT stamp are already IN the artifact —
-    // whether from the bootstrap or a concurrent batch refresh
-    val fresh = b.filter(col("commit_version") > pv)
+    // versions BELOW the current stamp are already IN the artifact —
+    // whether from the bootstrap or a concurrent batch refresh; rows AT
+    // the stamp re-admit (split-version delivery; idempotent fold)
+    val fresh = b.filter(col("commit_version") >= pv &&
+      col("commit_version") > floor)
     if (!fresh.isEmpty) {
       // the same loud order invariant replicate pins (equal is
       // legal — one version's files may split across adjacent
@@ -314,7 +325,7 @@ object KnnIncr {
         "was already applied")
       val next = refreshFromNet(spark,
         Ledger.netChanges(fresh, "vec_id"), prev)
-      if (!indexMemo.advanceTo(key, mx, next))
+      if (!indexMemo.advanceOrReplace(key, math.max(mx, pv), next))
         next.handles.foreach(_.unpersist(blocking = false))
     } else if (peeked.isEmpty) {
       // bootstrapped above with nothing to fold: register the artifact

@@ -100,39 +100,53 @@ object KnnPart {
     * scale (byte-identical to the DuckDB chain the gate embeds);
     * occupancy-adaptive trie above it, materialized + memoized like
     * every standing index. */
+  /** The partition's coded relation `(vec_id, v, full)` — the REAL
+    * from-source builder every registry path hands to [[entryFor]], so
+    * a budget eviction between any two calls rebuilds the entry instead
+    * of failing (the r12 ADVICE placeholder-builder crash). */
+  private def codedPartition(spark: SparkSession, dir: String,
+      labelValue: Int, maxD: Int): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("label") === labelValue)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("full",
+        VectorOps.lshBucket(col("v"), VectorOps.hyperplanes(maxD, 64)))
+
   private[graft] def partitionIndex(spark: SparkSession, dir: String,
       labelValue: Int): (DataFrame, Int, Int) = {
     val key = (spark.sparkContext.applicationId, dir, labelValue)
-    def base = Tables.embeddings(spark, dir)
-      .filter(col("label") === labelValue)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val nF = partCountMemo.getOrElseUpdate(key, base.count())
+    val nF = partitionCount(spark, dir, labelValue)
     val (p0, maxD) = VectorOps.knnDialFor(nF)
-    val planes = VectorOps.hyperplanes(maxD, 64)
-    def coded = base.withColumn("full", VectorOps.lshBucket(col("v"), planes))
     if (p0 == maxD)
-      (coded.withColumn("ld", lit(p0)).withColumn("bucket", col("full")), p0, maxD)
+      (codedPartition(spark, dir, labelValue, maxD)
+        .withColumn("ld", lit(p0)).withColumn("bucket", col("full")), p0, maxD)
     else {
-      val e = entryFor(spark, key, coded, p0, maxD)
+      val e = entryFor(spark, key,
+        codedPartition(spark, dir, labelValue, maxD), p0, maxD)
       (e.emb, e.p0, e.maxD)
     }
+  }
+
+  /** Build one trie-dial partition value's entry from its coded
+    * relation — the registry's from-source builder. */
+  private def entryBuild(spark: SparkSession, key: (String, String, Int),
+      coded: => DataFrame, p0: Int, maxD: Int): PartEntry = {
+    val src = coded
+    val h = src.groupBy(col("full")).agg(count(lit(1)).as("c"))
+    val km = VectorOps.leafDepthsFromHist(h, p0, maxD)
+    val (emb, rdd) = graft.dedup.Dedup.materializeStatsReset(
+      src.join(km, Seq("full"))
+        .withColumn("bucket", VectorOps.trieKeyExpr(p0, maxD)))
+    val e = new PartEntry(emb, p0, maxD)
+    e.handles = rdd :: Nil
+    e
   }
 
   /** The registry entry for a trie-dial partition value — built (or
     * rebuilt after a budget eviction) under the bounded registry. */
   private def entryFor(spark: SparkSession, key: (String, String, Int),
       coded: => DataFrame, p0: Int, maxD: Int): PartEntry =
-    partRegistry.getOrElseUpdate(key) {
-      val src = coded
-      val h = src.groupBy(col("full")).agg(count(lit(1)).as("c"))
-      val km = VectorOps.leafDepthsFromHist(h, p0, maxD)
-      val (emb, rdd) = graft.dedup.Dedup.materializeStatsReset(
-        src.join(km, Seq("full"))
-          .withColumn("bucket", VectorOps.trieKeyExpr(p0, maxD)))
-      val e = new PartEntry(emb, p0, maxD)
-      e.handles = rdd :: Nil
-      e
-    }
+    partRegistry.getOrElseUpdate(key)(entryBuild(spark, key, coded, p0, maxD))
 
   /** Partition-size scalar (memoized) — the escalation arm's
     * build-side pick and the dial both derive from it. */
@@ -153,38 +167,50 @@ object KnnPart {
     * at sf1). The flat path stays inline (no joins to save; keeps the
     * gate plan trivially oracle-shaped). */
   private[graft] def partitionProbes(spark: SparkSession, dir: String,
-      labelValue: Int, part: DataFrame, p0: Int, maxD: Int): DataFrame = {
-    val qAll = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("q_id"),
-        col("embedding").cast("array<double>").as("qv"))
+      labelValue: Int, p0: Int, maxD: Int): DataFrame =
     if (p0 == maxD)
-      probeRelation(qAll, sys.error("flat probes resolve no leaves"), p0, maxD)
+      probeRelation(corpusQueries(spark, dir),
+        sys.error("flat probes resolve no leaves"), p0, maxD)
     else {
       // the probe relation lives IN the value's registry entry — built
-      // at most once per residency, evicted (and rebuilt) WITH its trie
+      // at most once per residency, evicted (and rebuilt) WITH its
+      // trie. The REAL coded builder rides along: an entry evicted
+      // between the trie call and this one simply rebuilds (r12 ADVICE
+      // — the placeholder builder here used to crash that window).
       val entry = entryFor(spark,
         (spark.sparkContext.applicationId, dir, labelValue),
-        sys.error("partition trie must be resident before its probes"),
-        p0, maxD)
-      entry.synchronized(entry.probes) match {
-        case Some(p) => p
-        case None =>
-          val (probes, rdd) = graft.dedup.Dedup.materializeStatsReset(
-            probeRelation(qAll,
-              part.select(col("bucket").as("leaf_key")).distinct(), p0, maxD))
-          entry.synchronized {
-            entry.probes match {
-              case Some(winner) => // lost a build race: keep the winner
-                rdd.unpersist(blocking = false); winner
-              case None =>
-                entry.probes = Some(probes)
-                entry.handles ::= rdd
-                probes
-            }
-          }
-      }
+        codedPartition(spark, dir, labelValue, maxD), p0, maxD)
+      probesOf(spark, dir, entry)
     }
-  }
+
+  private def corpusQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+
+  /** The entry's probe relation, built into it on first use — always
+    * resolved against the entry's OWN trie (`entry.emb`), never a
+    * caller-supplied frame that may describe an evicted residency. */
+  private def probesOf(spark: SparkSession, dir: String,
+      entry: PartEntry): DataFrame =
+    entry.synchronized(entry.probes) match {
+      case Some(p) => p
+      case None =>
+        val (probes, rdd) = graft.dedup.Dedup.materializeStatsReset(
+          probeRelation(corpusQueries(spark, dir),
+            entry.emb.select(col("bucket").as("leaf_key")).distinct(),
+            entry.p0, entry.maxD))
+        entry.synchronized {
+          entry.probes match {
+            case Some(winner) => // lost a build race: keep the winner
+              rdd.unpersist(blocking = false); winner
+            case None =>
+              entry.probes = Some(probes)
+              entry.handles ::= rdd
+              probes
+          }
+        }
+    }
 
   /** Own + flip probe relation `(q_id, qv, bucket)` for an ARBITRARY
     * query relation `(q_id, qv)` against a partition trie at dial
@@ -239,8 +265,8 @@ object KnnPart {
     * relation, so pass 1 times the serving join rather than standing-
     * artifact setup (the same contract as the other warm() hooks). */
   def warm(spark: SparkSession, dir: String): Unit = {
-    val (part, p0, maxD) = partitionIndex(spark, dir, 7)
-    partitionProbes(spark, dir, 7, part, p0, maxD)
+    val (_, p0, maxD) = partitionIndex(spark, dir, 7)
+    partitionProbes(spark, dir, 7, p0, maxD)
     ()
   }
 
@@ -253,17 +279,35 @@ object KnnPart {
 
   /** Corpus-wide top-k under `label = labelValue`, served from the
     * value's OWN partition trie with exact escalation — the library
-    * API behind [[qKnnFilteredPart]]. */
+    * API behind [[qKnnFilteredPart]]. On the trie path the serve runs
+    * under the registry's PINNED lease and returns a SELF-CONTAINED
+    * result (its own tracked checkpoint): a budget eviction racing the
+    * serve defers the entry's block release to the lease's end, and an
+    * eviction AFTER the call cannot invalidate a result already handed
+    * out — the returned frame references no entry blocks (r12 VERDICT
+    * #4; KnnPartSpec's eviction-race case pins both halves). The flat
+    * path builds inline (no registry entry, no eviction hazard) and
+    * keeps the exact gate plan. */
   def knnFilteredPartitioned(spark: SparkSession, dir: String,
       labelValue: Int, k: Int): DataFrame = {
-    val (part, p0, maxD) = partitionIndex(spark, dir, labelValue)
-    val probes = partitionProbes(spark, dir, labelValue, part, p0, maxD)
-    val queriesAll = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("q_id"),
-        col("embedding").cast("array<double>").as("qv"))
-    serveFiltered(queriesAll, part, probes,
-      VectorOps.embCount(spark, dir),
-      partitionCount(spark, dir, labelValue), k)
+    val nF = partitionCount(spark, dir, labelValue)
+    val (p0, maxD) = VectorOps.knnDialFor(nF)
+    val queriesAll = corpusQueries(spark, dir)
+    def nQ = VectorOps.embCount(spark, dir)
+    if (p0 == maxD) {
+      val (part, _, _) = partitionIndex(spark, dir, labelValue)
+      serveFiltered(queriesAll, part,
+        partitionProbes(spark, dir, labelValue, p0, maxD), nQ, nF, k)
+    } else {
+      val key = (spark.sparkContext.applicationId, dir, labelValue)
+      partRegistry.pinned(key)(
+          entryBuild(spark, key, codedPartition(spark, dir, labelValue, maxD),
+            p0, maxD)) { e =>
+        val served = serveFiltered(queriesAll, e.emb,
+          probesOf(spark, dir, e), nQ, nF, k)
+        graft.dedup.Dedup.materializeStatsReset(served)._1
+      }
+    }
   }
 
   /** The serving tail — probe-join score, bounded heap + candidate
@@ -369,8 +413,9 @@ object KnnPart {
 
   /** The maintained-PARTITION-trie lineage — q_knn_incr's shape plus
     * the cases only a partition index has: v0 = the labeled embeddings
-    * corpus; v1 MERGES negated clones of the %13==0 vectors at +100000
-    * (label kept — label-7 clones are partition INSERTS); v2 upserts
+    * corpus; v1 MERGES negated clones of the %13==0 vectors at
+    * +[[KnnIncr.cloneOffset]] (corpus-derived `max(vec_id)+1`; label
+    * kept — label-7 clones are partition INSERTS); v2 upserts
     * the %11==0 vectors reversed (in-partition UPDATES retract + add);
     * v3 label-shifts the %19==0 originals to (label+1) % 10 —
     * CROSS-PARTITION MOVES, the retract-without-add / add-without-

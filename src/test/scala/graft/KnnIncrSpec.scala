@@ -212,6 +212,53 @@ class KnnIncrSpec extends AnyFunSuite {
     assert(m.peek("k").contains((6L, "a6")))
   }
 
+  test("advanceOrReplace accepts equal-stamp replacement, still refuses regression") {
+    val m = graft.StandingState.versionedMemo[String, String]()
+    assert(m.advanceOrReplace("k", 5L, "a5")) // empty → put
+    assert(m.advanceOrReplace("k", 5L, "a5+")) // equal stamp REPLACES (the healed split)
+    assert(m.peek("k").contains((5L, "a5+")))
+    assert(!m.advanceOrReplace("k", 4L, "a4")) // regression refused
+    assert(m.peek("k").contains((5L, "a5+")))
+    assert(m.advanceOrReplace("k", 6L, "a6"))
+    assert(m.peek("k").contains((6L, "a6")))
+  }
+
+  test("split-version delivery: rows at the stamp re-admit and heal the artifact") {
+    // one commit's files can split across adjacent micro-batches (a
+    // file-count trigger limit, a store without atomic staging rename):
+    // part 1 folds and stamps v1; part 2 arrives in the NEXT batch still
+    // marked commit_version 1. The r12 fold filtered strictly above the
+    // stamp — part 2 was dropped permanently (silent index drift, the
+    // r12 ADVICE medium). The re-admitting fold must apply it, and
+    // re-applying part 1's keys must net to a no-op (the artifact
+    // already holds v1's values for them).
+    val table = Ledger.tableRoot("knn_incr_split_version")
+    Ledger.create(spark, table, vectors(0L, 300L, seed = 31L), "vec_id")
+    KnnIncr.maintainedIndex(spark, table) // bootstrap at v0 (the stream's floor)
+    Ledger.merge(spark, table, 0, vectors(0L, 300L, seed = 31L)
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), lit("upsert").as("op"),
+        transform(col("v"), x => -x).as("v")), "vec_id")
+    // the STAGED-feed shape the stream actually delivers (single
+    // post-image rows — readChanges, not the pre-image CDF)
+    val v1 = Ledger.readChanges(spark, table, 0, 1, "vec_id")
+      .withColumn("commit_version", lit(1))
+    var hwm = KnnIncr.applyStreamBatch(spark, table,
+      v1.filter(col("vec_id") % 2 === 0), floor = 0L, hwm = 0L)
+    assert(hwm == 1L)
+    // stamped 1 but holding only part 1 — provably drifted mid-split
+    val half = KnnIncr.maintainedIndex(spark, table)
+    assert(histRows(half) != histRows(KnnIncr.rebuiltIndex(spark, table, half.dial)),
+      "fixture must actually split the version across batches")
+    // part 2, same commit_version: the equal-stamp fold heals it
+    hwm = KnnIncr.applyStreamBatch(spark, table,
+      v1.filter(col("vec_id") % 2 === 1), floor = 0L, hwm = hwm)
+    assert(hwm == 1L)
+    val idx = KnnIncr.maintainedIndex(spark, table)
+    assert(histRows(idx) == histRows(KnnIncr.rebuiltIndex(spark, table, idx.dial)))
+    assert(resultRows(idx) == resultRows(KnnIncr.rebuiltIndex(spark, table, idx.dial)))
+  }
+
   test("refresh granularity is irrelevant: per-version ticks == one spanning refresh") {
     val a = Ledger.tableRoot("knn_incr_spec_tick")
     val b = Ledger.tableRoot("knn_incr_spec_span")

@@ -135,11 +135,9 @@ class KnnPartSpec extends AnyFunSuite {
     }
   }
 
-  test("partition-index budget: LRU eviction releases blocks and an evicted value rebuilds correctly") {
-    // three trie-scale partitions (2100 members each > the 2000 flat
-    // threshold) under budget 2: serving a third value must evict the
-    // least-recently-served one, RELEASE its persisted blocks, and a
-    // re-query of the evicted value must rebuild byte-identical results
+  /** Three trie-scale partitions (2100 members each > the 2000 flat
+    * threshold) — the budget and eviction-race tests' corpus. */
+  private lazy val budgetDir: String = {
     val d = "target/knn_part_budget_test"
     val rnd = new scala.util.Random(41)
     def unit(v: Array[Double]): Array[Double] = {
@@ -154,6 +152,14 @@ class KnnPartSpec extends AnyFunSuite {
     import spark.implicits._
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("partition-index budget: LRU eviction releases blocks and an evicted value rebuilds correctly") {
+    // under budget 2: serving a third value must evict the
+    // least-recently-served one, RELEASE its persisted blocks, and a
+    // re-query of the evicted value must rebuild byte-identical results
+    val d = budgetDir
     val prevBudget = sys.props.get("graft.knn.part.budget")
     sys.props("graft.knn.part.budget") = "2"
     try {
@@ -175,6 +181,61 @@ class KnnPartSpec extends AnyFunSuite {
         .forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE))
       // the evicted value rebuilds from source, byte-identical
       assert(serve(0) == r0, "rebuilt-after-eviction must equal the first build")
+    } finally {
+      prevBudget match {
+        case Some(v) => sys.props("graft.knn.part.budget") = v
+        case None => sys.props -= "graft.knn.part.budget"
+      }
+    }
+  }
+
+  test("BoundedMemo.pinned defers a racing eviction's release to the lease end") {
+    var evicted = List.empty[(String, Int)]
+    val m = graft.StandingState.boundedMemo[String, Int](
+      () => 1, (k, v) => evicted ::= k -> v)
+    m.pinned("a")(1) { v =>
+      assert(v == 1)
+      m.getOrElseUpdate("b")(2) // overflows budget 1 → "a" doomed…
+      assert(evicted.isEmpty, "a pinned entry's release must defer") // …not released
+      assert(m.peek("a").isEmpty, "the doomed entry still leaves the map")
+      v
+    }
+    assert(evicted == List("a" -> 1), "the deferred release fires at unpin")
+    m.getOrElseUpdate("c")(3) // unpinned entries release immediately
+    assert(evicted.contains("b" -> 2))
+    // nested lease on the same slot: only the LAST unpin releases
+    m.pinned("x")(10) { _ =>
+      evicted = Nil // x's own insert evicted the previous resident
+      m.pinned("x")(sys.error("resident: builder must not run")) { _ =>
+        m.getOrElseUpdate("y")(20) // dooms x (pins = 2)
+        assert(evicted.isEmpty)
+      }
+      assert(evicted.isEmpty, "inner unpin must not release while outer holds")
+    }
+    assert(evicted == List("x" -> 10))
+  }
+
+  test("eviction racing a serve: a handed-out result survives its entry's eviction") {
+    // budget 1 over the 3-partition corpus: serve value 0, HOLD the
+    // returned frame, then serve value 1 — value 0's entry evicts and
+    // its trie/probe blocks release. The held result must still collect
+    // correctly (it is self-contained — its own tracked checkpoint, no
+    // lazy reference into the evicted entry), byte-equal to a fresh
+    // rebuild. Under r12's design this count FAILED: the escalation
+    // arm's lazy plan read the evicted entry's destroyed checkpoint.
+    val d = budgetDir
+    val prevBudget = sys.props.get("graft.knn.part.budget")
+    sys.props("graft.knn.part.budget") = "1"
+    try {
+      val r0 = KnnPart.knnFilteredPartitioned(spark, d, 0, k) // held frame
+      KnnPart.knnFilteredPartitioned(spark, d, 1, k).collect() // evicts value 0
+      assert(KnnPart.entryHandles(spark, d, 0).isEmpty, "value 0 must be evicted")
+      val held = r0.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val rebuilt = KnnPart.knnFilteredPartitioned(spark, d, 0, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(held == rebuilt,
+        "a result handed out before eviction must survive it unchanged")
     } finally {
       prevBudget match {
         case Some(v) => sys.props("graft.knn.part.budget") = v

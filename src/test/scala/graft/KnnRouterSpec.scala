@@ -101,6 +101,26 @@ class KnnRouterSpec extends AnyFunSuite {
       "fixture must diverge the arms or the route pin proves nothing")
   }
 
+  test("q_knn_routed_range serves the shared arm under a generic range predicate") {
+    // the declared fallback-arm gate (r12 VERDICT #3): a range is no
+    // partition-key equality, so the shared arm must serve — and the
+    // result must equal the direct shared-arm call under that predicate
+    val got = rows(KnnRouter.qKnnRoutedRange(spark, dir, k))
+    assert(got == rows(VectorOps.knnFiltered(
+      spark, dir, col("label").between(3, 5), k)))
+    assert(got.nonEmpty)
+  }
+
+  test("the route memo keys on the predicate, not just the caller's tag") {
+    // a reused tag under a DIFFERENT predicate must measure its own
+    // split, never inherit the other predicate's memoized route
+    val a = KnnRouter.routeFiltered(spark, dir, col("label") === 7, "reused", k)
+    val b = KnnRouter.routeFiltered(spark, dir, col("vec_id") % 2 === 0, "reused", k)
+    assert(a.partitioned && !b.partitioned,
+      s"second predicate under a reused tag must get its own route: $a / $b")
+    assert(a.nFilt != b.nFilt)
+  }
+
   test("a generic predicate without a partition key serves shared even when the split says partitioned") {
     // same correlated predicate, but expressed without a partition
     // key: the router cannot build a per-value trie for it, so the
