@@ -150,6 +150,9 @@ object Bench {
       // router fixture + route measurements + the fixture's partition
       // artifacts (q_knn_routed's standing state) — same rationale
       graft.vector.KnnRouter.warm(spark)
+      // standing dim-key bloom (q_bloom_join's semi-join reducer):
+      // built once per (session, corpus) like every other artifact
+      graft.ops.BloomJoin.builtOrderkeyBloom(spark, sfDir)
     } catch { case _: Throwable => () }
     // Two full passes, min per query: single-pass numbers on this VM
     // carry ±40 % contention spikes (PERF.md); the min of two

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_revalidate" -> (StreamTwins.qRevalidate _),
     "q_swr_serve" -> (StreamTwins.qSwrServe _),
     "q_dedup_first" -> (StreamTwins.qDedupFirst _),
+    "q_stream_restart" -> (graft.streaming.Restart.qStreamRestart _),
     // -- text analysis --
     "q_text_quality" -> (TextOps.qTextQuality _),
     "q_text_stats" -> (TextOps.qTextStats _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "q_substring_dup" -> ((s: SparkSession, d: String) => graft.text.SubstringDedup.qSubstringDup(s, d)),
     "q_substr_corpus" -> ((s: SparkSession, d: String) => graft.text.SubstringDedup.qSubstrCorpus(s, d)),
     "q_skew_join" -> ((s: SparkSession, d: String) => graft.ops.Skew.qSkewJoin(s, d)),
+    "q_bloom_join" -> (graft.ops.BloomJoin.qBloomJoin _),
     "q_curate" -> (graft.etl.Curate.qCurate _),
     // -- similarity search --
     "q_sim_topk" -> ((s: SparkSession, d: String) => VectorOps.qSimTopk(s, d)),
@@ -1360,6 +1362,17 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events, hw WHERE ts >= hw.hw - INTERVAL 1 HOUR
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q_stream_restart: the Spark side delivers the 5% slice through
+    // TWO stream lifetimes sharing one checkpoint; the oracle computes
+    // the aggregate straight from the slice. A replayed first half
+    // doubles n (but not n_ids), a dropped second half shrinks both —
+    // either breaks the hash.
+    "q_stream_restart" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 20 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id, lang, len(toks) AS n_tokens,
@@ -2480,6 +2493,16 @@ object SparkEntry {
         |FROM read_parquet('${graft.sources.Fixtures.skewFactPath}/*.parquet') f
         |JOIN read_parquet('${graft.sources.Fixtures.skewDimPath}/*.parquet') d USING (k)
         |GROUP BY f.k ORDER BY f.k""".stripMargin,
+    // q_bloom_join: the bloom prune is a SUPERSET filter and the exact
+    // join removes its false positives, so the oracle is the plain
+    // unpruned join — a bloom that dropped a true key (false negative)
+    // or a prune that leaked into the result breaks the hash.
+    "q_bloom_join" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n_items,
+        |  CAST(CAST(sum($revenueExpr) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '2000-01-01'
+        |GROUP BY 1 ORDER BY order_month""".stripMargin,
     "q_substr_corpus" -> {
       val l = graft.text.SubstringDedup.MinRun
       val cap = graft.text.SubstringDedup.HotAnchorCap

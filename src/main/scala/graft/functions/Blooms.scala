@@ -34,9 +34,36 @@ case class BloomMightContain(child: Expression, bf: BloomFilter) extends UnaryEx
     copy(child = newChild)
 }
 
+/** Long-keyed sibling of [[BloomMightContain]]: probes the filter with
+  * the raw 64-bit key (`BloomFilter.putLong` hashing), the natural form
+  * for integer join keys — no string round-trip in the hot path. Same
+  * contract: false positives allowed (a downstream exact join removes
+  * them), false negatives never. */
+case class BloomMightContainLong(child: Expression, bf: BloomFilter) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override def nullSafeEval(input: Any): Any =
+    bf.mightContainLong(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContainLong", this,
+      classOf[BloomMightContainLong].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.bf().mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Blooms {
   import org.apache.spark.sql.GraftSqlBridge
 
   def mightContain(c: Column, bf: BloomFilter): Column =
     GraftSqlBridge.column(BloomMightContain(GraftSqlBridge.expression(c), bf))
+
+  def mightContainLong(c: Column, bf: BloomFilter): Column =
+    GraftSqlBridge.column(BloomMightContainLong(GraftSqlBridge.expression(c), bf))
 }
