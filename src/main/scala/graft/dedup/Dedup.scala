@@ -297,11 +297,28 @@ object Dedup {
       val aug = edges.union(labels.select(col("u"), col("label").as("v")))
       val nbrMin = aug.join(labels.withColumnRenamed("u", "v2"), col("v") === col("v2"))
         .groupBy(col("u")).agg(min(col("label")).as("nbr"))
-      val (next, nextRdd) = materializeStatsReset(
-        labels.join(nbrMin, Seq("u"), "left")
-          .select(col("u"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "u")
-        .filter(col("label") =!= col("old")).count()
+      // ONE action per round (r13): the old label rides through the
+      // materialization and the convergence check is counted in the
+      // SAME job that materializes the round — the previous shape ran
+      // a second join-shuffle job per round just to count changed
+      // rows, doubling the per-round job overhead that dominates on
+      // shallow graphs (guide §1.2: the loop is driver-coordinated,
+      // so per-round job count IS the cost model).
+      val nextWide = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          col("label").as("old"))
+      val nextRdd = nextWide.rdd
+      nextRdd.localCheckpoint()
+      val changed = nextRdd.mapPartitions { it =>
+        var c = 0L; it.foreach(r => if (r(1) != r(2)) c += 1)
+        Iterator.single(c)
+      }.fold(0L)(_ + _)
+      graft.StandingState.trackRdd(nextRdd)
+      // rebuild from the checkpointed RDD: stats reset to defaults
+      // (see materializeStatsReset's scaladoc), old column dropped
+      val next = nextWide.sparkSession.createDataFrame(nextRdd, nextWide.schema)
+        .select(col("u"), col("label"))
       // free the superseded round's checkpoint blocks — `next` is
       // materialized, nothing references the old labels anymore
       labelsRdd.unpersist(blocking = false)
@@ -313,13 +330,35 @@ object Dedup {
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Cluster labels as a STANDING artifact (r13): the CC label table is
+    * the dedup deliverable a 100 TB deployment maintains as a table
+    * (the scale-shape notes below already said so) — three declared
+    * queries (q_dup_clusters, q_leakage_split over the corpus pairs;
+    * q_emb_clusters over the planted-dup fixture) each re-ran the
+    * whole driver-coordinated loop per call. Memoized per (session,
+    * tag) in the StandingState ledger exactly like [[minhashPairs]]'s
+    * pair table: released with every other standing artifact, rebuilt
+    * lazily, never persisted across runs. */
+  private val clusterMemo = graft.StandingState.memo[(String, String), DataFrame]()
+
+  def dupClustersMemo(spark: SparkSession, tag: String)(
+      pairs: => DataFrame): DataFrame =
+    clusterMemo.getOrElseUpdate((spark.sparkContext.applicationId, tag),
+      dupClusters(pairs))
+
   /** Declared query: near-dup clusters of the corpus (docs in ≥1
     * MinHash-verified pair, labeled by their cluster's min doc_id).
     * Shares the memoized pair computation with [[qMinhashPairs]] — one
     * LSH pipeline per run regardless of which query runs first. */
   def qDupClusters(spark: SparkSession, dir: String): DataFrame =
-    dupClusters(minhashPairs(spark, dir))
+    corpusClusters(spark, dir)
       .orderBy(col("doc_id"))
+
+  /** The corpus CC label table as a standing artifact — shared by
+    * q_dup_clusters, q_leakage_split and q_curate (all three consumed
+    * the same labels and each re-ran the propagation loop). */
+  def corpusClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersMemo(spark, s"minhash:$dir")(minhashPairs(spark, dir))
 
   /** LEAKAGE-SAFE train/val/test split — the assignment unit is the
     * near-dup CLUSTER, not the document: hashing doc_ids independently
@@ -338,7 +377,7 @@ object Dedup {
     * split itself adds one broadcast-sized join and zero extra
     * shuffles of the corpus. */
   def qLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dupClusters(minhashPairs(spark, dir))
+    val labels = corpusClusters(spark, dir)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))

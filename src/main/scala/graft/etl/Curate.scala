@@ -39,7 +39,7 @@ object Curate {
     val kept = scored.filter(col("quality") >= 0.35 && col("guess") === col("lang"))
     // docs dominated by their cluster canonical (min doc_id) — reuses
     // the memoized pair pipeline shared with q_minhash_pairs/q_dup_clusters
-    val losers = Dedup.dupClusters(Dedup.minhashPairs(spark, dir))
+    val losers = Dedup.corpusClusters(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     val deduped = kept.join(broadcast(losers), Seq("doc_id"), "left_anti")

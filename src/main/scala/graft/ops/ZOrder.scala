@@ -49,18 +49,27 @@ object ZOrder {
   /** lineitem with its z key over (l_partkey, shipdate-day) and the
     * fixed-width prefix bucket. Stats (`mn/mx` per dim) are one exact
     * aggregate — at 100 TB these are the standing table statistics. */
-  def lineitemZ(spark: SparkSession, dir: String): DataFrame = {
+  def lineitemZ(spark: SparkSession, dir: String): DataFrame =
+    lineitemZWithCount(spark, dir)._1
+
+  /** [[lineitemZ]] plus the row count from the SAME statistics
+    * aggregate (r13): the declared write query needs both the dims'
+    * min/max and the table size (to scale write parallelism), and ran
+    * two full-scan jobs to get them — count() and the min/max agg.
+    * One aggregate row carries all five scalars, one scan. */
+  def lineitemZWithCount(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"),
         datediff(col("l_shipdate"), lit(Epoch)).cast("long").as("day"))
-    val Array(mnP, mxP, mnD, mxD) =
-      li.agg(min("l_partkey"), max("l_partkey"), min("day"), max("day"))
-        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val stats =
+      li.agg(min("l_partkey"), max("l_partkey"), min("day"), max("day"),
+        count(lit(1))).head()
+    val Seq(mnP, mxP, mnD, mxD, rows) = stats.toSeq.map(_.asInstanceOf[Long])
     val z = interleave2(
       quantize(col("l_partkey"), mnP, mxP, Bits),
       quantize(col("day"), mnD, mxD, Bits), Bits)
-    li.withColumn("z", z)
-      .withColumn("zfile", shiftright(col("z"), 2 * Bits - BucketBits))
+    (li.withColumn("z", z)
+      .withColumn("zfile", shiftright(col("z"), 2 * Bits - BucketBits)), rows)
   }
 
   /** Write `df` clustered by its `zfile` bucket, z-sorted inside each
@@ -102,11 +111,12 @@ object ZOrder {
     // nothing (11.8 s — this box is one disk, so past ~a task per core
     // the writers queue on IO, PERF.md r7). The count that sizes it is
     // a parquet metadata-weight job; layout CONTENT is
-    // task-count-invariant.
-    val rows = Tables.lineitem(spark, dir).count()
+    // task-count-invariant. (r13: the count rides the stats aggregate —
+    // one scan job instead of two.)
+    val (zdf, rows) = lineitemZWithCount(spark, dir)
     val tasks = math.min(4 << BucketBits,
       math.max(1 << BucketBits, (rows / 2000000L).toInt))
-    writeZOrdered(lineitemZ(spark, dir), out, tasks)
+    writeZOrdered(zdf, out, tasks)
     spark.read.parquet(out)
       .groupBy(col("zfile").cast("long").as("zfile"))
       .agg(count(lit(1)).as("n"),

@@ -453,9 +453,10 @@ object Fixtures {
     * per cluster. Oracle mirrors with a recursive CTE. */
   def qEmbClusters(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark)
-    val pairs = graft.vector.VectorOps.embeddingDupPairs(spark.read.parquet(embDupPath))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    graft.dedup.Dedup.dupClusters(pairs)
+    graft.dedup.Dedup.dupClustersMemo(spark, "embdup") {
+      graft.vector.VectorOps.embeddingDupPairs(spark.read.parquet(embDupPath))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    }
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
   }
