@@ -1358,7 +1358,14 @@ object Ledger {
     def paths(v: Int): Set[String] = manifest(spark, table, v)
       .select(col("path")).collect().map(_.getString(0)).toSet
     val (pf, pt) = (paths(vFrom), paths(vTo))
-    val schemaSrc = readVersion(spark, table, vTo).limit(0)
+    // schema source from the path set ALREADY collected (r13):
+    // readVersion(vTo) re-collected vTo's manifest and planned its DV
+    // anti-join just to take limit(0) — one driver job per CDF pair for
+    // a zero-row frame. A conformed read over the known paths carries
+    // the same logical schema with no extra action.
+    val schemaSrc =
+      if (pt.nonEmpty) readConformed(spark, table, vTo, pt.toIndexedSeq).limit(0)
+      else readVersion(spark, table, vTo).limit(0)
     // both sides read conformed to vTo's logical schema: an ADD COLUMN
     // between vFrom and vTo backfills null on the before-image, so the
     // null-safe compare sees a change only where a value actually landed
@@ -1427,7 +1434,11 @@ object Ledger {
     def paths(v: Int): Set[String] = manifest(spark, table, v)
       .select(col("path")).collect().map(_.getString(0)).toSet
     val (pf, pt) = (paths(vFrom), paths(vTo))
-    val schemaSrc = readVersion(spark, table, vTo).limit(0)
+    // schema source from the collected path set — same one-less-collect
+    // move as readChanges (r13)
+    val schemaSrc =
+      if (pt.nonEmpty) readConformed(spark, table, vTo, pt.toIndexedSeq).limit(0)
+      else readVersion(spark, table, vTo).limit(0)
     def rd(ps: Set[String]): DataFrame =
       if (ps.isEmpty) schemaSrc
       else readConformed(spark, table, vTo, ps.toIndexedSeq)
