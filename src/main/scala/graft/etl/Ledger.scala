@@ -1357,7 +1357,15 @@ object Ledger {
       keyCol: String): DataFrame = {
     def paths(v: Int): Set[String] = manifest(spark, table, v)
       .select(col("path")).collect().map(_.getString(0)).toSet
-    val (pf, pt) = (paths(vFrom), paths(vTo))
+    val pf = paths(vFrom)
+    // vTo's manifest is needed TWICE (live path set + the dvDeletes
+    // range prune below): one read+collect serves both (r13) — the
+    // collected rows rebuild a local relation for the prune join
+    // instead of re-reading the manifest parquet per pair.
+    val mTo = manifest(spark, table, vTo)
+    val mToRows = mTo.collect()
+    val pathIdx = mTo.schema.fieldIndex("path")
+    val pt = mToRows.map(_.getString(pathIdx)).toSet
     // schema source from the path set ALREADY collected (r13):
     // readVersion(vTo) re-collected vTo's manifest and planned its DV
     // anti-join just to take limit(0) — one driver job per CDF pair for
@@ -1390,8 +1398,11 @@ object Ledger {
           .map(df0 => dt.join(df0, df0.columns.toSeq, "left_anti")).getOrElse(dt)
         val k = added.columns.head
         val addedKeys = added.select(col(k).as("_dk"))
-        val sharedHit = manifest(spark, table, vTo)
-          .filter(col("path").isInCollection((pf intersect pt).toSeq :+ ""))
+        val shared = pf intersect pt
+        val sharedHit = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              mToRows.filter(r => shared(r.getString(pathIdx))).toIndexedSeq, 1),
+            mTo.schema)
           .join(addedKeys, col("_dk") >= col("min_key") && col("_dk") <= col("max_key"),
             "left_semi")
           .select(col("path")).collect().map(_.getString(0))
@@ -1433,7 +1444,13 @@ object Ledger {
       vTo: Int, keyCol: String): DataFrame = {
     def paths(v: Int): Set[String] = manifest(spark, table, v)
       .select(col("path")).collect().map(_.getString(0)).toSet
-    val (pf, pt) = (paths(vFrom), paths(vTo))
+    val pf = paths(vFrom)
+    // one vTo-manifest read serves the path set and the DV range prune
+    // — same fusion as readChanges (r13)
+    val mTo = manifest(spark, table, vTo)
+    val mToRows = mTo.collect()
+    val pathIdx = mTo.schema.fieldIndex("path")
+    val pt = mToRows.map(_.getString(pathIdx)).toSet
     // schema source from the collected path set — same one-less-collect
     // move as readChanges (r13)
     val schemaSrc =
@@ -1469,8 +1486,11 @@ object Ledger {
           .map(df0 => dt.join(df0, df0.columns.toSeq, "left_anti")).getOrElse(dt)
         val k = added.columns.head
         val addedKeys = added.select(col(k).as("_dk"))
-        val sharedHit = manifest(spark, table, vTo)
-          .filter(col("path").isInCollection((pf intersect pt).toSeq :+ ""))
+        val shared = pf intersect pt
+        val sharedHit = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              mToRows.filter(r => shared(r.getString(pathIdx))).toIndexedSeq, 1),
+            mTo.schema)
           .join(addedKeys, col("_dk") >= col("min_key") && col("_dk") <= col("max_key"),
             "left_semi")
           .select(col("path")).collect().map(_.getString(0))
