@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) { // r13 ADVICE: usage, not a bare AIOOBE
+      System.err.println(
+        "usage: graft.PlanDump <outDir> <suffix> [sfDir] [q1 q2 ...]")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val suffix = args(1)
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
@@ -46,7 +51,12 @@ object PlanDump {
       graft.vector.KnnPart.warm(spark, sfDir)
       graft.vector.KnnRouter.warm(spark)
       graft.ops.BloomJoin.builtOrderkeyBloom(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // r13 ADVICE: a failed warmup means the captured plans include
+      // build work — the exact contamination this instrument excludes.
+      // Make it visible instead of silently shipping non-steady plans.
+      System.err.println(s"[plandump] WARMUP FAILED (plans may include standing-artifact build work): $e")
+    }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { q =>
       SparkEntry.queries.get(q) match {

@@ -46,7 +46,11 @@ object ProfileSuite {
       graft.vector.KnnPart.warm(spark, sfDir)
       graft.vector.KnnRouter.warm(spark)
       graft.ops.BloomJoin.builtOrderkeyBloom(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // r13 ADVICE: a failed warmup means the timings below include
+      // standing-artifact build work — say so instead of hiding it
+      System.err.println(s"[profile] WARMUP FAILED (timings may include standing-artifact build work): $e")
+    }
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted

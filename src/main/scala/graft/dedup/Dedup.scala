@@ -310,8 +310,13 @@ object Dedup {
           col("label").as("old"))
       val nextRdd = nextWide.rdd
       nextRdd.localCheckpoint()
+      // indices resolved BY NAME outside the closure (r13 ADVICE): a
+      // reordering of the select above must fail loudly here, not
+      // silently corrupt the convergence check
+      val li = nextWide.schema.fieldIndex("label")
+      val oi = nextWide.schema.fieldIndex("old")
       val changed = nextRdd.mapPartitions { it =>
-        var c = 0L; it.foreach(r => if (r(1) != r(2)) c += 1)
+        var c = 0L; it.foreach(r => if (r(li) != r(oi)) c += 1)
         Iterator.single(c)
       }.fold(0L)(_ + _)
       graft.StandingState.trackRdd(nextRdd)

@@ -113,15 +113,50 @@ object Ledger {
       .write.mode("overwrite").parquet(manifestPath(table, version))
   }
 
+  /** Collected-manifest cache (r14, guide §5: the driver should do
+    * almost no data work — and re-reading a file-count-sized manifest
+    * through a full Spark job per call IS data work at the driver's
+    * expense). Keyed (table, version); VALIDATED per call against the
+    * manifest directory's file identity (every entry's name + length +
+    * mtime — a Spark rewrite always changes the part file's UUID name),
+    * so an in-session table rebuild or vacuum can never serve stale
+    * rows — the exact staleness hazard that made r13 reject a naive
+    * (table, version) memo. The cached value is the collected rows
+    * rebuilt as a LOCAL RELATION: every downstream
+    * `.select("path").collect()` constant-folds to a job-free
+    * LocalTableScan, and joins/prunes against the manifest carry local
+    * rows instead of re-running listing + footer read + a collect job
+    * per call. This is the snapshot-caching move every production
+    * table format makes (Delta/Iceberg hold the live snapshot's file
+    * list in driver memory). Cleared by StandingState.release() with
+    * every other memo. */
+  private val manifestMemo =
+    graft.StandingState.memo[(String, Int), (String, DataFrame)]()
+
   /** The manifest of version N (file-count-sized). A manifest without
     * its `_SUCCESS` marker is a PARTIAL write from a crashed committer
     * and must be invisible — reading it as committed would surface a
     * half-published version. */
   def manifest(spark: SparkSession, table: String, version: Int): DataFrame = {
     val p = manifestPath(table, version)
-    require(fs(spark, table).exists(new Path(p + "/_SUCCESS")),
+    val st = try fs(spark, table).listStatus(new Path(p))
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    require(st.exists(_.getPath.getName == "_SUCCESS"),
       s"version $version is not committed (no _SUCCESS marker in $p)")
-    spark.read.parquet(p)
+    val token = st.sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString(",")
+    manifestMemo.get((table, version)) match {
+      case Some((t, df)) if t == token => df
+      case _ =>
+        val raw = spark.read.parquet(p)
+        val rows = raw.collect()
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), raw.schema)
+        manifestMemo.put((table, version), (token, local))
+        local
+    }
   }
 
   private def schemaPath(table: String, version: Int) =
@@ -169,12 +204,37 @@ object Ledger {
   private def deletePath(table: String, version: Int) =
     s"$table/deletes/v$version"
 
+  /** Resolved-DV-plan cache (r14): same (token-validated) discipline
+    * as [[manifestMemo]], but the cached value is the LAZY resolved
+    * DataFrame, not collected rows — a deletion vector is data-sized
+    * (deleted keys), so it stays a distributed relation; what the
+    * cache removes is the per-call listing + footer read + relation
+    * resolution that every applyDv/readChanges pair re-paid. */
+  private val dvPlanMemo =
+    graft.StandingState.memo[(String, Int), (String, Option[DataFrame])]()
+
   /** Version N's outstanding DELETION VECTOR — the keys hidden from
     * reads without rewriting their data files (single column named
     * after the table's key). None = no merge-on-read deletes pending. */
-  def deletionVector(spark: SparkSession, table: String, version: Int): Option[DataFrame] =
-    if (!fs(spark, table).exists(new Path(deletePath(table, version)))) None
-    else Some(spark.read.parquet(deletePath(table, version)))
+  def deletionVector(spark: SparkSession, table: String, version: Int): Option[DataFrame] = {
+    val p = deletePath(table, version)
+    val st = try fs(spark, table).listStatus(new Path(p))
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    if (st.isEmpty) None
+    else {
+      val token = st.sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString(",")
+      dvPlanMemo.get((table, version)) match {
+        case Some((t, df)) if t == token => df
+        case _ =>
+          val df: Option[DataFrame] = Some(spark.read.parquet(p))
+          dvPlanMemo.put((table, version), (token, df))
+          df
+      }
+    }
+  }
 
   private def applyDv(spark: SparkSession, table: String, version: Int,
       data: DataFrame): DataFrame =
@@ -1399,9 +1459,12 @@ object Ledger {
         val k = added.columns.head
         val addedKeys = added.select(col(k).as("_dk"))
         val shared = pf intersect pt
+        // local relation, not parallelize: the shared-file prune is
+        // manifest-sized metadata — folding it locally keeps the range
+        // semi-join a broadcast over local rows with no parallelize job
         val sharedHit = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-              mToRows.filter(r => shared(r.getString(pathIdx))).toIndexedSeq, 1),
+            java.util.Arrays.asList(
+              mToRows.filter(r => shared(r.getString(pathIdx))): _*),
             mTo.schema)
           .join(addedKeys, col("_dk") >= col("min_key") && col("_dk") <= col("max_key"),
             "left_semi")
@@ -1487,9 +1550,12 @@ object Ledger {
         val k = added.columns.head
         val addedKeys = added.select(col(k).as("_dk"))
         val shared = pf intersect pt
+        // local relation, not parallelize: the shared-file prune is
+        // manifest-sized metadata — folding it locally keeps the range
+        // semi-join a broadcast over local rows with no parallelize job
         val sharedHit = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-              mToRows.filter(r => shared(r.getString(pathIdx))).toIndexedSeq, 1),
+            java.util.Arrays.asList(
+              mToRows.filter(r => shared(r.getString(pathIdx))): _*),
             mTo.schema)
           .join(addedKeys, col("_dk") >= col("min_key") && col("_dk") <= col("max_key"),
             "left_semi")

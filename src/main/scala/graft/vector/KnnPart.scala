@@ -300,7 +300,24 @@ object KnnPart {
     * r13 sf10 cut; isolated probes reproduced ~18 s per REPEAT call).
     * The r12 VERDICT prescribed exactly this memoization for the
     * router's served branches — the declared-corpus serve is the same
-    * class of standing artifact. Released/rebuilt with the ledger. */
+    * class of standing artifact. Released/rebuilt with the ledger.
+    *
+    * WHY this memo is deliberately EXEMPT from the bounded-registry
+    * rule (r13 ADVICE adjudicated): the rule exists because ENTRY
+    * artifacts (tries + probe relations) are corpus-partition-sized —
+    * one per predicate value is an unbounded standing cost. A served
+    * frame is OUTPUT-sized (nQ×k rows — KB, not partition-scale), so a
+    * value sweep accumulates kilobytes per value, not gigabytes. And a
+    * budgeted eviction here could not release those kilobytes anyway:
+    * the API hands served frames to callers with session lifetime, and
+    * KnnPartSpec's eviction-race case pins that a handed-out result
+    * SURVIVES later evictions — unpersisting a served frame's
+    * checkpoint behind the holder's back fails the holder's collect
+    * (localCheckpoint lineage is truncated; the r12-VERDICT-#4 hazard),
+    * which an r14 bounded-memo experiment reproduced verbatim. So the
+    * bound would bound the map, not the blocks. Output-sized frames
+    * ride the session ledger and free at release(), like every other
+    * handed-out result. */
   private val servedMemo =
     graft.StandingState.memo[(String, String, Int, Int), DataFrame]()
 
