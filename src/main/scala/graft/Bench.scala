@@ -136,6 +136,7 @@ object Bench {
       graft.vector.VectorOps.ivfCentroids(spark, sfDir).count()
       graft.vector.VectorOps.refinedPqCodebooks(spark, sfDir).count()
       graft.vector.VectorOps.qKnnClusters(spark, sfDir).count()
+      graft.vector.VectorOps.warmAnnExact(spark, sfDir)
       graft.sources.Fixtures.ensure(spark)
       // The remaining standing artifacts (r6→r7): pass 1 then times
       // every query at standing-index steady state, and the min-of-

@@ -38,6 +38,7 @@ object PlanDump {
       graft.vector.VectorOps.ivfCentroids(spark, sfDir).count()
       graft.vector.VectorOps.refinedPqCodebooks(spark, sfDir).count()
       graft.vector.VectorOps.qKnnClusters(spark, sfDir).count()
+      graft.vector.VectorOps.warmAnnExact(spark, sfDir)
       graft.sources.Fixtures.ensure(spark)
       graft.dedup.Dedup.minhashPairs(spark, sfDir).count()
       graft.dedup.Dedup.corpusClusters(spark, sfDir).count()

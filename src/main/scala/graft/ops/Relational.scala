@@ -463,7 +463,17 @@ object Relational {
     * quarter orders where NO lineitem shipped within 30 days of the
     * order date — the left-ANTI twin of [[qTpch4]]'s semi join, with
     * the same correlated non-equi predicate riding the anti-join
-    * condition. */
+    * condition.
+    *
+    * r14 (guide §2.3 "aggregate before you shuffle"): `EXISTS l WHERE
+    * key match AND l_shipdate < X` ⟺ `min(l_shipdate) per key < X`
+    * (min ignores nulls exactly as the `<` rejects them), so the
+    * anti-join's lineitem side is pre-reduced to one (key, first_ship)
+    * row per order — a map-side-combinable aggregate. Before, the
+    * anti-join broadcast the RAW projected fact (every lineitem row);
+    * now the built/shuffled side is per-key, ~4× fewer rows here and
+    * |orders|-bounded at any scale. The declared result is unchanged
+    * (oracle SQL keeps the textbook NOT EXISTS; hash-verified). */
   def qNotExists(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
     Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
@@ -472,9 +482,11 @@ object Relational {
         |FROM graft_orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem
-        |                  WHERE l_orderkey = o_orderkey
-        |                    AND l_shipdate < o_orderdate + INTERVAL 30 DAYS)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM (SELECT l_orderkey, min(l_shipdate) AS first_ship
+        |                   FROM graft_lineitem GROUP BY l_orderkey) f
+        |    WHERE f.l_orderkey = o_orderkey
+        |      AND f.first_ship < o_orderdate + INTERVAL 30 DAYS)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
   }
