@@ -222,8 +222,17 @@ object Dedup {
     * C(family,2) pairs — that is the query's job (pair listing); use
     * dup-cluster queries for the keep-one contract. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once per call (r14, guide §5 reuse): the signature
+    // table feeds BOTH sides of the banded self-join, and un-materialized
+    // each side re-scanned the corpus and re-ran simhash64 over every
+    // document — with the planner's not-null filter duplicating the
+    // expression once more per side (4 corpus-wide simhash passes per
+    // invocation, 2 scans). The checkpoint is fingerprint-sized
+    // (doc_id, sh — 16 B/doc); at 100 TB this is the signature table a
+    // production dedup materializes before banding anyway.
     val s = Tables.documents(spark, dir)
       .select(col("doc_id"), TextHashes.simhash64(split(col("text"), " ")).as("sh"))
+      .localCheckpointTracked()
     val tripleKeys = shBlocks.combinations(3).toSeq.map { blks =>
       blks.foldLeft(lit(0L)) { case (acc, (shift, width)) =>
         (acc * (1L << width)) +
