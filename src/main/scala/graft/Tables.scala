@@ -36,4 +36,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Widen an UNDER-PARALLELIZED relation (guide §2.5 "input skew: one
+    * huge unsplittable file … otherwise repartition immediately after
+    * the read"): the gate corpora are single-row-group parquet, and a
+    * parquet row group is one scan task no matter the split math — so a
+    * map-heavy pass over them (a pre-window-group-limit sort, say) runs
+    * single-threaded however many cores the session has. Round-robin
+    * repartition to the session parallelism ONLY when the plan's
+    * partition count is below half of it: a source with real
+    * parallelism (ScaleGen part-file dirs, any production table) passes
+    * through untouched, so this is a parallelism floor, never an added
+    * shuffle at scale. Use on NARROW projections only — an r14
+    * experiment that widened text-payload tokenization this way LOST
+    * (shuffling document bodies cost more than the serial tokenize;
+    * guide §8's rule that heavy payloads must not ride extra
+    * exchanges). */
+  def widened(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
 }

@@ -259,9 +259,17 @@ object Relational {
   def qTopkGroup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("price2").desc, col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, dir)
+    // r14 (guide §2.5 unsplittable input): the gate corpora are
+    // single-row-group parquet, so WindowGroupLimit's partial
+    // sort-by-(flag, price) ran over the WHOLE fact in one task.
+    // Tables.widened round-robins the already-narrow projection
+    // (~30 B/row) to the session parallelism ONLY when the scan is
+    // under-parallelized — a no-op on any source with real scan
+    // parallelism. row_number's order is total (orderkey, linenumber
+    // unique), so the result is partitioning-independent.
+    Tables.widened(spark, Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        money(col("l_extendedprice")).cast("double").as("price2"))
+        money(col("l_extendedprice")).cast("double").as("price2")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .orderBy(col("l_returnflag"), col("rn"))
